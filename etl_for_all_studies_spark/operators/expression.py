@@ -1,0 +1,124 @@
+"""Expression matrix operators: prune → unpivot → cast-drop → whitelist filter
+(O-13/O-14/O-15 + the wide→long melt).
+
+Reference semantics (``src/etl_for_all_studies/expression_processing.py:24-113``):
+the wide TSV is streamed row-at-a-time, columns restricted to samples present
+in metadata (warn on missing, error when none survive), each cell parsed with
+``float()`` and *skipped* (not nulled) when unparseable, and gene rows kept
+only when the id is in the whitelist.
+
+Spark-first formulation: an explicit ``select`` of the intersected columns
+(airtight column pruning — the scan's ReadSchema shrinks to what's needed),
+``DataFrame.unpivot`` to long form (the wide layout is an I/O artifact; long
+is Spark's native shape), a ``cast('double')`` + not-null filter for the
+drop-bad-cells semantics, and a **broadcast left-semi join** against the
+whitelist (never shuffles the big expression side; ~99% selectivity per the
+reference's own envelope, ``docs/genomic-etl-requirements.md:45``).
+"""
+from __future__ import annotations
+
+import logging
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+class ExpressionSchemaError(ValueError):
+    """Raised when no expression sample columns survive metadata intersection."""
+
+
+def intersect_sample_columns(
+    wide: DataFrame, metadata_samples: Sequence[str]
+) -> tuple[list[str], list[str]]:
+    """Column pruning by metadata sample set (O-14).
+
+    Returns ``(kept, missing)`` where *kept* preserves the expression file's
+    column order (the reference iterates header order) and *missing* are
+    metadata samples absent from the expression header (warned, reference
+    ``expression_processing.py:54-67``).
+    """
+    sample_cols = [c for c in wide.columns if c != "ensembl_id"]
+    wanted = set(metadata_samples)
+    kept = [c for c in sample_cols if c in wanted]
+    missing = sorted(wanted - set(sample_cols))
+    return kept, missing
+
+
+def expression_wide_to_long(
+    wide: DataFrame,
+    metadata_samples: Sequence[str],
+    accession: str,
+) -> DataFrame:
+    """Wide matrix → long `(gse_accession, ensembl_id, gsm_accession,
+    expression_value)` with bad-cell drop semantics (O-14 + melt + O-15)."""
+    kept, missing = intersect_sample_columns(wide, metadata_samples)
+    if missing:
+        logger.warning(
+            "Study %s: %d metadata samples missing from expression header: %s",
+            accession, len(missing), missing[:10],
+        )
+    if not kept:
+        raise ExpressionSchemaError(
+            f"Study {accession}: no expression columns match metadata samples"
+        )
+    pruned = wide.select("ensembl_id", *[F.col(f"`{c}`") for c in kept])
+    long = pruned.unpivot(
+        ids=["ensembl_id"],
+        values=kept,
+        variableColumnName="gsm_accession",
+        valueColumnName="raw_value",
+    )
+    return (
+        # try_cast: ANSI-safe equivalent of the reference's float()-or-skip
+        long.withColumn("expression_value", F.col("raw_value").try_cast("double"))
+        # O-15: unparseable cells are dropped, not loaded as NULL facts
+        # (fact_expression.expression_value is non-nullable, models.py:82)
+        .where(F.col("expression_value").isNotNull())
+        .select(
+            F.lit(accession).alias("gse_accession"),
+            F.trim(F.col("ensembl_id")).alias("ensembl_id"),
+            F.col("gsm_accession"),
+            F.col("expression_value"),
+        )
+    )
+
+
+def filter_to_whitelist(long: DataFrame, gene_whitelist: DataFrame) -> DataFrame:
+    """Gene whitelist semi-join (O-13, ``expression_processing.py:83-84``).
+
+    Broadcast left-semi: the whitelist is tiny and the expression side is the
+    100 TB side — the big side is filtered map-side with zero shuffle.
+    """
+    return long.join(
+        F.broadcast(gene_whitelist.select("ensembl_id")), on="ensembl_id", how="left_semi"
+    )
+
+
+def dropped_cell_count(wide: DataFrame, kept: Sequence[str]) -> DataFrame:
+    """DQ helper: count unparseable cells per study column set (O-15 logging)."""
+    if not kept:
+        return wide.sparkSession.createDataFrame([(0,)], "dropped long")
+    exprs = [
+        F.sum(
+            F.when(
+                F.col(f"`{c}`").isNotNull() & F.col(f"`{c}`").try_cast("double").isNull(), 1
+            ).otherwise(0)
+        )
+        for c in kept
+    ]
+    total = exprs[0]
+    for e in exprs[1:]:
+        total = total + e
+    return wide.select(total.alias("dropped"))
+
+
+__all__ = [
+    "ExpressionSchemaError",
+    "dropped_cell_count",
+    "expression_wide_to_long",
+    "filter_to_whitelist",
+    "intersect_sample_columns",
+]

@@ -1,0 +1,142 @@
+"""All-pairs per-study Spearman correlation with p-values and BH FDR.
+
+Re-expresses the reference's correlation engine
+(``src/etl_for_all_studies/correlation.py:95-162``) as one declarative plan:
+
+  pair self-join (O-24/O-25) → gates (O-33/O-34) → average ranks (O-35) →
+  Pearson-on-ranks ``corr()`` (O-36) → normal-approx p (O-37) → NaN-ρ drop
+  (O-38) → BH FDR per study (O-40) → p NULL→1.0 at store time (O-39).
+
+Two physical strategies, same semantics on dense matrices:
+
+* ``mode="exact"`` (default): ranks are computed **within each pair's shared
+  sample set** after the self-join — bit-faithful to the reference even when
+  genes cover ragged sample sets (the reference intersects per pair,
+  ``correlation.py:118``). Cost: windows over the pair-expanded table.
+* ``mode="dense"``: ranks computed once per (study, gene) **before** the
+  self-join — identical results when every gene in a study covers the same
+  samples (the common dense-matrix case) at a fraction of the cost; this is
+  the 100 TB-scale path (one window over the long table, then the join's
+  equi-keys (study, sample) drive a sort-merge join and the aggregation is
+  map-side partial).
+
+The join is equi on (study_key, gsm_accession) with ``gene_a < gene_b`` —
+Catalyst plans the equi part as the join key and the inequality as a
+post-join filter; AQE handles skewed studies.
+"""
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.stats import average_rank, benjamini_hochberg, spearman_p_value_expr
+
+MIN_SAMPLES_FOR_CORRELATION = 2  # reference correlation.py:65
+
+
+def _utc_now_iso() -> str:
+    return dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds")
+
+
+def compute_gene_pair_correlations(
+    expression: DataFrame,
+    *,
+    min_samples: int = MIN_SAMPLES_FOR_CORRELATION,
+    mode: str = "exact",
+    computed_at: str | None = None,
+) -> DataFrame:
+    """Long-form expression → fact_gene_pair_corr rows.
+
+    ``expression`` needs columns (study_key, gene_key, gsm_accession,
+    expression_value); output matches ``schemas.FACT_GENE_PAIR_CORR``.
+    """
+    ts = computed_at or _utc_now_iso()
+    e = expression.select("study_key", "gene_key", "gsm_accession", "expression_value")
+
+    if mode == "dense":
+        e = e.withColumn(
+            "rank", average_rank(["study_key", "gene_key"], "expression_value")
+        )
+        a = e.alias("a")
+        b = e.alias("b")
+        paired = a.join(
+            b,
+            on=[
+                F.col("a.study_key") == F.col("b.study_key"),
+                F.col("a.gsm_accession") == F.col("b.gsm_accession"),
+                F.col("a.gene_key") < F.col("b.gene_key"),
+            ],
+        ).select(
+            F.col("a.study_key").alias("study_key"),
+            F.col("a.gene_key").alias("gene_a_key"),
+            F.col("b.gene_key").alias("gene_b_key"),
+            F.col("a.expression_value").alias("va"),
+            F.col("b.expression_value").alias("vb"),
+            F.col("a.rank").alias("ra"),
+            F.col("b.rank").alias("rb"),
+        )
+    else:
+        a = e.alias("a")
+        b = e.alias("b")
+        paired = a.join(
+            b,
+            on=[
+                F.col("a.study_key") == F.col("b.study_key"),
+                F.col("a.gsm_accession") == F.col("b.gsm_accession"),
+                F.col("a.gene_key") < F.col("b.gene_key"),
+            ],
+        ).select(
+            F.col("a.study_key").alias("study_key"),
+            F.col("a.gene_key").alias("gene_a_key"),
+            F.col("b.gene_key").alias("gene_b_key"),
+            F.col("a.expression_value").alias("va"),
+            F.col("b.expression_value").alias("vb"),
+        )
+        # Ranks within the pair's shared sample set — exact reference
+        # semantics for ragged matrices (correlation.py:118 intersects first).
+        pair_cols = ["study_key", "gene_a_key", "gene_b_key"]
+        paired = paired.withColumn("ra", average_rank(pair_cols, "va")).withColumn(
+            "rb", average_rank(pair_cols, "vb")
+        )
+
+    stats = (
+        paired.groupBy("study_key", "gene_a_key", "gene_b_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.count_distinct(F.col("va")).alias("nda"),
+            F.count_distinct(F.col("vb")).alias("ndb"),
+            F.corr("ra", "rb").alias("rho_spearman"),
+        )
+        # O-33 min-samples gate + O-34 constant-series gate + O-38 NaN-ρ drop
+        .where(
+            (F.col("n_samples") >= min_samples)
+            & (F.col("nda") >= 2)
+            & (F.col("ndb") >= 2)
+            & F.col("rho_spearman").isNotNull()
+            & ~F.isnan("rho_spearman")
+        )
+        .withColumn(
+            "p_value", spearman_p_value_expr(F.col("rho_spearman"), F.col("n_samples"))
+        )
+    )
+
+    with_q = benjamini_hochberg(
+        stats, p_col="p_value", q_col="q_value", family_cols=["study_key"]
+    )
+
+    return with_q.select(
+        "gene_a_key",
+        "gene_b_key",
+        F.lit(None).cast("long").alias("illness_key"),  # always NULL, correlation.py:153
+        F.col("rho_spearman"),
+        F.coalesce(F.col("p_value"), F.lit(1.0)).alias("p_value"),  # O-39
+        F.col("q_value"),
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.lit(ts).alias("computed_at"),
+        "study_key",
+    )
+
+
+__all__ = ["MIN_SAMPLES_FOR_CORRELATION", "compute_gene_pair_correlations"]

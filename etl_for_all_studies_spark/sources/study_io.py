@@ -1,0 +1,87 @@
+"""TSV sources: metadata scan (O-3), wide expression scan (O-4), gene-filter
+whitelist (O-5).
+
+All three are plain ``spark.read.csv`` scans — header-driven, tab-delimited,
+all-string schema (types are applied downstream so bad cells can be dropped
+with DQ accounting rather than failing the scan; reference semantics
+``expression_processing.py:93-102``).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class InputFormatError(ValueError):
+    """Raised when an input file violates its documented schema."""
+
+
+def _read_tsv(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("inferSchema", False)  # all strings; casts are explicit downstream
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+
+
+def read_metadata_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Metadata TSV scan (O-3; reference ``metadata_processing.py:116-117``).
+
+    Returns the raw per-sample DataFrame with the study's dynamic columns;
+    required-column validation (O-11) happens in the normalizer where the
+    study accession is known for error messages.
+    """
+    return _read_tsv(spark, path)
+
+
+def read_expression_wide(spark: SparkSession, path: str) -> DataFrame:
+    """Wide gene × sample expression scan (O-4; ``expression_processing.py:38-52``).
+
+    Validates the positional contract: ≥2 columns and first header in
+    {``gene``, ``ensembl_id``} case-insensitively. The first column is renamed
+    to ``ensembl_id`` so downstream operators are name-stable.
+    """
+    df = _read_tsv(spark, path)
+    columns = df.columns
+    if len(columns) < 2:
+        raise InputFormatError(
+            f"Expression file must have a gene column plus ≥1 sample column: {path}"
+        )
+    first = columns[0].strip()
+    if first.casefold() not in {"gene", "ensembl_id"}:
+        raise InputFormatError(
+            f"Expression file's first column must be 'Gene' or 'ensembl_id', got {first!r}: {path}"
+        )
+    return df.withColumnRenamed(columns[0], "ensembl_id")
+
+
+def read_gene_filter(spark: SparkSession, path: str) -> DataFrame:
+    """Gene whitelist (O-5; reference ``gene_filter.py:12-28``).
+
+    Only the ``ensembl_id`` column is read; blank ids are dropped; the file is
+    invalid if the column is missing or yields zero ids. Returned as a
+    single-column DataFrame intended for a **broadcast semi-join** (O-13) —
+    the whitelist is tiny (143 ids in the shipped file) while the expression
+    side is the 100 TB side, so the filter must never shuffle the big side.
+    """
+    df = _read_tsv(spark, path)
+    if "ensembl_id" not in df.columns:
+        raise InputFormatError(f"Gene filter file missing 'ensembl_id' column: {path}")
+    genes = (
+        df.select(F.trim(F.col("ensembl_id")).alias("ensembl_id"))
+        .where(F.col("ensembl_id") != "")
+        .distinct()
+    )
+    if genes.limit(1).count() == 0:
+        raise InputFormatError(f"Gene filter file yielded zero gene ids: {path}")
+    return genes
+
+
+__all__ = [
+    "InputFormatError",
+    "read_expression_wide",
+    "read_gene_filter",
+    "read_metadata_raw",
+]

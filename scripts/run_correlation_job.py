@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""CLI entry point #2: correlation refresh (mirrors reference
+``scripts/run_correlation_job.py`` — ``--config`` + repeatable ``--study``)."""
+from __future__ import annotations
+
+import argparse
+import logging
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Refresh gene-pair correlations (Spark)")
+    parser.add_argument("--config", required=True, help="Path to YAML config file")
+    parser.add_argument(
+        "--study",
+        action="append",
+        default=None,
+        help="Restrict to this study accession (repeatable)",
+    )
+    parser.add_argument(
+        "--mode",
+        choices=["exact", "dense"],
+        default="exact",
+        help="Ranking strategy: exact per-pair ranks, or dense pre-ranking",
+    )
+    args = parser.parse_args(argv)
+
+    from etl_for_all_studies_spark import load_config, run_correlation_job
+
+    config = load_config(args.config)
+    logging.basicConfig(level=config.logging.log_level)
+    result = run_correlation_job(config, accessions=args.study, mode=args.mode)
+    total = sum(result.pair_counts.values())
+    print(
+        f"studies={len(result.studies_processed)} missing={len(result.studies_missing)} "
+        f"pairs={total} elapsed={result.elapsed_seconds:.1f}s"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
