@@ -107,16 +107,36 @@ def compute_gene_pair_correlations(
             F.count(F.lit(1)).alias("n_samples"),
             F.count_distinct(F.col("va")).alias("nda"),
             F.count_distinct(F.col("vb")).alias("ndb"),
-            F.corr("ra", "rb").alias("rho_spearman"),
+            # Pearson-on-ranks assembled from covariance/stddev aggregates
+            # instead of corr(): ANSI-safe on zero-variance series (corr()
+            # raises DIVIDE_BY_ZERO under ANSI; the reference's semantics are
+            # "NaN ρ → drop the pair", O-38), numerically identical otherwise.
+            F.covar_samp("ra", "rb").alias("cov_ab"),
+            F.var_samp("ra").alias("var_a"),
+            F.var_samp("rb").alias("var_b"),
         )
         # O-33 min-samples gate + O-34 constant-series gate + O-38 NaN-ρ drop
         .where(
             (F.col("n_samples") >= min_samples)
             & (F.col("nda") >= 2)
             & (F.col("ndb") >= 2)
-            & F.col("rho_spearman").isNotNull()
-            & ~F.isnan("rho_spearman")
+            & (F.col("var_a") > 0)
+            & (F.col("var_b") > 0)
         )
+        # single sqrt of the variance product (not sd_a*sd_b) keeps perfect
+        # monotone pairs at exactly ±1.0; clamp guards residual FP noise
+        .withColumn(
+            "rho_spearman",
+            F.least(
+                F.greatest(
+                    F.col("cov_ab") / F.sqrt(F.col("var_a") * F.col("var_b")),
+                    F.lit(-1.0),
+                ),
+                F.lit(1.0),
+            ),
+        )
+        .where(F.col("rho_spearman").isNotNull() & ~F.isnan("rho_spearman"))
+        .drop("cov_ab", "var_a", "var_b")
         .withColumn(
             "p_value", spearman_p_value_expr(F.col("rho_spearman"), F.col("n_samples"))
         )

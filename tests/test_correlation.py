@@ -1,0 +1,153 @@
+"""Correlation plan vs pure-Python oracle (reference shape:
+``tests/test_correlation.py`` + FIXTURES.md F6)."""
+import math
+
+import pytest
+
+from etl_for_all_studies_spark.plans.correlation import compute_gene_pair_correlations
+from oracle import all_pairs
+
+CANONICAL = {
+    1: {"S1": 1.0, "S2": 2.0, "S3": 3.0},
+    2: {"S1": 1.0, "S2": 1.5, "S3": 2.0},
+    3: {"S1": 3.0, "S2": 2.0, "S3": 1.0},
+}
+
+
+def _to_df(spark, matrix, study_key=1):
+    rows = [
+        (study_key, g, s, v)
+        for g, by_sample in matrix.items()
+        for s, v in by_sample.items()
+    ]
+    return spark.createDataFrame(
+        rows, "study_key long, gene_key long, gsm_accession string, expression_value double"
+    )
+
+
+def _run(spark, matrix, mode="exact", min_samples=2):
+    df = compute_gene_pair_correlations(
+        _to_df(spark, matrix), min_samples=min_samples, mode=mode
+    )
+    return {
+        (r["gene_a_key"], r["gene_b_key"]): r.asDict()
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["exact", "dense"])
+def test_canonical_three_gene_study(spark, mode):
+    got = _run(spark, CANONICAL, mode=mode)
+    expected = {(s["gene_a_key"], s["gene_b_key"]): s for s in all_pairs(CANONICAL)}
+    assert set(got) == set(expected) == {(1, 2), (1, 3), (2, 3)}
+    for key, exp in expected.items():
+        g = got[key]
+        assert g["n_samples"] == exp["n_samples"] == 3
+        assert g["rho_spearman"] == pytest.approx(exp["rho"], abs=1e-12)
+        assert g["p_value"] == pytest.approx(exp["p_stored"], abs=2e-7)
+        assert g["illness_key"] is None
+    assert got[(1, 2)]["rho_spearman"] == 1.0
+    assert got[(1, 3)]["rho_spearman"] == -1.0
+
+
+def test_insufficient_samples_empty(spark):
+    matrix = {1: {"S1": 1.0}, 2: {"S2": 2.0}}
+    assert _run(spark, matrix) == {}
+
+
+def test_n2_pair_p_forced_q_null(spark):
+    matrix = {1: {"S1": 1.0, "S2": 2.0}, 2: {"S1": 5.0, "S2": 3.0}}
+    got = _run(spark, matrix)
+    assert set(got) == {(1, 2)}
+    row = got[(1, 2)]
+    assert row["rho_spearman"] == -1.0
+    assert row["p_value"] == 1.0  # NaN p stored as 1.0 (O-39)
+    assert row["q_value"] is None  # excluded from BH family (O-40)
+
+
+def test_constant_series_dropped(spark):
+    matrix = {
+        1: {"S1": 1.0, "S2": 1.0, "S3": 1.0},
+        2: {"S1": 1.0, "S2": 2.0, "S3": 3.0},
+        3: {"S1": 3.0, "S2": 1.0, "S3": 2.0},
+    }
+    got = _run(spark, matrix)
+    assert set(got) == {(2, 3)}  # pairs involving constant gene 1 dropped
+
+
+@pytest.mark.parametrize("mode", ["exact", "dense"])
+def test_tie_heavy_matches_average_rank_oracle(spark, mode):
+    matrix = {
+        1: {f"S{i}": v for i, v in enumerate([1.0, 1.0, 2.0, 2.0, 3.0, 7.0])},
+        2: {f"S{i}": v for i, v in enumerate([2.0, 2.0, 2.0, 5.0, 4.0, 4.0])},
+        3: {f"S{i}": v for i, v in enumerate([9.0, 1.0, 1.0, 1.0, 2.0, 3.0])},
+    }
+    got = _run(spark, matrix, mode=mode)
+    expected = {(s["gene_a_key"], s["gene_b_key"]): s for s in all_pairs(matrix)}
+    assert set(got) == set(expected)
+    for key, exp in expected.items():
+        assert got[key]["rho_spearman"] == pytest.approx(exp["rho"], abs=1e-12), key
+        assert got[key]["p_value"] == pytest.approx(exp["p_stored"], abs=2e-7), key
+        if exp["q"] is None:
+            assert got[key]["q_value"] is None
+        else:
+            assert got[key]["q_value"] == pytest.approx(exp["q"], abs=1e-6), key
+
+
+def test_ragged_matrix_exact_mode_intersects_per_pair(spark):
+    # gene 3 lacks S3; pair (1,3) must rank over {S1,S2,S4} only
+    matrix = {
+        1: {"S1": 1.0, "S2": 2.0, "S3": 3.0, "S4": 4.0},
+        2: {"S1": 4.0, "S2": 3.0, "S3": 2.0, "S4": 1.0},
+        3: {"S1": 2.0, "S2": 9.0, "S4": 5.0},
+    }
+    got = _run(spark, matrix, mode="exact")
+    expected = {(s["gene_a_key"], s["gene_b_key"]): s for s in all_pairs(matrix)}
+    assert set(got) == set(expected)
+    for key, exp in expected.items():
+        assert got[key]["n_samples"] == exp["n_samples"]
+        assert got[key]["rho_spearman"] == pytest.approx(exp["rho"], abs=1e-12), key
+
+
+def test_bh_family_larger_study(spark):
+    # 6 genes, some noisy: verifies the BH window formulation against the
+    # sequential oracle on a family with distinct and tied p-values
+    import random
+
+    rng = random.Random(7)
+    samples = [f"S{i}" for i in range(12)]
+    matrix = {}
+    for g in range(1, 7):
+        base = [rng.uniform(0, 10) for _ in samples]
+        matrix[g] = {s: round(v + g * 0.3 * i, 3) for i, (s, v) in enumerate(zip(samples, base))}
+    got = _run(spark, matrix)
+    expected = {(s["gene_a_key"], s["gene_b_key"]): s for s in all_pairs(matrix)}
+    assert set(got) == set(expected)
+    for key, exp in expected.items():
+        assert got[key]["rho_spearman"] == pytest.approx(exp["rho"], abs=1e-9), key
+        if exp["q"] is None:
+            assert got[key]["q_value"] is None, key
+        else:
+            assert got[key]["q_value"] == pytest.approx(exp["q"], abs=1e-6), key
+
+
+def test_multi_study_families_independent(spark):
+    df1 = _to_df(spark, CANONICAL, study_key=1)
+    noisy = {
+        1: {"S1": 5.0, "S2": 1.0, "S3": 4.0, "S4": 2.0},
+        2: {"S1": 2.0, "S2": 4.0, "S3": 1.0, "S4": 5.0},
+    }
+    df2 = _to_df(spark, noisy, study_key=2)
+    out = compute_gene_pair_correlations(df1.unionByName(df2))
+    by_study = {}
+    for r in out.collect():
+        by_study.setdefault(r["study_key"], []).append(r)
+    assert len(by_study[1]) == 3 and len(by_study[2]) == 1
+    # BH family for study 1 unaffected by study 2's rows
+    exp1 = {(s["gene_a_key"], s["gene_b_key"]): s for s in all_pairs(CANONICAL)}
+    for r in by_study[1]:
+        exp = exp1[(r["gene_a_key"], r["gene_b_key"])]
+        if exp["q"] is None:
+            assert r["q_value"] is None
+        else:
+            assert r["q_value"] == pytest.approx(exp["q"], abs=1e-6)

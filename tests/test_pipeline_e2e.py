@@ -1,0 +1,124 @@
+"""End-to-end warehouse tests (reference shape: ``tests/test_pipeline.py`` +
+``tests/test_correlation_job.py``)."""
+import pathlib
+
+import pytest
+
+from etl_for_all_studies_spark import run_correlation_job, run_pipeline
+from etl_for_all_studies_spark.sources.discovery import (
+    StudyDiscoveryError,
+    discover_study_files,
+)
+
+
+def test_discovery_fallback_naming(tmp_path):
+    d = tmp_path / "GSE11907"
+    d.mkdir()
+    (d / "metadata_GSE11907.tsv").write_text("x\n")
+    (d / "GSE11907.tsv").write_text("x\n")  # no expression_ prefix
+    files = discover_study_files(d)
+    assert files.accession == "GSE11907"
+    assert files.expression_path.name == "GSE11907.tsv"
+
+
+def test_discovery_prefers_exact_expression_name(tmp_path):
+    d = tmp_path / "GSE1"
+    d.mkdir()
+    (d / "metadata_GSE1.tsv").write_text("x\n")
+    (d / "expression_GSE1.tsv").write_text("x\n")
+    (d / "expression_aaa.tsv").write_text("x\n")
+    assert discover_study_files(d).expression_path.name == "expression_GSE1.tsv"
+
+
+def test_discovery_missing_metadata_raises(tmp_path):
+    d = tmp_path / "GSEX"
+    d.mkdir()
+    with pytest.raises(StudyDiscoveryError):
+        discover_study_files(d)
+
+
+def test_pipeline_end_to_end(spark, app_config):
+    result = run_pipeline(app_config, spark=spark)
+    assert result.processed_studies == ["GSE1"]
+    assert result.fact_rows_written == 11
+    wh = pathlib.Path(str(app_config.warehouse.path))
+
+    dim_sample = spark.read.parquet(str(wh / "dim_sample"))
+    rows = {r["gsm_accession"]: r.asDict() for r in dim_sample.collect()}
+    assert set(rows) == {"S1", "S2", "S3"}
+    # UNKNOWN platform/illness -> NULL FK (O-17); no UNKNOWN dim rows
+    assert rows["S3"]["platform_key"] is None and rows["S3"]["illness_key"] is None
+    dim_illness = spark.read.parquet(str(wh / "dim_illness"))
+    assert {r["illness_label"] for r in dim_illness.collect()} == {"Healthy", "Diabetes"}
+
+    # deterministic surrogate keys: ordered by natural key
+    dim_gene = spark.read.parquet(str(wh / "dim_gene"))
+    genes = {r["ensembl_id"]: r["gene_key"] for r in dim_gene.collect()}
+    assert genes == {"ENSG01": 1, "ENSG02": 2, "ENSG03": 3, "ENSG04": 4}
+
+    # rerun: idempotent, zero new facts, dims unchanged (O-16, SURVEY §7.4.4)
+    result2 = run_pipeline(app_config, spark=spark)
+    assert result2.fact_rows_written == 0
+    genes2 = {
+        r["ensembl_id"]: r["gene_key"]
+        for r in spark.read.parquet(str(wh / "dim_gene")).collect()
+    }
+    assert genes2 == genes
+
+
+def test_correlation_job_end_to_end(spark, app_config):
+    run_pipeline(app_config, spark=spark)
+    res = run_correlation_job(app_config, spark=spark)
+    assert res.studies_processed == ["GSE1"]
+    assert res.pair_counts == {"GSE1": 6}
+    wh = pathlib.Path(str(app_config.warehouse.path))
+    corr = spark.read.parquet(str(wh / "fact_gene_pair_corr"))
+    rows = {(r["gene_a_key"], r["gene_b_key"]): r.asDict() for r in corr.collect()}
+    assert all(a < b for a, b in rows)
+    # refresh replaces stale rows (delete-then-replace semantics, O-9b)
+    res2 = run_correlation_job(spark=spark, config=app_config)
+    corr2 = spark.read.parquet(str(wh / "fact_gene_pair_corr"))
+    assert corr2.count() == len(rows)
+    # requested-but-missing study warns and is reported (O-26)
+    res3 = run_correlation_job(app_config, accessions=["GSE1", "GSE_NOPE"], spark=spark)
+    assert res3.studies_missing == ["GSE_NOPE"]
+    assert res3.studies_processed == ["GSE1"]
+
+
+def test_enrichment_on_rerun(spark, tmp_path):
+    """O-47: UNKNOWN attributes are filled on re-run, never downgraded."""
+    from etl_for_all_studies_spark.config import config_from_dict
+
+    studies = tmp_path / "studies"
+    d = studies / "GSE9"
+    d.mkdir(parents=True)
+    genes = tmp_path / "genes.tsv"
+    genes.write_text("ensembl_id\nENSG01\nENSG02\n")
+    expr = "Gene\tS1\tS2\nENSG01\t1.0\t2.0\nENSG02\t2.0\t1.0\n"
+    (d / "expression_GSE9.tsv").write_text(expr)
+    cfg = config_from_dict(
+        {
+            "warehouse": {"path": str(tmp_path / "wh")},
+            "processing": {
+                "input_directory": str(studies),
+                "gene_filter_file": str(genes),
+            },
+            "logging": {"log_level": "WARNING"},
+        }
+    )
+    # first run: sex unknown
+    (d / "metadata_GSE9.tsv").write_text(
+        "refinebio_accession_code\texperiment_accession\trefinebio_sex\n"
+        "S1\tGSE9\t\nS2\tGSE9\tmale\n"
+    )
+    run_pipeline(cfg, spark=spark)
+    # second run: S1 now has sex; S2 attempts downgrade to blank
+    (d / "metadata_GSE9.tsv").write_text(
+        "refinebio_accession_code\texperiment_accession\trefinebio_sex\n"
+        "S1\tGSE9\tfemale\nS2\tGSE9\t\n"
+    )
+    run_pipeline(cfg, spark=spark)
+    dim_sample = spark.read.parquet(str(tmp_path / "wh" / "dim_sample"))
+    rows = {r["gsm_accession"]: r.asDict() for r in dim_sample.collect()}
+    assert rows["S1"]["sex"] == "female"  # enriched
+    assert rows["S2"]["sex"] == "male"  # never downgraded
