@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the suite's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is fully materialized (count + collect of the aggregate output) so
+the measured time covers scan → shuffle → result, not plan construction.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from etl_for_all_studies_spark.session import get_spark
+    from etl_for_all_studies_spark.suite import QUERY_REGISTRY
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # local[32] runs all tasks in the driver JVM: size the heap for
+            # 32 concurrent task slots (container has 128 GiB)
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        },
+    )
+    # warm the JVM + parquet footers with a trivial action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name, qd in QUERY_REGISTRY.items():
+        t0 = time.monotonic()
+        rows = qd.fn(spark, sf_dir).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+        _ = len(rows)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Portable deterministic hashing primitives.
+
+Every hash here is defined by arithmetic that DuckDB can replicate verbatim
+(no engine-specific hash functions), so dedup/fingerprint operators can be
+oracle-checked exactly: a polynomial rolling hash over code points modulo a
+sub-2^31 prime (products stay < 2^63 — no BIGINT overflow in either engine),
+and (a·x + b) mod p universal-hash families derived from it.
+
+Scale note: all of these are narrow projections over codegen'd built-ins
+(`split`/`transform`/`aggregate`) — no Python UDFs in the hot path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007  # prime modulus; values < 2^30, products < 2^63
+BASE = 131
+
+
+def poly_hash(col: Column) -> Column:
+    """Polynomial rolling hash of a string: ``h = Σ h·131 + code(c) (mod p)``.
+
+    Identical SQL form (DuckDB): ``list_reduce(..., (acc, c) ->
+    (acc * 131 + ascii(c)) % 1000000007)`` — see the oracle templates.
+    """
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * BASE + F.ascii(c)) % MOD,
+    )
+
+
+def affine_hash(h: Column, a: int, b: int) -> Column:
+    """Universal-hash family member: ``(a·h + b) mod p`` over a base hash."""
+    return (h * F.lit(a) + F.lit(b)) % F.lit(MOD)
+
+
+def char_shingles(col: Column, k: int) -> Column:
+    """Distinct k-character shingles of a string as an array<string>.
+
+    ``sequence(1, len-k+1)`` positions → ``substring`` — expressible in
+    DuckDB as ``list_transform(range(...), i -> text[i:i+k-1])``.
+    """
+    n = F.length(col)
+    positions = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(positions, lambda i: F.substring(col, i, k))
+    )
+
+
+def word_tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty → empty array)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+__all__ = ["BASE", "MOD", "affine_hash", "char_shingles", "poly_hash", "word_tokens"]

@@ -67,16 +67,22 @@ def average_rank(partition_cols: list[str], value_col: str) -> Column:
     """Average rank with ties sharing the mean of their positions (O-35).
 
     Matches SciPy's ``rankdata(method='average')`` and the reference's
-    ``_rankdata`` (``correlation.py:17-30``) via the two-window formulation:
-    ``rank = avg(row_number) over ties``. Equivalent closed form used here —
-    ``(2·rank() + count(ties) − 1) / 2`` — needs only rank+count windows and
-    avoids the nondeterministic intra-tie row_number entirely.
+    ``_rankdata`` (``correlation.py:17-30``). Formulation:
+    ``(rank_asc + (n − rank_desc + 1)) / 2`` — the mean of a tie group's first
+    and last positions. Chosen over the naive ``avg(row_number) over ties``
+    because **all three windows share the same partitioning**
+    (``partition_cols`` only — the ties window would partition by
+    ``(partition_cols, value)``, forcing an extra hash exchange of the full
+    table per ranked column). One exchange, two in-partition sorts; no
+    nondeterministic intra-tie row_number.
     """
-    w_order = Window.partitionBy(*partition_cols).orderBy(value_col)
-    w_ties = Window.partitionBy(*partition_cols, value_col)
-    r = F.rank().over(w_order)
-    ties = F.count(F.lit(1)).over(w_ties)
-    return (F.lit(2.0) * r + ties - F.lit(1.0)) / F.lit(2.0)
+    w_asc = Window.partitionBy(*partition_cols).orderBy(F.col(value_col).asc())
+    w_desc = Window.partitionBy(*partition_cols).orderBy(F.col(value_col).desc())
+    w_all = Window.partitionBy(*partition_cols)
+    r_asc = F.rank().over(w_asc)
+    r_desc = F.rank().over(w_desc)
+    n = F.count(F.lit(1)).over(w_all)
+    return (r_asc + (n - r_desc + F.lit(1))) / F.lit(2.0)
 
 
 def benjamini_hochberg(

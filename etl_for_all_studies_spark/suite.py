@@ -1,0 +1,766 @@
+"""Driver-contract query suite: every SURVEY §2 operator re-expressed over the
+generic testdata tables, each with an ANSI-SQL DuckDB oracle.
+
+The genomic study schema is one *binding* of the engine's capabilities
+(FIXTURES.md F7); here the same operators run against the TPC-H-ish star
+schema plus ``documents``/``embeddings``/``events``:
+
+* scans/filters/projections/aggregations — pricing summary, DQ completion;
+* star joins (O-20..O-23), semi-join whitelist (O-13), anti-join dedup (O-16);
+* unpivot/melt (wide→long, §1.1.3), coalesce-UNKNOWN normalization (O-10);
+* average-rank windows (O-35), all-pairs Spearman + p + BH FDR
+  (O-24/25/33/34/36/37/39/40) — the flagship, running the *same*
+  ``compute_gene_pair_correlations`` plan the genomic pipeline uses;
+* beyond-reference LLM-data ops: exact/fuzzy dedup, text analysis,
+  similarity search, event sessionization.
+
+Float columns are rounded in BOTH engines so the driver's value-hash
+comparison tolerates cross-engine summation-order noise; the rounding
+decimals leave ≥2 orders of magnitude between FP noise and the grid.
+
+Oracle-portability notes: no ``erf`` in either engine → both sides use the
+identical Abramowitz-Stegun 7.1.26 closed form (``functions/stats.py``);
+polynomial char hashes are computed with the identical integer recurrence
+(``functions/hashing.py``); DuckDB ``regexp_replace`` needs the explicit
+``'g'`` flag to match Spark's global-replace default.
+"""
+from __future__ import annotations
+
+import dataclasses
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.stats import average_rank
+from .operators.dedup import exact_duplicates, ngram_jaccard_pairs
+from .operators.similarity import brute_force_topk
+from .operators.textops import (
+    BPE_ISH_PATTERN,
+    annotate_documents,
+)
+from .plans.correlation import compute_gene_pair_correlations
+
+
+@dataclasses.dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → driver does a rows-only check
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with the nano-precision parquet timestamp normalized to an
+    epoch-microsecond LONG (``ts_us``).
+
+    The testdata stores ``ts`` as INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    reader refuses; ``nanosAsLong`` reads it as a raw long, and integer division
+    (not double math — 1.7e18 ns exceeds double's exact-integer range) converts
+    to microseconds. Query outputs stick to epoch-us BIGINTs so the oracle
+    comparison never depends on cross-engine timestamp precision/rendering.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (kept textually identical across oracles)
+# --------------------------------------------------------------------------
+
+# erf via A&S 7.1.26 — mirrors functions/stats.py term-for-term. y must be >= 0.
+_SQL_ERF = (
+    "(1.0 - (0.254829592*(1.0/(1.0+0.3275911*{y})) "
+    "+ -0.284496736*POW(1.0/(1.0+0.3275911*{y}), 2) "
+    "+ 1.421413741*POW(1.0/(1.0+0.3275911*{y}), 3) "
+    "+ -1.453152027*POW(1.0/(1.0+0.3275911*{y}), 4) "
+    "+ 1.061405429*POW(1.0/(1.0+0.3275911*{y}), 5)) * EXP(-({y})*({y})))"
+)
+
+# portable polynomial char hash — mirrors functions/hashing.py
+_SQL_POLY_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, x) -> (acc * 131 + x) % 1000000007)"
+)
+
+
+# --------------------------------------------------------------------------
+# 1. pricing summary — scan + filter + groupBy aggregates (O-27/O-28 family)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. star join — revenue per region/nation (O-20..O-23 joins; broadcast dims)
+# --------------------------------------------------------------------------
+
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+        )
+    )
+
+
+_SQL_STAR_JOIN = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. whitelist semi-join (O-13: the gene-filter shape on generic tables)
+# --------------------------------------------------------------------------
+
+def q_whitelist_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    whitelist = part.where(F.col("p_size") <= 5).select("p_partkey")
+    return (
+        li.join(F.broadcast(whitelist), li["l_partkey"] == whitelist["p_partkey"], "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+_SQL_WHITELIST = """
+SELECT l_returnflag, COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. anti-join (O-16: dedup/absence shape)
+# --------------------------------------------------------------------------
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+_SQL_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. unpivot / melt (§1.1.3: the wide→long expression-matrix shape)
+# --------------------------------------------------------------------------
+
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    long = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+_SQL_UNPIVOT = """
+WITH long AS (
+  SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+)
+SELECT metric, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value,
+       ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
+FROM long GROUP BY metric
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. coalesce-UNKNOWN normalization + JSON extraction (O-10/O-17 shape)
+# --------------------------------------------------------------------------
+
+def q_props_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    segment = F.coalesce(
+        F.nullif(F.trim(F.col("event_type")), F.lit("")), F.lit("UNKNOWN")
+    )
+    return (
+        ev.select(segment.alias("segment"), k.alias("k"), F.col("value"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_SQL_PROPS = """
+SELECT COALESCE(NULLIF(TRIM(event_type), ''), 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 7. DQ completion rates (O-27 on documents)
+# --------------------------------------------------------------------------
+
+def q_dq_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)), 6
+        ).alias("share_en"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+_SQL_DQ = """
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS share_en,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 8. semi-join + distinct (O-21/O-29: studies-with-data shape)
+# --------------------------------------------------------------------------
+
+def q_nations_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    active_custs = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    return (
+        n.join(
+            active_custs, n["n_nationkey"] == active_custs["c_nationkey"], "left_semi"
+        )
+        .select("n_nationkey", "n_name")
+        .distinct()
+        .orderBy("n_nationkey")
+    )
+
+
+_SQL_NATIONS = """
+SELECT DISTINCT n_nationkey, n_name
+FROM nation n
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+    AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+)
+ORDER BY n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# 9. average rank with ties (O-35 exposed directly)
+# --------------------------------------------------------------------------
+
+def q_average_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_quantity").alias("quantity"),
+        average_rank(["l_returnflag"], "l_quantity").alias("avg_rank"),
+    )
+    return ranked.select(
+        "l_returnflag", "quantity", F.col("avg_rank").cast("double").alias("avg_rank")
+    ).distinct()
+
+
+_SQL_AVG_RANK = """
+SELECT DISTINCT l_returnflag, l_quantity AS quantity,
+       (2.0 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1.0) / 2.0 AS avg_rank
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# 10. FLAGSHIP: all-pairs Spearman + p + BH FDR over suppliers
+#     (O-24/25/33/34/35/36/37/39/40 — the exact plan the genomic pipeline
+#     runs, bound to suppliers-as-genes × parts-as-samples)
+# --------------------------------------------------------------------------
+
+def q_spearman_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").cast("double").alias("expression_value")
+    )
+    expr = base.select(
+        F.lit(1).cast("long").alias("study_key"),
+        F.col("l_suppkey").cast("long").alias("gene_key"),
+        F.col("l_partkey").cast("string").alias("gsm_accession"),
+        "expression_value",
+    )
+    corr = compute_gene_pair_correlations(
+        expr, min_samples=2, mode="exact", computed_at="fixed"
+    )
+    return corr.select(
+        "gene_a_key",
+        "gene_b_key",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("rho_spearman", 6).alias("rho"),
+        F.round("p_value", 6).alias("p"),
+        F.round("q_value", 6).alias("q"),
+    )
+
+
+_T_EXPR = "ABS(rho*SQRT((n-2)/(1.0-rho*rho)))"
+_Y_EXPR = f"({_T_EXPR}/SQRT(2.0))"
+_P_EXPR = (
+    "CASE WHEN n < 3 THEN NULL WHEN ABS(rho) >= 1.0 THEN 0.0 "
+    f"ELSE LEAST(GREATEST(2.0*(1.0-(0.5*(1.0+{_SQL_ERF.format(y=_Y_EXPR)}))), 0.0), 1.0) END"
+)
+
+_SQL_SPEARMAN = f"""
+WITH base AS (
+  SELECT l_suppkey AS g, CAST(l_partkey AS VARCHAR) AS s,
+         CAST(SUM(l_quantity) AS DOUBLE) AS v
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.s AS s, a.v AS va, b.v AS vb
+  FROM base a JOIN base b ON a.s = b.s AND a.g < b.g
+),
+ranked AS (
+  SELECT ga, gb, va, vb,
+    (2.0 * RANK() OVER (PARTITION BY ga, gb ORDER BY va)
+     + COUNT(*) OVER (PARTITION BY ga, gb, va) - 1.0) / 2.0 AS ra,
+    (2.0 * RANK() OVER (PARTITION BY ga, gb ORDER BY vb)
+     + COUNT(*) OVER (PARTITION BY ga, gb, vb) - 1.0) / 2.0 AS rb
+  FROM pairs
+),
+stats AS (
+  SELECT ga, gb, COUNT(*) AS n,
+         COUNT(DISTINCT va) AS nda, COUNT(DISTINCT vb) AS ndb,
+         COVAR_SAMP(ra, rb) AS cov, VAR_SAMP(ra) AS var_a, VAR_SAMP(rb) AS var_b
+  FROM ranked GROUP BY 1, 2
+),
+rho_t AS (
+  SELECT ga, gb, n,
+         LEAST(GREATEST(cov / SQRT(var_a * var_b), -1.0), 1.0) AS rho
+  FROM stats
+  WHERE n >= 2 AND nda >= 2 AND ndb >= 2 AND var_a > 0 AND var_b > 0
+),
+p_t AS (
+  SELECT ga, gb, n, rho, {_P_EXPR} AS p FROM rho_t
+),
+bh AS (
+  SELECT ga, gb, n, rho, p,
+         SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) OVER () AS m,
+         ROW_NUMBER() OVER (ORDER BY CASE WHEN p IS NULL THEN 1 ELSE 0 END, p ASC) AS j
+  FROM p_t
+),
+raws AS (
+  SELECT *, CASE WHEN p IS NOT NULL THEN p * m / j END AS raw FROM bh
+),
+qs AS (
+  SELECT *, CASE WHEN p IS NOT NULL THEN
+    LEAST(MIN(raw) OVER (ORDER BY p DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+  END AS q
+  FROM raws
+)
+SELECT ga AS gene_a_key, gb AS gene_b_key, n AS n_samples,
+       ROUND(rho, 6) AS rho, ROUND(COALESCE(p, 1.0), 6) AS p, ROUND(q, 6) AS q
+FROM qs
+"""
+
+
+# --------------------------------------------------------------------------
+# 11. exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 12. n-gram Jaccard near-dup pairs (exact co-occurrence formulation)
+# --------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact all-shared-shingle Jaccard is the *correctness baseline*; its
+    # shingle self-join is quadratic in shingle document-frequency (Σdf² ≈
+    # 1.5e9 at sf0.1 on this synthetic small-vocabulary corpus), so the query
+    # is explicitly capped to doc_id < 600 — the scalable near-dup path is
+    # MinHash-LSH (``dedup_minhash``), which bounds candidates by banding.
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.35)
+    return pairs.select(
+        "doc_a", "doc_b", "common",
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_SQL_NGRAM = """
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, GREATEST(length(text) - 4, 0) + 1),
+                   i -> text[i : i + 4])
+  )) AS shingle
+  FROM documents WHERE doc_id < 600
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
+       ROUND(common / (sa.set_size + sb.set_size - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / (sa.set_size + sb.set_size - common) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# 13. text quality metrics per language
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = annotate_documents(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("avg_tokens"),
+        F.round(F.avg(F.col("n_bpe_tokens").cast("double")), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+_SQL_TEXT_QUALITY = """
+WITH toks AS (
+  SELECT lang, text,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE string_split_regex(TRIM(text), '\\s+') END AS tokens,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS bpe
+  FROM documents
+),
+m AS (
+  SELECT lang,
+    len(tokens) AS n_tokens,
+    len(bpe) AS n_bpe_tokens,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+              / length(text) END AS punct_ratio,
+    CASE WHEN len(tokens) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(list_transform(tokens, t -> lower(t)),
+                                   t -> t IN ('the','and','of','to','a'))) AS DOUBLE)
+              / len(tokens) END AS stop_ratio
+  FROM toks
+),
+q AS (
+  SELECT lang, n_tokens, n_bpe_tokens, punct_ratio,
+    0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+    + 0.3 * (1.0 - LEAST(punct_ratio * 4.0, 1.0))
+    + 0.3 * LEAST(stop_ratio * 5.0, 1.0) AS quality
+  FROM m
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens,
+       ROUND(AVG(CAST(n_bpe_tokens AS DOUBLE)), 4) AS avg_bpe_tokens,
+       ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM q GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 14. language ID (stopword-marker argmax) vs labeled lang
+# --------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = annotate_documents(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_SQL_LANG_ID = """
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN TRIM(lower(text)) = '' THEN []
+              ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS tokens
+  FROM documents
+),
+scores AS (
+  SELECT lang,
+    len(list_filter(tokens, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+    len(list_filter(tokens, t -> t IN ('the','and','of','to','a'))) AS s_en,
+    len(list_filter(tokens, t -> t IN ('el','la','los','y','es'))) AS s_es,
+    len(list_filter(tokens, t -> t IN ('le','la','les','et','est'))) AS s_fr
+  FROM toks
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+         WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS predicted_lang
+  FROM scores
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 15. document fingerprint (portable polynomial rolling hash)
+# --------------------------------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = annotate_documents(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "fingerprint")
+
+
+_NORMALIZED_TEXT_SQL = "regexp_replace(TRIM(lower(text)), '\\s+', ' ', 'g')"
+_SQL_FINGERPRINT = (
+    "SELECT doc_id, "
+    + _SQL_POLY_HASH.format(s=_NORMALIZED_TEXT_SQL)
+    + " AS fingerprint FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
+# 16. brute-force cosine top-k similarity search
+# --------------------------------------------------------------------------
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_EMBED_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (acc, x) -> acc + x)
+    / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, x) -> acc + x))
+       * SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, len(cv) + 1),
+         i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (acc, x) -> acc + x)))
+    AS cos_sim
+  FROM q, c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# 17. events: hourly tumbling-window aggregation (batch form of the
+#     streaming windowed agg; true streaming is exercised in tests)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hour_us = (F.expr("ts_us div 3600000000") * F.lit(3_600_000_000)).alias("hour_us")
+    return (
+        ev.groupBy(hour_us, F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS hour_us,
+       event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 18. events: gap-based sessionization (stateful-streaming analog in batch)
+# --------------------------------------------------------------------------
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    with_sid = with_flag.withColumn("session_seq", F.sum("new_session").over(w))
+    return with_sid.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, value,
+    CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+           OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+              > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sessions AS (
+  SELECT user_id, ts_us, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events,
+       MAX(ts_us) - MIN(ts_us) AS duration_us,
+       ROUND(SUM(value), 2) AS sum_value
+FROM sessions GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERY_REGISTRY: dict[str, QueryDef] = {
+    "pricing_summary": QueryDef(q_pricing_summary, _SQL_PRICING),
+    "star_join_revenue": QueryDef(q_star_join_revenue, _SQL_STAR_JOIN),
+    "whitelist_semi_join": QueryDef(q_whitelist_semi_join, _SQL_WHITELIST),
+    "anti_join_customers": QueryDef(q_anti_join_customers, _SQL_ANTI),
+    "unpivot_part": QueryDef(q_unpivot_part, _SQL_UNPIVOT),
+    "props_normalize": QueryDef(q_props_normalize, _SQL_PROPS),
+    "dq_completion": QueryDef(q_dq_completion, _SQL_DQ),
+    "nations_with_orders": QueryDef(q_nations_with_orders, _SQL_NATIONS),
+    "average_rank": QueryDef(q_average_rank, _SQL_AVG_RANK),
+    "spearman_suppliers": QueryDef(q_spearman_suppliers, _SQL_SPEARMAN),
+    "dedup_exact": QueryDef(q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _SQL_NGRAM),
+    "text_quality": QueryDef(q_text_quality, _SQL_TEXT_QUALITY),
+    "lang_id": QueryDef(q_lang_id, _SQL_LANG_ID),
+    "fingerprint": QueryDef(q_fingerprint, _SQL_FINGERPRINT),
+    "embedding_topk": QueryDef(q_embedding_topk, _SQL_EMBED_TOPK),
+    "events_hourly": QueryDef(q_events_hourly, _SQL_EVENTS_HOURLY),
+    "events_sessionize": QueryDef(q_events_sessionize, _SQL_SESSIONIZE),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in QUERY_REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.sql for name, qd in QUERY_REGISTRY.items() if qd.sql}
+
+
+__all__ = ["QUERY_REGISTRY", "QueryDef", "oracle_sql", "queries"]
