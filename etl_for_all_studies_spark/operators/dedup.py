@@ -133,16 +133,25 @@ def minhash_signatures(
     """
     seeds = MINHASH_SEEDS[:num_hashes]
     shingles = char_shingles(F.col(text_col), k)
-    hashes = F.transform(shingles, lambda s: _poly_hash_inline(s))
+    # materialize the hashed-shingle array first: HOF expressions get no
+    # common-subexpression elimination, so without this barrier the poly hash
+    # would be re-inlined (and re-evaluated) inside all ``num_hashes``
+    # array_min branches — a num_hashes× blowup of the dominant cost
+    hashed = docs.select(
+        "doc_id",
+        F.transform(shingles, lambda s: _poly_hash_inline(s)).alias("hh"),
+    ).persist()
     sig = F.array(
         *[
             F.array_min(
-                F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MOD))
+                F.transform(
+                    F.col("hh"), lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MOD)
+                )
             )
             for a, b in seeds
         ]
     )
-    return docs.select("doc_id", sig.alias("sig"))
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def _poly_hash_inline(s):
@@ -200,15 +209,39 @@ def minhash_dedup(
     verify_threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact-Jaccard verification of candidates only."""
+    exact-Jaccard verification of **candidates only**.
+
+    Verification joins each candidate pair back to the two shingle *sets* and
+    intersects them per-row (``array_intersect``) — cost is bounded by the
+    candidate count the banding emits, never by all-pairs or hot-shingle df²
+    (the failure mode of the exact co-occurrence join at scale).
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col=text_col, k=k, num_hashes=num_hashes)
+    # persist the sketch tables: they are tiny relative to the corpus, and
+    # without a materialization barrier Catalyst inlines the (interpreted,
+    # higher-order-function) signature expression into every downstream
+    # reference — explode fields, join keys, filters — re-evaluating it tens
+    # of times per row (measured 80s vs 1.3s at sf0.1 for the candidate join)
+    sigs = minhash_signatures(
+        docs, text_col=text_col, k=k, num_hashes=num_hashes
+    ).persist()
     candidates = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
-    exact = ngram_jaccard_pairs(docs, text_col=text_col, k=k, threshold=0.0)
+    sets = docs.select(
+        "doc_id", char_shingles(F.col(text_col), k).alias("shingles")
+    ).persist()
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        candidates.join(exact, on=["doc_a", "doc_b"], how="inner")
+        candidates.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
         .where(F.col("jaccard") >= verify_threshold)
-        .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
+        .select("doc_a", "doc_b", "n_shared_bands", "common", "jaccard")
     )
 
 
@@ -220,30 +253,36 @@ def simhash(docs: DataFrame, *, text_col: str = "text", bits: int = 32) -> DataF
     (transform/aggregate) — per-document, no shuffle.
     """
     tokens = word_tokens(F.lower(F.col(text_col)))
-    token_hashes = F.transform(tokens, lambda t: poly_hash(t))
-    bit_votes = F.array(
+    # barrier before the vote aggregation — see minhash_signatures: HOFs get
+    # no CSE, so the token hash is materialized once per token
+    hashed = docs.select(
+        "doc_id", F.transform(tokens, lambda t: poly_hash(t)).alias("th")
+    ).persist()
+    # votes as a grouped aggregation over exploded token hashes: all ``bits``
+    # SUM(CASE) columns run inside whole-stage codegen with map-side partial
+    # aggregation — unlike per-bit array aggregates, which are interpreted
+    # HOFs (~2.5x slower at sf0.1). explode_outer keeps token-less docs
+    # (votes 0 → fingerprint 0). Bit i extracted arithmetically
+    # ((h div 2^i) mod 2) — the poly hash is < 2^30 so the double division
+    # is exact.
+    exploded = hashed.select("doc_id", F.explode_outer("th").alias("h"))
+    votes = exploded.groupBy("doc_id").agg(
         *[
-            F.aggregate(
-                token_hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h, i=i: acc
-                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
+            F.sum(
+                F.when(F.col("h").isNull(), 0)
+                .when((F.col("h") / F.lit(float(2 ** i))).cast("long") % 2 == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
             for i in range(bits)
         ]
     )
-    fp = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return docs.select("doc_id", fp.alias("simhash"))
+    fp = None
+    for i in range(bits):
+        term = (
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -257,6 +296,9 @@ def simhash_near_pairs(
     """
     width = bits // bands
     mask = (1 << width) - 1
+    # materialization barrier — see minhash_dedup: the fingerprint expression
+    # is interpreted (nested HOFs) and must not be re-inlined per reference
+    fingerprints = fingerprints.persist()
     blocks = fingerprints.select(
         "doc_id",
         "simhash",

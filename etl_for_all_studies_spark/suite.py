@@ -33,8 +33,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.stats import average_rank
-from .operators.dedup import exact_duplicates, ngram_jaccard_pairs
-from .operators.similarity import brute_force_topk
+from .operators.dedup import (
+    exact_duplicates,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from .operators.similarity import brute_force_topk, ivf_topk
 from .operators.textops import (
     BPE_ISH_PATTERN,
     annotate_documents,
@@ -507,6 +513,130 @@ WHERE common / (sa.set_size + sb.set_size - common) >= 0.35
 
 
 # --------------------------------------------------------------------------
+# 12b. MinHash + LSH near-dup (the scalable dedup path)
+# --------------------------------------------------------------------------
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2 bands x 8 rows: P(candidate | J) = 1-(1-J^8)^2 — steep around J≈0.8,
+    # so candidate volume tracks true near-dups. 4x4 banding floods this
+    # near-dup-rich synthetic corpus with J≈0.4 noise candidates (~100x the
+    # verification work at sf0.1 for the same verified output).
+    out = minhash_dedup(
+        _t(spark, sf_dir, "documents"), k=5, num_hashes=16, bands=2,
+        verify_threshold=0.5,
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_shared_bands",
+        F.col("common").cast("long").alias("common"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_POLY = _SQL_POLY_HASH.format(s="s")
+_MINHASH_SIG_ITEMS = ",\n    ".join(
+    f"list_min(list_transform(hh, h -> (h * {1 + 2 * i} + {97 + 31 * i}) % 1000000007))"
+    for i in range(16)
+)
+
+_SQL_MINHASH = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, GREATEST(length(text) - 4, 0) + 1), i -> text[i : i + 4])
+  ) AS shingles
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {_POLY}) AS hh
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles, [
+    {_MINHASH_SIG_ITEMS}
+  ] AS sig
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, 0 AS band, sig[1:8] AS slc FROM sig
+  UNION ALL SELECT doc_id, 1, sig[9:16] FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.slc = b.slc AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+         len(list_intersect(sa.shingles, sb.shingles)) AS common,
+         len(sa.shingles) AS size_a, len(sb.shingles) AS size_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_shared_bands, common,
+       ROUND(common / (size_a + size_b - common), 6) AS jaccard
+FROM verified
+WHERE common / (size_a + size_b - common) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# 12c. SimHash near-dup (bit-sketch dedup)
+# --------------------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2 blocks of 16 bits, hamming ≤ 1: a candidate must match half the
+    # fingerprint exactly, keeping bucket sizes (and the pair join) small on
+    # this highly-self-similar corpus; hamming ≤ 3 with 8-bit blocks floods
+    # the join with ~70s of noise pairs at sf0.1.
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash(docs, bits=32)
+    pairs = simhash_near_pairs(fps, bits=32, max_hamming=1, bands=2)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_TOKEN_POLY = _SQL_POLY_HASH.format(s="t")
+
+_SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN TRIM(lower(text)) = '' THEN []
+         ELSE string_split_regex(TRIM(lower(text)), '\\s+') END
+  ) AS t
+  FROM documents
+),
+th AS (SELECT doc_id, {_TOKEN_POLY} AS h FROM toks),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th, range(0, 32) AS r(bit)
+  GROUP BY doc_id, bit
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, blk, (simhash >> CAST(blk * 16 AS INTEGER)) & 65535 AS val
+  FROM fp, range(0, 2) AS r(blk)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM pairs
+WHERE bit_count(xor(sh_a, sh_b)) <= 1
+"""
+
+
+# --------------------------------------------------------------------------
 # 13. text quality metrics per language
 # --------------------------------------------------------------------------
 
@@ -655,6 +785,83 @@ FROM ranked WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# 16b. IVF (inverted-file) approximate nearest neighbors — the scale path
+# --------------------------------------------------------------------------
+
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # deterministic centroids: the first 8 vectors; cell id = their vec_id
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    out = ivf_topk(queries, emb, centroids, k=3, n_probes=2)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_COS = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x) "
+    "/ (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (acc, x) -> acc + x)) "
+    "* SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, len({b}) + 1), "
+    "i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)))"
+)
+
+_SQL_EMBED_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cell, embedding AS centv FROM embeddings WHERE vec_id < 8
+),
+corpus_scored AS (
+  SELECT e.vec_id AS vid, c.cell,
+         {_SQL_COS.format(a="e.embedding", b="c.centv")} AS sim
+  FROM embeddings e, cent c
+),
+corpus_cells AS (
+  SELECT vid AS neighbor_id, cell FROM (
+    SELECT vid, cell, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, cell ASC) AS pr
+    FROM corpus_scored
+  ) WHERE pr <= 1
+),
+q_scored AS (
+  SELECT e.vec_id AS vid, c.cell,
+         {_SQL_COS.format(a="e.embedding", b="c.centv")} AS sim
+  FROM embeddings e, cent c
+  WHERE e.vec_id < 10
+),
+query_cells AS (
+  SELECT vid AS query_id, cell FROM (
+    SELECT vid, cell, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, cell ASC) AS pr
+    FROM q_scored
+  ) WHERE pr <= 2
+),
+cand AS (
+  SELECT DISTINCT qc.query_id, cc.neighbor_id
+  FROM query_cells qc JOIN corpus_cells cc ON qc.cell = cc.cell
+  WHERE qc.query_id <> cc.neighbor_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_SQL_COS.format(a="q.embedding", b="n.embedding")} AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # 17. events: hourly tumbling-window aggregation (batch form of the
 #     streaming windowed agg; true streaming is exercised in tests)
 # --------------------------------------------------------------------------
@@ -746,10 +953,13 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "spearman_suppliers": QueryDef(q_spearman_suppliers, _SQL_SPEARMAN),
     "dedup_exact": QueryDef(q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _SQL_NGRAM),
+    "dedup_minhash": QueryDef(q_dedup_minhash, _SQL_MINHASH),
+    "dedup_simhash": QueryDef(q_dedup_simhash, _SQL_SIMHASH),
     "text_quality": QueryDef(q_text_quality, _SQL_TEXT_QUALITY),
     "lang_id": QueryDef(q_lang_id, _SQL_LANG_ID),
     "fingerprint": QueryDef(q_fingerprint, _SQL_FINGERPRINT),
     "embedding_topk": QueryDef(q_embedding_topk, _SQL_EMBED_TOPK),
+    "embedding_ivf": QueryDef(q_embedding_ivf, _SQL_EMBED_IVF),
     "events_hourly": QueryDef(q_events_hourly, _SQL_EVENTS_HOURLY),
     "events_sessionize": QueryDef(q_events_sessionize, _SQL_SESSIONIZE),
 }
