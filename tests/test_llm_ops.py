@@ -1,0 +1,136 @@
+"""Dedup / similarity / text-analysis operator unit tests (small inline
+fixtures with hand-checkable expectations)."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_for_all_studies_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from etl_for_all_studies_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from etl_for_all_studies_spark.operators.textops import (
+    annotate_documents,
+    predict_language,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog!"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "der hund und die katze und das haus und der baum"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r["keeper_doc_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert out[1] == 2  # docs 1 and 3 identical, keeper is min(doc_id)
+    assert sum(out.values()) == 5
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 3)] == 1.0  # identical
+    assert 0.9 < pairs[(1, 2)] < 1.0  # one char appended
+    assert (1, 4) not in pairs
+
+
+def test_minhash_dedup_agrees_with_exact(docs):
+    got = {(r["doc_a"], r["doc_b"]) for r in minhash_dedup(docs, verify_threshold=0.5).collect()}
+    # identical docs always collide in every band; verified jaccard == 1
+    assert (1, 3) in got
+    assert all(a < b for a, b in got)
+    # sanity on signatures: identical docs → identical signatures
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[3]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_identical_docs_zero_hamming(docs):
+    fps = simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[1] == vals[3]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(fps, max_hamming=1, bands=2).collect()
+    }
+    assert pairs[(1, 3)] == 0
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(vecs.where("vec_id = 0"), vecs, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 3, 2]
+    sims = {r["neighbor_id"]: r["cos_sim"] for r in out}
+    assert sims[1] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), abs=1e-6)
+
+
+def test_ivf_topk_subset_of_bruteforce(spark):
+    import random
+
+    rng = random.Random(0)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = vecs.where("vec_id < 6").select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    queries = vecs.where("vec_id < 3")
+    ivf = ivf_topk(queries, vecs, centroids, k=3, n_probes=6)
+    brute = brute_force_topk(queries, vecs, k=3)
+    # with n_probes == all cells, IVF degenerates to exact search
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
+    exp = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
+    assert got == exp
+
+
+def test_text_annotations(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und das haus"),
+            (3, "!!! ??? ..."),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in annotate_documents(docs).collect()}
+    assert rows[1]["predicted_lang"] == "en"
+    assert rows[2]["predicted_lang"] == "de"
+    assert rows[3]["predicted_lang"] == "und"
+    assert rows[1]["n_tokens"] == 8
+    assert rows[4]["n_tokens"] == 0 and rows[4]["quality"] == pytest.approx(0.3)
+    assert rows[3]["punct_ratio"] > 0.5
+    assert rows[1]["fingerprint"] != rows[2]["fingerprint"]
+    # fingerprint is whitespace-normalization invariant
+    docs2 = spark.createDataFrame(
+        [(10, "the   cat and the dog  of the house")], "doc_id long, text string"
+    )
+    fp2 = annotate_documents(docs2).collect()[0]["fingerprint"]
+    assert fp2 == rows[1]["fingerprint"]

@@ -1,0 +1,54 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, determinism."""
+import pytest
+
+from etl_for_all_studies_spark.operators.multimodal import (
+    DECODED_IMAGE_SCHEMA,
+    FEATURE_DIM,
+    attach_fake_media,
+    decode_images,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 200), (3, "abc")], "doc_id long, text string"
+    )
+    return attach_fake_media(docs)
+
+
+def test_decode_schema_and_determinism(spark, media):
+    out = decode_images(media)
+    assert out.schema == DECODED_IMAGE_SCHEMA
+    rows1 = {r["media_id"]: (r["width"], r["height"], r["n_bytes"]) for r in out.collect()}
+    rows2 = {r["media_id"]: (r["width"], r["height"], r["n_bytes"]) for r in decode_images(media).collect()}
+    assert rows1 == rows2
+    assert rows1[2][2] == 200
+    assert all(64 <= w < 1025 and 64 <= h < 1025 for w, h, _ in rows1.values())
+
+
+def test_resize_pads_and_truncates(spark, media):
+    out = {r["media_id"]: bytes(r["data"]) for r in resize_images(media, 8, 4).collect()}
+    assert all(len(d) == 32 for d in out.values())
+    assert out[3][:3] == b"abc" and out[3][3:] == b"\x00" * 29
+
+
+def test_frame_sampling_one_to_many(spark, media):
+    frames = sample_frames(media, frame_bytes=64, every_n=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_index"])
+    # 200 bytes → chunks 0..3 → kept 0, 2
+    assert sorted(by_media[2]) == [0, 2]
+    # 11 bytes → single chunk 0
+    assert by_media[1] == [0]
+    assert all(i % 2 == 0 for idxs in by_media.values() for i in idxs)
+
+
+def test_feature_extraction_shape(spark, media):
+    feats = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert all(len(v) == FEATURE_DIM for v in feats.values())
+    assert all(all(isinstance(x, float) for x in v) for v in feats.values())
