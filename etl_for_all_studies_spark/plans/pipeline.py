@@ -141,11 +141,9 @@ def run_pipeline(
         )
         .select("sample_key", "gene_key", "expression_value", "study_key")
     )
-    before = wh.read_or_empty("fact_expression").count()
-    wh.append_fact(
+    written = wh.append_fact(
         "fact_expression", fact, dedup_keys=["sample_key", "gene_key", "study_key"]
     )
-    written = wh.read_or_empty("fact_expression").count() - before
 
     quality_rows = [r.asDict() for r in metadata_quality(metadata).collect()]
     if config.logging.log_data_quality:

@@ -76,12 +76,15 @@ class Warehouse:
         self._delete(self.path(table))
         self._rename(tmp, self.path(table))
 
-    def append_fact(self, table: str, df: DataFrame, dedup_keys: list[str]) -> None:
+    def append_fact(self, table: str, df: DataFrame, dedup_keys: list[str]) -> int:
         """Idempotent append: anti-join against existing keys, in-batch dedup.
+        Returns the number of rows appended.
 
         The anti-join's build side is only the *keys* of existing rows in the
         touched studies — with study-partition pruning this stays proportional
-        to the studies being loaded, not the whole warehouse.
+        to the studies being loaded, not the whole warehouse. The new rows are
+        persisted once so the returned count and the write share one
+        computation (cheaper than re-scanning the table before/after).
         """
         df = df.dropDuplicates(dedup_keys)
         existing = self.read(table)
@@ -91,10 +94,16 @@ class Warehouse:
                 *dedup_keys
             )
             df = df.join(existing_keys, on=dedup_keys, how="left_anti")
-        writer = df.write.mode("append")
-        if table in PARTITIONED_BY_STUDY:
-            writer = writer.partitionBy("study_key")
-        writer.parquet(self.path(table))
+        df = df.persist()
+        try:
+            written = df.count()
+            writer = df.write.mode("append")
+            if table in PARTITIONED_BY_STUDY:
+                writer = writer.partitionBy("study_key")
+            writer.parquet(self.path(table))
+        finally:
+            df.unpersist()
+        return written
 
     def overwrite_study_partitions(
         self, table: str, df: DataFrame, *, empty_studies: list[int] | None = None

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""ETL benchmark at the reference's own envelope: one GSE9006-shaped study
+(163 samples × 20,000 genes wide TSV, 143-id whitelist → 120 kept genes →
+19,560 facts; reference anchor: 78 records/s, 4.2 min —
+``BASELINE.md``). Prints one JSON line.
+
+Usage: python tools/bench_etl.py [n_samples n_genes]
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def build_fixture(root: pathlib.Path, n_samples: int, n_genes: int) -> None:
+    studies = root / "studies"
+    d = studies / "GSE9006"
+    d.mkdir(parents=True)
+    rng = random.Random(42)
+    samples = [f"GSM{i:06d}" for i in range(n_samples)]
+    lines = [
+        "refinebio_accession_code\texperiment_accession\trefinebio_age\t"
+        "refinebio_sex\tcharacteristics_ch1_Illness\trefinebio_platform"
+    ]
+    for s in samples:
+        lines.append(
+            f"{s}\tGSE9006\t{rng.randint(1, 80)} yrs\t"
+            f"{rng.choice(['male', 'female'])}\t"
+            f"{rng.choice(['Healthy', 'T1D', 'T2D', 'UNKNOWN'])}\tGPL96"
+        )
+    (d / "metadata_GSE9006.tsv").write_text("\n".join(lines))
+    whitelist = [f"ENSG{i:011d}" for i in range(143)]
+    (root / "genes.tsv").write_text(
+        "gene_symbol\tensembl_id\n"
+        + "\n".join(f"G{i}\t{g}" for i, g in enumerate(whitelist))
+    )
+    genes = whitelist[:120] + [f"ENSGX{i:010d}" for i in range(n_genes - 120)]
+    rng.shuffle(genes)
+    with open(d / "expression_GSE9006.tsv", "w") as f:
+        f.write("Gene\t" + "\t".join(samples) + "\n")
+        for g in genes:
+            f.write(
+                g + "\t" + "\t".join(f"{rng.uniform(0, 15):.3f}" for _ in samples) + "\n"
+            )
+
+
+def main() -> None:
+    n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 163
+    n_genes = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+
+    from etl_for_all_studies_spark import run_correlation_job, run_pipeline
+    from etl_for_all_studies_spark.config import config_from_dict
+    from etl_for_all_studies_spark.session import get_spark
+
+    root = pathlib.Path(tempfile.mkdtemp(prefix="etl_bench_"))
+    build_fixture(root, n_samples, n_genes)
+    cfg = config_from_dict(
+        {
+            "warehouse": {"path": str(root / "wh")},
+            "processing": {
+                "input_directory": str(root / "studies"),
+                "gene_filter_file": str(root / "genes.tsv"),
+            },
+            "logging": {"log_level": "WARNING"},
+        }
+    )
+    spark = get_spark(
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "32g",
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        },
+    )
+    spark.range(1).count()
+
+    t0 = time.monotonic()
+    res = run_pipeline(cfg, spark=spark)
+    etl_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    corr = run_correlation_job(cfg, spark=spark)
+    corr_s = time.monotonic() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "etl_records_per_second",
+                "value": round(res.fact_rows_written / etl_s, 1),
+                "unit": "records/sec",
+                "fact_rows": res.fact_rows_written,
+                "etl_sec": round(etl_s, 2),
+                "corr_pairs": sum(corr.pair_counts.values()),
+                "corr_sec": round(corr_s, 2),
+                "n_samples": n_samples,
+                "n_genes": n_genes,
+                "reference_anchor_records_per_second": 78,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
