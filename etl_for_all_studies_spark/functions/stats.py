@@ -63,6 +63,110 @@ def spearman_p_value_expr(rho: Column, n: Column) -> Column:
     )
 
 
+def _betainc_scalar(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) via the standard continued
+    fraction (modified Lentz evaluation). Max rel. error ~1e-14 — used for
+    the exact Student-t p-value path; plain public math, no SciPy."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+
+    def contfrac(a: float, b: float, x: float) -> float:
+        tiny = 1e-300
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c = 1.0
+        d = 1.0 - qab * x / qap
+        if abs(d) < tiny:
+            d = tiny
+        d = 1.0 / d
+        h = d
+        for m in range(1, 300):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            if abs(d) < tiny:
+                d = tiny
+            c = 1.0 + aa / c
+            if abs(c) < tiny:
+                c = tiny
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if abs(delta - 1.0) < 1e-15:
+                break
+        return h
+
+    # use the symmetric form on whichever side converges fast
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * contfrac(a, b, x) / a
+    return 1.0 - math.exp(
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    ) * contfrac(b, a, 1.0 - x) / b
+
+
+def t_two_sided_p(t_abs: float, df: float) -> float:
+    """Two-sided Student-t p-value: ``I_{df/(df+t²)}(df/2, 1/2)`` — the
+    SciPy-primary semantics of the reference (``correlation.py:11-12``)."""
+    if df <= 0:
+        return float("nan")
+    x = df / (df + t_abs * t_abs)
+    return min(max(_betainc_scalar(df / 2.0, 0.5, x), 0.0), 1.0)
+
+
+def spearman_p_value_t_udf():
+    """Vectorized (rho, n) → exact t-distribution two-sided p.
+
+    A pandas UDF is acceptable here because it runs on the *aggregated* pair
+    rows (one per gene pair), never on sample-level data — cardinality is
+    pairs, not facts. Semantics match SciPy's ``spearmanr`` p-value.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pyspark's hint resolver can't evaluate against local imports;
+    # hint-less pandas_udf defaults to SCALAR, which is what this is
+    @pandas_udf("double")
+    def t_p(rho, n):
+        out = np.empty(len(rho), dtype="float64")
+        for i, (r, nn) in enumerate(zip(rho.to_numpy(), n.to_numpy())):
+            if nn < 3 or np.isnan(r):
+                out[i] = np.nan
+            elif abs(r) >= 1.0:
+                out[i] = 0.0
+            else:
+                t_abs = abs(r) * ((nn - 2) / (1.0 - r * r)) ** 0.5
+                out[i] = t_two_sided_p(t_abs, nn - 2)
+        return pd.Series(out)
+
+    return t_p
+
+
 def average_rank(partition_cols: list[str], value_col: str) -> Column:
     """Average rank with ties sharing the mean of their positions (O-35).
 

@@ -31,7 +31,12 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.stats import average_rank, benjamini_hochberg, spearman_p_value_expr
+from ..functions.stats import (
+    average_rank,
+    benjamini_hochberg,
+    spearman_p_value_expr,
+    spearman_p_value_t_udf,
+)
 
 MIN_SAMPLES_FOR_CORRELATION = 2  # reference correlation.py:65
 
@@ -40,20 +45,92 @@ def _utc_now_iso() -> str:
     return dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds")
 
 
+def _split_dense_studies(e: DataFrame) -> tuple[list[int], list[int]]:
+    """Classify studies as dense (every gene covers every sample exactly
+    once) vs ragged. One cheap aggregation over the long table — negligible
+    next to the pair join it lets the dense studies skip."""
+    from pyspark.sql import functions as SF
+
+    per_gene = e.groupBy("study_key", "gene_key").agg(
+        SF.count(SF.lit(1)).alias("n_rows"),
+        SF.count_distinct("gsm_accession").alias("n_samples"),
+    )
+    per_study = (
+        per_gene.join(
+            e.groupBy("study_key").agg(
+                SF.count_distinct("gsm_accession").alias("study_samples")
+            ),
+            on="study_key",
+        )
+        .groupBy("study_key")
+        .agg(
+            SF.max(
+                (SF.col("n_rows") != SF.col("n_samples"))
+                | (SF.col("n_samples") != SF.col("study_samples"))
+            ).alias("ragged")
+        )
+    )
+    rows = per_study.collect()
+    dense = [r["study_key"] for r in rows if not r["ragged"]]
+    ragged = [r["study_key"] for r in rows if r["ragged"]]
+    return dense, ragged
+
+
 def compute_gene_pair_correlations(
     expression: DataFrame,
     *,
     min_samples: int = MIN_SAMPLES_FOR_CORRELATION,
     mode: str = "exact",
     computed_at: str | None = None,
+    pvalue_dist: str = "normal",
 ) -> DataFrame:
     """Long-form expression → fact_gene_pair_corr rows.
 
     ``expression`` needs columns (study_key, gene_key, gsm_accession,
     expression_value); output matches ``schemas.FACT_GENE_PAIR_CORR``.
+
+    ``mode="auto"`` classifies each study (one cheap aggregation) and routes
+    dense studies through the pre-ranked plan and ragged ones through the
+    exact per-pair plan — identical results either way, since the plans only
+    diverge on ragged matrices.
+
+    ``pvalue_dist`` pins the SURVEY §7.4.2 fork: ``"normal"`` (default) is
+    the reference's no-SciPy fallback — a closed-form JVM-side expression;
+    ``"t"`` is SciPy's primary Student-t semantics, computed by a vectorized
+    pandas UDF over the aggregated pair rows (incomplete-beta continued
+    fraction, ~1e-14 relative error).
     """
     ts = computed_at or _utc_now_iso()
     e = expression.select("study_key", "gene_key", "gsm_accession", "expression_value")
+
+    if mode == "auto":
+        dense_keys, ragged_keys = _split_dense_studies(e)
+        parts = []
+        if dense_keys:
+            parts.append(
+                compute_gene_pair_correlations(
+                    e.where(F.col("study_key").isin(dense_keys)),
+                    min_samples=min_samples, mode="dense", computed_at=ts,
+                    pvalue_dist=pvalue_dist,
+                )
+            )
+        if ragged_keys:
+            parts.append(
+                compute_gene_pair_correlations(
+                    e.where(F.col("study_key").isin(ragged_keys)),
+                    min_samples=min_samples, mode="exact", computed_at=ts,
+                    pvalue_dist=pvalue_dist,
+                )
+            )
+        if not parts:
+            return compute_gene_pair_correlations(
+                e, min_samples=min_samples, mode="exact", computed_at=ts,
+                pvalue_dist=pvalue_dist,
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     if mode == "dense":
         e = e.withColumn(
@@ -137,7 +214,18 @@ def compute_gene_pair_correlations(
         .where(F.col("rho_spearman").isNotNull() & ~F.isnan("rho_spearman"))
         .drop("cov_ab", "var_a", "var_b")
         .withColumn(
-            "p_value", spearman_p_value_expr(F.col("rho_spearman"), F.col("n_samples"))
+            "p_value",
+            spearman_p_value_expr(F.col("rho_spearman"), F.col("n_samples"))
+            if pvalue_dist == "normal"
+            else spearman_p_value_t_udf()(F.col("rho_spearman"), F.col("n_samples")),
+        )
+        # the t-path UDF surfaces NaN (numpy) where the closed form yields
+        # NULL; normalize so BH's valid-p accounting treats both alike
+        .withColumn(
+            "p_value",
+            F.when(F.isnan("p_value"), F.lit(None).cast("double")).otherwise(
+                F.col("p_value")
+            ),
         )
     )
 

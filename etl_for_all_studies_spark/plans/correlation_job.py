@@ -41,6 +41,7 @@ def run_correlation_job(
     spark: SparkSession | None = None,
     *,
     mode: str = "exact",
+    pvalue_dist: str = "normal",
 ) -> CorrelationJobResult:
     t0 = time.monotonic()
     spark = spark or get_spark(
@@ -88,7 +89,10 @@ def run_correlation_job(
     )
 
     corr = compute_gene_pair_correlations(
-        expression, min_samples=config.processing.min_samples, mode=mode
+        expression,
+        min_samples=config.processing.min_samples,
+        mode=mode,
+        pvalue_dist=pvalue_dist,
     ).persist()  # computed once, used for both the count and the write
 
     counts = {

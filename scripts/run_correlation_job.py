@@ -22,9 +22,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--mode",
-        choices=["exact", "dense"],
+        choices=["exact", "dense", "auto"],
         default="exact",
-        help="Ranking strategy: exact per-pair ranks, or dense pre-ranking",
+        help="Ranking strategy: exact per-pair ranks, dense pre-ranking, or "
+        "auto (per-study dense detection)",
+    )
+    parser.add_argument(
+        "--pvalue-dist",
+        choices=["normal", "t"],
+        default="normal",
+        help="p-value distribution: normal approximation (reference fallback) "
+        "or exact Student-t (SciPy-primary semantics)",
     )
     args = parser.parse_args(argv)
 
@@ -32,7 +40,9 @@ def main(argv: list[str] | None = None) -> int:
 
     config = load_config(args.config)
     logging.basicConfig(level=config.logging.log_level)
-    result = run_correlation_job(config, accessions=args.study, mode=args.mode)
+    result = run_correlation_job(
+        config, accessions=args.study, mode=args.mode, pvalue_dist=args.pvalue_dist
+    )
     total = sum(result.pair_counts.values())
     print(
         f"studies={len(result.studies_processed)} missing={len(result.studies_missing)} "

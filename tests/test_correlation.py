@@ -131,6 +131,28 @@ def test_bh_family_larger_study(spark):
             assert got[key]["q_value"] == pytest.approx(exp["q"], abs=1e-6), key
 
 
+def test_auto_mode_routes_dense_and_ragged(spark):
+    """auto must equal exact on a mix of dense and ragged studies."""
+    dense = {g: {f"S{i}": float((g * 7 + i * 3) % 11) for i in range(6)} for g in (1, 2, 3)}
+    ragged = {
+        1: {"S1": 1.0, "S2": 2.0, "S3": 3.0},
+        2: {"S1": 4.0, "S2": 3.0},  # missing S3
+    }
+    df = _to_df(spark, dense, study_key=1).unionByName(_to_df(spark, ragged, study_key=2))
+    exact = {
+        (r["study_key"], r["gene_a_key"], r["gene_b_key"]): r.asDict()
+        for r in compute_gene_pair_correlations(df, mode="exact").collect()
+    }
+    auto = {
+        (r["study_key"], r["gene_a_key"], r["gene_b_key"]): r.asDict()
+        for r in compute_gene_pair_correlations(df, mode="auto").collect()
+    }
+    assert set(exact) == set(auto)
+    for k in exact:
+        assert auto[k]["rho_spearman"] == pytest.approx(exact[k]["rho_spearman"], abs=1e-12)
+        assert auto[k]["n_samples"] == exact[k]["n_samples"]
+
+
 def test_multi_study_families_independent(spark):
     df1 = _to_df(spark, CANONICAL, study_key=1)
     noisy = {

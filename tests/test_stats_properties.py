@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis) for the statistical building blocks,
+plus exactness checks for the Student-t p-value path."""
+import math
+from statistics import NormalDist
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from etl_for_all_studies_spark.functions.stats import (
+    _betainc_scalar,
+    t_two_sided_p,
+)
+from oracle import benjamini_hochberg as bh_oracle, rankdata_avg
+
+
+# ---- incomplete beta / t-distribution ------------------------------------
+
+def test_betainc_boundaries_and_symmetry():
+    assert _betainc_scalar(2.0, 3.0, 0.0) == 0.0
+    assert _betainc_scalar(2.0, 3.0, 1.0) == 1.0
+    # I_x(a,b) = 1 - I_{1-x}(b,a)
+    for a, b, x in [(0.5, 0.5, 0.3), (2.0, 5.0, 0.7), (10.0, 0.5, 0.01)]:
+        assert _betainc_scalar(a, b, x) == pytest.approx(
+            1.0 - _betainc_scalar(b, a, 1.0 - x), abs=1e-12
+        )
+
+
+def test_betainc_closed_forms():
+    # I_x(1, 1) = x (uniform); I_x(1, b) = 1 - (1-x)^b; I_x(a, 1) = x^a
+    for x in (0.1, 0.5, 0.9):
+        assert _betainc_scalar(1.0, 1.0, x) == pytest.approx(x, abs=1e-12)
+        assert _betainc_scalar(1.0, 4.0, x) == pytest.approx(
+            1 - (1 - x) ** 4, abs=1e-12
+        )
+        assert _betainc_scalar(3.0, 1.0, x) == pytest.approx(x ** 3, abs=1e-12)
+
+
+def test_t_pvalue_known_values():
+    # df=1 is Cauchy: P(|T| > t) = 1 - (2/pi) * arctan(t)
+    for t in (0.5, 1.0, 3.0):
+        assert t_two_sided_p(t, 1) == pytest.approx(
+            1 - 2 / math.pi * math.atan(t), abs=1e-12
+        )
+    # df=2 has closed form: P(|T| > t) = 1 - t/sqrt(2 + t^2)
+    for t in (0.5, 1.0, 3.0):
+        assert t_two_sided_p(t, 2) == pytest.approx(
+            1 - t / math.sqrt(2 + t * t), abs=1e-12
+        )
+    # large df → normal limit
+    for t in (0.5, 1.96, 3.0):
+        assert t_two_sided_p(t, 1_000_000) == pytest.approx(
+            2 * (1 - NormalDist().cdf(t)), abs=1e-5
+        )
+    assert t_two_sided_p(0.0, 10) == pytest.approx(1.0, abs=1e-12)
+
+
+@given(
+    t=st.floats(min_value=0.0, max_value=50.0),
+    df=st.integers(min_value=1, max_value=500),
+)
+@settings(max_examples=200, deadline=None)
+def test_t_pvalue_is_a_valid_tail_probability(t, df):
+    p = t_two_sided_p(t, df)
+    assert 0.0 <= p <= 1.0
+    # monotone non-increasing in |t|
+    assert t_two_sided_p(t + 1.0, df) <= p + 1e-12
+
+
+# ---- BH oracle properties (the same algorithm the Spark windows mirror) --
+
+@given(
+    ps=st.lists(
+        st.one_of(st.none(), st.floats(min_value=0.0, max_value=1.0)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bh_oracle_properties(ps):
+    qs = bh_oracle(ps)
+    assert len(qs) == len(ps)
+    for p, q in zip(ps, qs):
+        if p is None:
+            assert q is None
+        else:
+            assert q is not None and 0.0 <= q <= 1.0 + 1e-12
+            assert q >= p - 1e-12  # BH never makes values more significant
+    # monotone: sorting valid pairs by p, q must be non-decreasing
+    valid = sorted((p, q) for p, q in zip(ps, qs) if p is not None)
+    for (p1, q1), (p2, q2) in zip(valid, valid[1:]):
+        assert q1 <= q2 + 1e-12
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-100, max_value=100).map(lambda v: round(v, 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_rank_oracle_properties(values):
+    ranks = rankdata_avg(values)
+    n = len(values)
+    # ranks sum to n(n+1)/2 regardless of ties
+    assert sum(ranks) == pytest.approx(n * (n + 1) / 2)
+    # equal values share equal rank; order respected
+    for i in range(n):
+        for j in range(n):
+            if values[i] == values[j]:
+                assert ranks[i] == ranks[j]
+            elif values[i] < values[j]:
+                assert ranks[i] < ranks[j]
+
+
+# ---- Spark plan: t path agrees with the scalar implementation ------------
+
+def test_spark_t_pvalue_path(spark):
+    from etl_for_all_studies_spark.plans.correlation import (
+        compute_gene_pair_correlations,
+    )
+
+    matrix = {
+        1: {f"S{i}": float(v) for i, v in enumerate([1, 2, 3, 4, 6, 5, 7, 9, 8, 10])},
+        2: {f"S{i}": float(v) for i, v in enumerate([2, 1, 4, 3, 5, 7, 6, 8, 10, 9])},
+        3: {f"S{i}": float(v) for i, v in enumerate([10, 9, 7, 8, 6, 5, 4, 2, 3, 1])},
+    }
+    rows = [(1, g, s, v) for g, by in matrix.items() for s, v in by.items()]
+    df = spark.createDataFrame(
+        rows, "study_key long, gene_key long, gsm_accession string, expression_value double"
+    )
+    out = {
+        (r["gene_a_key"], r["gene_b_key"]): r.asDict()
+        for r in compute_gene_pair_correlations(
+            df, pvalue_dist="t", computed_at="x"
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    for (a, b), row in out.items():
+        rho, n = row["rho_spearman"], row["n_samples"]
+        t_abs = abs(rho) * math.sqrt((n - 2) / (1 - rho * rho))
+        assert row["p_value"] == pytest.approx(t_two_sided_p(t_abs, n - 2), abs=1e-12)
+    # t-dist p differs from the normal approximation at n=10 (sanity that the
+    # fork actually switches distributions)
+    from etl_for_all_studies_spark.plans.correlation import (
+        compute_gene_pair_correlations as c2,
+    )
+    norm_out = {
+        (r["gene_a_key"], r["gene_b_key"]): r["p_value"]
+        for r in c2(df, pvalue_dist="normal", computed_at="x").collect()
+    }
+    assert any(
+        abs(norm_out[k] - out[k]["p_value"]) > 1e-4
+        for k in out
+        if 0.0 < out[k]["p_value"] < 1.0
+    )
