@@ -862,6 +862,35 @@ FROM ranked WHERE rank <= 3
 
 
 # --------------------------------------------------------------------------
+# 16b2. embedding-cosine near-duplicate pairs (semantic dedup)
+# --------------------------------------------------------------------------
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_near_duplicates
+
+    # brute-force all-pairs is the oracle baseline — bounded to vec_id < 500
+    # (≈125k pairs) so the quadratic stays fixed across scale factors; the
+    # scale path for semantic dedup is the IVF cell join (embedding_ivf).
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    out = embedding_near_duplicates(emb, threshold=0.35)
+    return out.select(
+        "doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+_SQL_DEDUP_EMBED = f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, ROUND(cos_sim, 6) AS cos_sim
+FROM pairs WHERE cos_sim >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
 # 16c. multimodal decode — Arrow-batched mapInPandas over binary payloads
 #     (the stubbed decoder is hash-deterministic, so the oracle verifies the
 #     entire binary-column + pandas-UDF plumbing end to end)
@@ -982,6 +1011,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "fingerprint": QueryDef(q_fingerprint, _SQL_FINGERPRINT),
     "embedding_topk": QueryDef(q_embedding_topk, _SQL_EMBED_TOPK),
     "embedding_ivf": QueryDef(q_embedding_ivf, _SQL_EMBED_IVF),
+    "dedup_embedding": QueryDef(q_dedup_embedding, _SQL_DEDUP_EMBED),
     "multimodal_decode": QueryDef(q_multimodal_decode, _SQL_MULTIMODAL),
     "events_hourly": QueryDef(q_events_hourly, _SQL_EVENTS_HOURLY),
     "events_sessionize": QueryDef(q_events_sessionize, _SQL_SESSIONIZE),
