@@ -153,6 +153,38 @@ def test_auto_mode_routes_dense_and_ragged(spark):
         assert auto[k]["n_samples"] == exact[k]["n_samples"]
 
 
+def test_randomized_matrices_match_oracle(spark):
+    """Randomized sweep: engine output must match the reference-faithful
+    pure-Python oracle on matrices with ties, raggedness, and constants."""
+    import random
+
+    rng = random.Random(2024)
+    for trial in range(8):
+        n_genes = rng.randint(2, 6)
+        n_samples = rng.randint(2, 8)
+        samples = [f"S{i}" for i in range(n_samples)]
+        matrix = {}
+        for g in range(1, n_genes + 1):
+            covered = [s for s in samples if rng.random() > 0.2] or samples[:1]
+            # small value domain → frequent ties; occasional constant gene
+            domain = [1.0] if rng.random() < 0.15 else [1.0, 2.0, 3.0, 4.5]
+            matrix[g] = {s: rng.choice(domain) for s in covered}
+        got = _run(spark, matrix, mode="exact")
+        expected = {
+            (s["gene_a_key"], s["gene_b_key"]): s for s in all_pairs(matrix)
+        }
+        assert set(got) == set(expected), f"trial {trial}: pair sets differ"
+        for key, exp in expected.items():
+            g = got[key]
+            assert g["n_samples"] == exp["n_samples"], (trial, key)
+            assert g["rho_spearman"] == pytest.approx(exp["rho"], abs=1e-9), (trial, key)
+            assert g["p_value"] == pytest.approx(exp["p_stored"], abs=2e-7), (trial, key)
+            if exp["q"] is None:
+                assert g["q_value"] is None, (trial, key)
+            else:
+                assert g["q_value"] == pytest.approx(exp["q"], abs=1e-6), (trial, key)
+
+
 def test_multi_study_families_independent(spark):
     df1 = _to_df(spark, CANONICAL, study_key=1)
     noisy = {
