@@ -126,4 +126,42 @@ class Warehouse:
             self._delete(part)
 
 
-__all__ = ["Warehouse"]
+def write_jdbc_with_retries(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    max_retries: int = 5,
+    retry_backoff_seconds: float = 5.0,
+) -> None:
+    """Optional JDBC sink with exponential-backoff retry (O-44 parity).
+
+    The reference retries *engine creation* against SQL Server
+    (``database.py:28-60``, knobs ``max_retries``/``retry_backoff_seconds``
+    from ``config.py:18-19``); for a Spark JDBC writer the analogous failure
+    domain is the write call itself — individual task retries are already
+    Spark's job. Parquet remains the primary warehouse; this exists so a
+    deployment that must land in SQL Server keeps the reference's
+    reliability contract. Untested in this container (no JDBC endpoint).
+    """
+    import time as _time
+
+    last_exc: Exception | None = None
+    for attempt in range(max_retries):
+        try:
+            df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
+            return
+        except Exception as exc:  # noqa: BLE001 — backoff and retry
+            last_exc = exc
+            sleep_s = retry_backoff_seconds * (2 ** attempt)
+            logger.warning(
+                "JDBC write to %s failed (attempt %d/%d): %s — retrying in %.1fs",
+                table, attempt + 1, max_retries, exc, sleep_s,
+            )
+            _time.sleep(sleep_s)
+    raise RuntimeError(f"JDBC write to {table} failed after {max_retries} attempts") from last_exc
+
+
+__all__ = ["Warehouse", "write_jdbc_with_retries"]

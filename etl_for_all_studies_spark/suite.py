@@ -380,7 +380,7 @@ def q_spearman_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").cast("long").alias("gene_key"),
         F.col("l_partkey").cast("string").alias("gsm_accession"),
         "expression_value",
-    )
+    ).persist()  # both sides of the pair self-join read this (~600k rows)
     corr = compute_gene_pair_correlations(
         expr, min_samples=2, mode="exact", computed_at="fixed"
     )
