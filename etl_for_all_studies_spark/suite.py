@@ -388,9 +388,9 @@ def q_spearman_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gene_a_key",
         "gene_b_key",
         F.col("n_samples").cast("long").alias("n_samples"),
-        F.round("rho_spearman", 6).alias("rho"),
-        F.round("p_value", 6).alias("p"),
-        F.round("q_value", 6).alias("q"),
+        ((F.floor(F.col("rho_spearman") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("rho"),
+        ((F.floor(F.col("p_value") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("p"),
+        ((F.floor(F.col("q_value") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("q"),
     )
 
 
@@ -450,7 +450,7 @@ qs AS (
   FROM raws
 )
 SELECT ga AS gene_a_key, gb AS gene_b_key, n AS n_samples,
-       ROUND(rho, 6) AS rho, ROUND(COALESCE(p, 1.0), 6) AS p, ROUND(q, 6) AS q
+       (FLOOR(rho * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS rho, (FLOOR(COALESCE(p, 1.0) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS p, (FLOOR(q * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS q
 FROM qs
 """
 
@@ -485,7 +485,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", "common",
         F.col("size_a").cast("long").alias("size_a"),
         F.col("size_b").cast("long").alias("size_b"),
-        F.round("jaccard", 6).alias("jaccard"),
+        ((F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("jaccard"),
     )
 
 
@@ -504,7 +504,7 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
-       ROUND(common / (sa.set_size + sb.set_size - common), 6) AS jaccard
+       (FLOOR((common / (sa.set_size + sb.set_size - common)) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -528,7 +528,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", "n_shared_bands",
         F.col("common").cast("long").alias("common"),
-        F.round("jaccard", 6).alias("jaccard"),
+        ((F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("jaccard"),
     )
 
 
@@ -575,7 +575,7 @@ verified AS (
   JOIN sh sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, n_shared_bands, common,
-       ROUND(common / (size_a + size_b - common), 6) AS jaccard
+       (FLOOR((common / (size_a + size_b - common)) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS jaccard
 FROM verified
 WHERE common / (size_a + size_b - common) >= 0.5
 """
@@ -755,7 +755,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "neighbor_id",
-        F.round("cos_sim", 6).alias("cos_sim"),
+        (F.round("cos_sim", 6) + F.lit(0.0)).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -779,7 +779,7 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) + 0.0 AS cos_sim, rank
 FROM ranked WHERE rank <= 5
 """
 
@@ -799,7 +799,7 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "neighbor_id",
-        F.round("cos_sim", 6).alias("cos_sim"),
+        (F.round("cos_sim", 6) + F.lit(0.0)).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -856,7 +856,7 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) + 0.0 AS cos_sim, rank
 FROM ranked WHERE rank <= 3
 """
 
@@ -874,7 +874,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
     out = embedding_near_duplicates(emb, threshold=0.35)
     return out.select(
-        "doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim")
+        "doc_a", "doc_b", (F.round("cos_sim", 6) + F.lit(0.0)).alias("cos_sim")
     )
 
 
@@ -885,7 +885,7 @@ pairs AS (
          {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim
   FROM sub a JOIN sub b ON a.vec_id < b.vec_id
 )
-SELECT doc_a, doc_b, ROUND(cos_sim, 6) AS cos_sim
+SELECT doc_a, doc_b, ROUND(cos_sim, 6) + 0.0 AS cos_sim
 FROM pairs WHERE cos_sim >= 0.35
 """
 
