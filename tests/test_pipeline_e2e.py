@@ -85,6 +85,79 @@ def test_correlation_job_end_to_end(spark, app_config):
     assert res3.studies_processed == ["GSE1"]
 
 
+def test_incremental_study_load_preserves_keys(spark, tmp_path):
+    """Adding a NEW study later must not renumber existing dims/facts, and
+    cross-study dims (genes, platforms) must be shared, not duplicated."""
+    from etl_for_all_studies_spark.config import config_from_dict
+
+    studies = tmp_path / "studies"
+    genes = tmp_path / "genes.tsv"
+    genes.write_text("ensembl_id\nENSG01\nENSG02\nENSG03\n")
+
+    def write_study(acc, sample_prefix, gene_ids):
+        d = studies / acc
+        d.mkdir(parents=True)
+        (d / f"metadata_{acc}.tsv").write_text(
+            "refinebio_accession_code\texperiment_accession\trefinebio_platform\n"
+            + "".join(f"{sample_prefix}{i}\t{acc}\tGPL96\n" for i in range(3))
+        )
+        header = "Gene\t" + "\t".join(f"{sample_prefix}{i}" for i in range(3))
+        rows = "".join(
+            f"{g}\t" + "\t".join(str(float(j + i)) for i in range(3)) + "\n"
+            for j, g in enumerate(gene_ids)
+        )
+        (d / f"expression_{acc}.tsv").write_text(header + "\n" + rows)
+
+    write_study("GSE_A", "A", ["ENSG01", "ENSG02"])
+    cfg = config_from_dict(
+        {
+            "warehouse": {"path": str(tmp_path / "wh")},
+            "processing": {
+                "input_directory": str(studies),
+                "gene_filter_file": str(genes),
+            },
+            "logging": {"log_level": "WARNING"},
+        }
+    )
+    run_pipeline(cfg, spark=spark)
+    wh = tmp_path / "wh"
+    genes_before = {
+        r["ensembl_id"]: r["gene_key"]
+        for r in spark.read.parquet(str(wh / "dim_gene")).collect()
+    }
+    samples_before = {
+        r["gsm_accession"]: r["sample_key"]
+        for r in spark.read.parquet(str(wh / "dim_sample")).collect()
+    }
+
+    # second run adds a study sharing ENSG02 and introducing ENSG03
+    write_study("GSE_B", "B", ["ENSG02", "ENSG03"])
+    result = run_pipeline(cfg, spark=spark)
+    assert sorted(result.processed_studies) == ["GSE_A", "GSE_B"]
+    assert result.fact_rows_written == 6  # only GSE_B's 2 genes x 3 samples
+
+    genes_after = {
+        r["ensembl_id"]: r["gene_key"]
+        for r in spark.read.parquet(str(wh / "dim_gene")).collect()
+    }
+    # existing keys untouched; novel gene appended after the old max
+    assert {k: genes_after[k] for k in genes_before} == genes_before
+    assert genes_after["ENSG03"] == max(genes_before.values()) + 1
+    samples_after = {
+        r["gsm_accession"]: r["sample_key"]
+        for r in spark.read.parquet(str(wh / "dim_sample")).collect()
+    }
+    assert {k: samples_after[k] for k in samples_before} == samples_before
+    assert len(samples_after) == 6
+    # shared platform dim stays a single row
+    assert spark.read.parquet(str(wh / "dim_platform")).count() == 1
+    # fact integrity: every fact joins to exactly one dim_sample/dim_gene row
+    facts = spark.read.parquet(str(wh / "fact_expression"))
+    assert facts.count() == 12
+    dim_sample = spark.read.parquet(str(wh / "dim_sample"))
+    assert facts.join(dim_sample, on=["sample_key", "study_key"]).count() == 12
+
+
 def test_enrichment_on_rerun(spark, tmp_path):
     """O-47: UNKNOWN attributes are filled on re-run, never downgraded."""
     from etl_for_all_studies_spark.config import config_from_dict
