@@ -1,0 +1,99 @@
+"""Warehouse integrity assertions.
+
+Parquet enforces no constraints, so the reference's unique indexes and FKs
+(``models.py:55,74-76,92-97``) become *assertion queries* here (SURVEY
+§1.1.4): each check is a DataFrame returning violating rows (empty = healthy).
+Run after loads in CI or ad hoc; every check prunes/broadcasts like the rest
+of the engine, so the report is cheap even on a large warehouse.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.warehouse import Warehouse
+
+
+@dataclasses.dataclass
+class IntegrityReport:
+    violations: dict[str, int]
+
+    @property
+    def ok(self) -> bool:
+        return all(v == 0 for v in self.violations.values())
+
+
+def _dupes(df: DataFrame, keys: list[str]) -> DataFrame:
+    return (
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
+    )
+
+
+def integrity_checks(wh: Warehouse) -> dict[str, DataFrame]:
+    """Violation DataFrames keyed by check name (lazy; nothing runs yet)."""
+    checks: dict[str, DataFrame] = {}
+    dim_gene = wh.read("dim_gene")
+    dim_study = wh.read("dim_study")
+    dim_sample = wh.read("dim_sample")
+    dim_illness = wh.read("dim_illness")
+    dim_platform = wh.read("dim_platform")
+    fact = wh.read("fact_expression")
+    corr = wh.read("fact_gene_pair_corr")
+
+    # unique natural + surrogate keys per dim (models.py unique constraints)
+    for name, df, natural, key in [
+        ("dim_gene", dim_gene, ["ensembl_id"], "gene_key"),
+        ("dim_study", dim_study, ["gse_accession"], "study_key"),
+        ("dim_illness", dim_illness, ["illness_label"], "illness_key"),
+        ("dim_platform", dim_platform, ["platform_accession"], "platform_key"),
+        ("dim_sample", dim_sample, ["gsm_accession", "study_key"], "sample_key"),
+    ]:
+        if df is None:
+            continue
+        checks[f"{name}_natural_key_dupes"] = _dupes(df, natural)
+        checks[f"{name}_surrogate_key_dupes"] = _dupes(df, [key])
+
+    if fact is not None:
+        checks["fact_expression_grain_dupes"] = _dupes(
+            fact, ["sample_key", "gene_key", "study_key"]
+        )
+        if dim_sample is not None:
+            checks["fact_expression_orphan_samples"] = fact.join(
+                F.broadcast(dim_sample.select("sample_key")), "sample_key", "left_anti"
+            )
+        if dim_gene is not None:
+            checks["fact_expression_orphan_genes"] = fact.join(
+                F.broadcast(dim_gene.select("gene_key")), "gene_key", "left_anti"
+            )
+
+    if corr is not None:
+        checks["corr_grain_dupes"] = _dupes(
+            corr, ["gene_a_key", "gene_b_key", "study_key"]
+        )
+        checks["corr_pair_order"] = corr.where(
+            F.col("gene_a_key") >= F.col("gene_b_key")
+        )
+        checks["corr_value_ranges"] = corr.where(
+            (F.abs("rho_spearman") > 1.0)
+            | (F.col("p_value") < 0) | (F.col("p_value") > 1)
+            | (F.col("q_value") < 0) | (F.col("q_value") > 1)
+            | (F.col("n_samples") < 2)
+        )
+        if dim_gene is not None:
+            checks["corr_orphan_genes"] = corr.join(
+                F.broadcast(dim_gene.select(F.col("gene_key").alias("gene_a_key"))),
+                "gene_a_key",
+                "left_anti",
+            )
+    return checks
+
+
+def run_integrity_report(wh: Warehouse) -> IntegrityReport:
+    return IntegrityReport(
+        {name: df.limit(1000).count() for name, df in integrity_checks(wh).items()}
+    )
+
+
+__all__ = ["IntegrityReport", "integrity_checks", "run_integrity_report"]
