@@ -41,10 +41,7 @@ from .operators.dedup import (
     simhash_near_pairs,
 )
 from .operators.similarity import brute_force_topk, ivf_topk
-from .operators.textops import (
-    BPE_ISH_PATTERN,
-    annotate_documents,
-)
+from .operators.textops import annotate_documents
 from .plans.correlation import compute_gene_pair_correlations
 
 

@@ -113,6 +113,40 @@ def test_rank_oracle_properties(values):
                 assert ranks[i] < ranks[j]
 
 
+# ---- Spark BH windows vs sequential oracle over random families ----------
+
+def test_spark_bh_windows_match_oracle_many_families(spark):
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    expected = {}
+    for fam in range(20):
+        n = rng.randint(0, 30)
+        ps = []
+        for i in range(n):
+            r = rng.random()
+            p = None if r < 0.15 else (rng.choice([0.0, 1.0]) if r < 0.3 else round(rng.random(), 3))
+            ps.append(p)
+        qs = bh_oracle(ps)
+        for i, (p, q) in enumerate(zip(ps, qs)):
+            rows.append((fam, i, p))
+            expected[(fam, i)] = q
+    if not rows:
+        return
+    from etl_for_all_studies_spark.functions.stats import benjamini_hochberg
+
+    df = spark.createDataFrame(rows, "fam long, idx long, p_value double")
+    out = benjamini_hochberg(df, family_cols=["fam"])
+    got = {(r["fam"], r["idx"]): r["q_value"] for r in out.collect()}
+    assert set(got) == set(expected)
+    for key, exp in expected.items():
+        if exp is None:
+            assert got[key] is None, key
+        else:
+            assert got[key] == pytest.approx(exp, abs=1e-12), key
+
+
 # ---- Spark plan: t path agrees with the scalar implementation ------------
 
 def test_spark_t_pvalue_path(spark):
