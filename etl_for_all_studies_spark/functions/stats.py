@@ -172,21 +172,20 @@ def average_rank(partition_cols: list[str], value_col: str) -> Column:
 
     Matches SciPy's ``rankdata(method='average')`` and the reference's
     ``_rankdata`` (``correlation.py:17-30``). Formulation:
-    ``(rank_asc + (n − rank_desc + 1)) / 2`` — the mean of a tie group's first
-    and last positions. Chosen over the naive ``avg(row_number) over ties``
-    because **all three windows share the same partitioning**
-    (``partition_cols`` only — the ties window would partition by
-    ``(partition_cols, value)``, forcing an extra hash exchange of the full
-    table per ranked column). One exchange, two in-partition sorts; no
-    nondeterministic intra-tie row_number.
+    ``rank() + (ties − 1)/2`` where *ties* is the peer count, computed with a
+    ``RANGE BETWEEN CURRENT ROW AND CURRENT ROW`` frame — a peer-group count
+    that shares the **same partitioning and the same sort** as ``rank()``.
+    Alternatives cost more: the naive ties window partitions by
+    ``(partition_cols, value)`` (an extra hash exchange of the full table per
+    ranked column); the rank_asc/rank_desc identity needs a second sort per
+    column. This form is one exchange + one in-partition sort per ranked
+    column, with no nondeterministic intra-tie row_number.
     """
     w_asc = Window.partitionBy(*partition_cols).orderBy(F.col(value_col).asc())
-    w_desc = Window.partitionBy(*partition_cols).orderBy(F.col(value_col).desc())
-    w_all = Window.partitionBy(*partition_cols)
+    w_peers = w_asc.rangeBetween(Window.currentRow, Window.currentRow)
     r_asc = F.rank().over(w_asc)
-    r_desc = F.rank().over(w_desc)
-    n = F.count(F.lit(1)).over(w_all)
-    return (r_asc + (n - r_desc + F.lit(1))) / F.lit(2.0)
+    ties = F.count(F.lit(1)).over(w_peers)
+    return r_asc + (ties - F.lit(1)) / F.lit(2.0)
 
 
 def benjamini_hochberg(
