@@ -362,6 +362,41 @@ FROM lineitem
 
 
 # --------------------------------------------------------------------------
+# 9b. per-group top-k (dense_rank with deterministic tiebreak)
+# --------------------------------------------------------------------------
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round(F.col("p_retailprice").cast("double"), 2).alias("price"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_SQL_TOP_PARTS = """
+SELECT p_brand, p_partkey, ROUND(CAST(p_retailprice AS DOUBLE), 2) AS price, rk
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part
+)
+WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # 10. FLAGSHIP: all-pairs Spearman + p + BH FDR over suppliers
 #     (O-24/25/33/34/35/36/37/39/40 — the exact plan the genomic pipeline
 #     runs, bound to suppliers-as-genes × parts-as-samples)
@@ -998,6 +1033,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "dq_completion": QueryDef(q_dq_completion, _SQL_DQ),
     "nations_with_orders": QueryDef(q_nations_with_orders, _SQL_NATIONS),
     "average_rank": QueryDef(q_average_rank, _SQL_AVG_RANK),
+    "top_parts_per_brand": QueryDef(q_top_parts_per_brand, _SQL_TOP_PARTS),
     "spearman_suppliers": QueryDef(q_spearman_suppliers, _SQL_SPEARMAN),
     "dedup_exact": QueryDef(q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _SQL_NGRAM),
