@@ -42,12 +42,18 @@ def char_shingles(col: Column, k: int) -> Column:
 
     ``sequence(1, len-k+1)`` positions → ``substring`` — expressible in
     DuckDB as ``list_transform(range(...), i -> text[i:i+k-1])``.
+
+    Texts shorter than ``k`` (and NULL/empty texts) yield an **empty** array:
+    Spark evaluates ``sequence(1, 0)`` as a *descending* sequence ``[1, 0]``,
+    which would emit a spurious truncated shingle — the explicit ``n >= k``
+    guard matches DuckDB's ``range(1, greatest(len-k+1, 0)+1)`` (empty).
     """
     n = F.length(col)
-    positions = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(positions, lambda i: F.substring(col, i, k))
-    )
+    positions = F.sequence(F.lit(1), n - F.lit(k - 1))
+    return F.when(
+        n >= F.lit(k),
+        F.array_distinct(F.transform(positions, lambda i: F.substring(col, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_tokens(col: Column) -> Column:

@@ -207,7 +207,10 @@ def benjamini_hochberg(
         share the same min (peer rows included), matching the sequential scan.
     """
     fam = family_cols or []
-    valid = F.col(p_col).isNotNull()
+    # NaN p-values are excluded from m and keep NULL q, matching the
+    # reference's explicit NaN handling (correlation.py:72-79) — NaN must not
+    # inflate the family size even when a caller skips NaN→NULL normalization
+    valid = F.col(p_col).isNotNull() & ~F.isnan(F.col(p_col))
     w_fam = Window.partitionBy(*fam) if fam else Window.partitionBy(F.lit(1))
     m = F.sum(valid.cast("long")).over(w_fam)
     j = F.row_number().over(

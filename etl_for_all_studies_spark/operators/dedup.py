@@ -136,11 +136,18 @@ def minhash_signatures(
     # materialize the hashed-shingle array first: HOF expressions get no
     # common-subexpression elimination, so without this barrier the poly hash
     # would be re-inlined (and re-evaluated) inside all ``num_hashes``
-    # array_min branches — a num_hashes× blowup of the dominant cost
-    hashed = docs.select(
-        "doc_id",
-        F.transform(shingles, lambda s: _poly_hash_inline(s)).alias("hh"),
-    ).persist()
+    # array_min branches — a num_hashes× blowup of the dominant cost.
+    # Shingle-less docs (len < k) are excluded: their signature would be all
+    # NULL, and Spark's structural array equality would band-match every such
+    # doc pairwise (0/0 Jaccard); they can only be exact dups, never fuzzy.
+    hashed = (
+        docs.select(
+            "doc_id",
+            F.transform(shingles, lambda s: _poly_hash_inline(s)).alias("hh"),
+        )
+        .where(F.size(F.col("hh")) > 0)
+        .persist()
+    )
     sig = F.array(
         *[
             F.array_min(

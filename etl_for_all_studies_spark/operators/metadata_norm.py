@@ -38,29 +38,31 @@ def _normalize_header(name: str) -> str:
 def resolve_field_columns(columns: Sequence[str], candidates: Sequence[str]) -> list[str]:
     """3-tier fuzzy candidate→actual column resolution (O-10, plan-time).
 
-    For each candidate header, match against actual columns by: exact →
-    casefold → digits-stripped+casefold (so ``characteristics_ch2_illness``
-    satisfies a mapping for ``characteristics_ch1_Illness``). Order of the
-    candidate list defines coalesce priority; each actual column is used once.
+    For each candidate header, collect **all** actual columns that match at
+    each tier — exact, then casefolded, then digits-stripped+casefolded (so
+    ``characteristics_ch2_illness`` satisfies a mapping for
+    ``characteristics_ch1_Illness``) — each tier in schema column order.
+    The reference builds its per-row lookups from headers with non-empty
+    values (``metadata_processing.py:68-74``), so a row whose first variant
+    column is blank falls through to the *next matching variant*, not to the
+    next candidate; binding one column per candidate would lose those values.
+    Coalescing the flattened tier lists row-wise reproduces that fallback
+    exactly. Candidate-list order defines outer priority; each actual column
+    appears once (first occurrence wins).
     """
-    by_exact = {c: c for c in columns}
-    by_fold: dict[str, str] = {}
-    by_stripped: dict[str, str] = {}
-    for c in columns:
-        by_fold.setdefault(c.casefold(), c)
-        by_stripped.setdefault(_normalize_header(c), c)
-
     resolved: list[str] = []
     seen: set[str] = set()
+
+    def add(cols: list[str]) -> None:
+        for c in cols:
+            if c not in seen:
+                resolved.append(c)
+                seen.add(c)
+
     for cand in candidates:
-        actual = (
-            by_exact.get(cand)
-            or by_fold.get(cand.casefold())
-            or by_stripped.get(_normalize_header(cand))
-        )
-        if actual is not None and actual not in seen:
-            resolved.append(actual)
-            seen.add(actual)
+        add([c for c in columns if c == cand])
+        add([c for c in columns if c.casefold() == cand.casefold()])
+        add([c for c in columns if _normalize_header(c) == _normalize_header(cand)])
     return resolved
 
 

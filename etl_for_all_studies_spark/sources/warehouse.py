@@ -55,9 +55,39 @@ class Warehouse:
         fs, jvm = self._fs()
         fs.rename(jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dst))
 
+    def _repair(self, table: str) -> None:
+        """Recover from a crash mid-``overwrite_dim`` swap.
+
+        Swap protocol (see :meth:`overwrite_dim`): write ``__tmp`` → rename
+        live aside to ``__old`` → promote ``__tmp`` → delete ``__old``. A
+        crash at any point leaves exactly one recoverable state:
+
+        * live missing, ``__tmp`` present → the fully-written tmp is the
+          newest complete copy: promote it (``__old``, if also present, is
+          the superseded version — drop it);
+        * live missing, only ``__old`` present → the aside rename happened
+          but tmp was lost (shouldn't occur in-protocol): restore ``__old``;
+        * live present → any leftover ``__old``/``__tmp`` is stale residue
+          from a crash after promotion; leave it (next overwrite clears it).
+        """
+        main, tmp, old = self.path(table), self.path(table) + "__tmp", self.path(table) + "__old"
+        fs, jvm = self._fs()
+        p = jvm.org.apache.hadoop.fs.Path
+        if fs.exists(p(main)):
+            return
+        if fs.exists(p(tmp)):
+            logger.warning("Repairing %s: promoting interrupted __tmp swap", table)
+            self._rename(tmp, main)
+            self._delete(old)
+        elif fs.exists(p(old)):
+            logger.warning("Repairing %s: restoring __old copy", table)
+            self._rename(old, main)
+
     # -- reads --
     def read(self, table: str) -> DataFrame | None:
-        """Read a table, or None if it doesn't exist yet."""
+        """Read a table, or None if it doesn't exist yet (repairing any
+        interrupted dim swap first — see :meth:`_repair`)."""
+        self._repair(table)
         if not self.exists(table):
             return None
         return self.spark.read.parquet(self.path(table))
@@ -70,11 +100,24 @@ class Warehouse:
 
     # -- writes --
     def overwrite_dim(self, table: str, df: DataFrame) -> None:
-        """Full rewrite via tmp-path swap (safe when df reads the old table)."""
-        tmp = self.path(table) + "__tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        self._delete(self.path(table))
-        self._rename(tmp, self.path(table))
+        """Full rewrite via tmp-path swap (safe when df reads the old table).
+
+        Crash-safe ordering: the live table is renamed *aside* (``__old``)
+        before the new copy is promoted, never deleted first — so at every
+        instant a complete copy exists on disk and :meth:`_repair` can
+        restore it. A delete-then-rename swap would lose the table to a
+        crash between the two calls, silently re-keying the dim on the next
+        run and orphaning existing fact surrogate keys.
+        """
+        main = self.path(table)
+        tmp, old = main + "__tmp", main + "__old"
+        self._repair(table)
+        self._delete(old)  # stale residue from a prior completed swap
+        df.write.mode("overwrite").parquet(tmp)  # overwrite clears stale tmp
+        if self.exists(table):
+            self._rename(main, old)
+        self._rename(tmp, main)
+        self._delete(old)
 
     def append_fact(self, table: str, df: DataFrame, dedup_keys: list[str]) -> int:
         """Idempotent append: anti-join against existing keys, in-batch dedup.

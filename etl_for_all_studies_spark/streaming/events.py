@@ -92,7 +92,16 @@ def _sessionize_group(
 ) -> Iterable[pd.DataFrame]:
     """Per-user session folding. State = the open session (start, last, n,
     total); closed sessions are emitted, the final open one stays in state
-    (emitted by the caller draining state at end-of-stream if desired)."""
+    (emitted by the caller draining state at end-of-stream if desired).
+
+    ``applyInPandasWithState`` may deliver one group's micro-batch as
+    *multiple* pandas chunks, so all chunks are concatenated and sorted once
+    — sorting each chunk independently would interleave out-of-order events
+    and corrupt session boundaries. Cross-micro-batch ordering is a hard
+    precondition (documented on :func:`sessionize`): an event older than the
+    open session's ``last_us`` is treated as in-session (it can never close
+    one — the gap test is strictly forward in event time).
+    """
     (user_id,) = key
     if state.exists:
         start_us, last_us, n, total = state.get
@@ -101,8 +110,9 @@ def _sessionize_group(
         n, total = 0, 0.0
 
     closed: list[tuple[int, int, int, int, float]] = []
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         for ts, value in zip(pdf["ts"], pdf["value"]):
             ts_us = int(ts.value) // 1_000  # pandas ns → µs
             v = float(value) if value == value else 0.0
@@ -129,7 +139,15 @@ def sessionize(events: DataFrame) -> DataFrame:
     (``applyInPandasWithState``): sessions spanning micro-batches are
     stitched through state; a session is emitted once a later event proves
     the gap. The open tail session per user remains in state by design
-    (streams don't end), so outputs cover *closed* sessions only."""
+    (streams don't end), so outputs cover *closed* sessions only.
+
+    Precondition: event time must be non-decreasing **across micro-batches**
+    per user (within a micro-batch, events are gathered and sorted). An event
+    arriving in a later micro-batch with a timestamp before the open
+    session's last event is folded into that session rather than reopening a
+    closed one — closed sessions are final (append output mode). Feed the
+    source through a watermark-bounded ingestion if late cross-batch data is
+    possible."""
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")

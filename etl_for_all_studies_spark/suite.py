@@ -578,9 +578,11 @@ WITH sh AS (
   FROM documents
 ),
 hs AS (
+  -- shingle-less docs (len < k) carry no MinHash signature (see
+  -- minhash_signatures: they can only be exact dups, never fuzzy)
   SELECT doc_id, shingles,
          list_transform(shingles, s -> {_POLY}) AS hh
-  FROM sh
+  FROM sh WHERE len(shingles) > 0
 ),
 sig AS (
   SELECT doc_id, shingles, [

@@ -41,6 +41,39 @@ def test_exact_duplicates(docs):
     assert sum(out.values()) == 5
 
 
+def test_char_shingles_short_and_empty_texts(spark):
+    from etl_for_all_studies_spark.functions.hashing import char_shingles
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "abcde"), (5, "abcdef")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", char_shingles(F.col("text"), 5).alias("sh")).collect()
+    }
+    # len < k (incl. empty/NULL) -> EMPTY shingle set, matching the DuckDB
+    # oracle's range(1, greatest(len-4,0)+1); previously sequence(1,0) emitted
+    # a spurious truncated shingle so all short docs pairwise "matched"
+    assert out[1] == []
+    assert out[2] == []
+    assert out[3] == []
+    assert out[4] == ["abcde"]
+    assert out[5] == ["abcde", "bcdef"]
+
+
+def test_short_docs_never_near_dup_pairs(spark):
+    # identical short docs are exact dups, not fuzzy pairs: empty shingle
+    # sets must produce NO Jaccard pairs (0/0) instead of J=1.0 for every
+    # short-doc pair (quadratic blowup at scale)
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "ab"), (3, "cd"), (4, "")],
+        "doc_id long, text string",
+    )
+    assert ngram_jaccard_pairs(df, threshold=0.1).count() == 0
+    assert minhash_dedup(df, verify_threshold=0.1).count() == 0
+
+
 def test_ngram_jaccard_finds_near_dup(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]

@@ -24,6 +24,38 @@ def test_fuzzy_header_resolution_tiers():
     assert resolve_field_columns(cols, ["platform_id"]) == []
 
 
+def test_same_tier_variant_columns_all_included():
+    # Multiple actual columns match one candidate at the same (stripped) tier:
+    # ALL must be in the coalesce, in schema order, so a row whose first
+    # variant is blank falls through to the next variant — the reference's
+    # per-row lookup only sees non-empty headers (metadata_processing.py:68-74)
+    cols = ["characteristics_ch1_illness", "characteristics_ch2_illness", "other"]
+    assert resolve_field_columns(cols, ["characteristics_ch1_Illness"]) == [
+        "characteristics_ch1_illness",
+        "characteristics_ch2_illness",
+    ]
+    # exact tier still leads even when casefold variants precede it in schema order
+    cols2 = ["AGE", "Age"]
+    assert resolve_field_columns(cols2, ["Age"]) == ["Age", "AGE"]
+
+
+def test_variant_fallback_row_wise(spark):
+    # Row 1: ch1 filled -> ch1 wins. Row 2: ch1 blank, ch2 filled -> ch2
+    # value must survive (previously coalesced straight to UNKNOWN).
+    df = spark.createDataFrame(
+        [
+            ("S1", "GSE9", "flu", ""),
+            ("S2", "GSE9", "", "diabetes"),
+            ("S3", "GSE9", "", ""),
+        ],
+        "refinebio_accession_code string, experiment_accession string, "
+        "characteristics_ch1_illness string, characteristics_ch2_illness string",
+    )
+    md = normalize_metadata(df, "GSE9")
+    rows = {r["gsm_accession"]: r["illness"] for r in md.collect()}
+    assert rows == {"S1": "flu", "S2": "diabetes", "S3": "UNKNOWN"}
+
+
 def test_normalize_metadata_semantics(spark, study_tree):
     from etl_for_all_studies_spark.sources.study_io import read_metadata_raw
 

@@ -147,6 +147,21 @@ def test_spark_bh_windows_match_oracle_many_families(spark):
             assert got[key] == pytest.approx(exp, abs=1e-12), key
 
 
+def test_bh_nan_p_excluded_from_family(spark):
+    # NaN p must behave like NULL: excluded from m, q=NULL — not inflate m
+    # or propagate NaN through the running-min (reference correlation.py:72-79)
+    from etl_for_all_studies_spark.functions.stats import benjamini_hochberg
+
+    rows = [(0, float("nan")), (1, 0.02), (2, 0.04), (3, None), (4, float("nan"))]
+    df = spark.createDataFrame(rows, "idx long, p_value double")
+    got = {r["idx"]: r["q_value"] for r in benjamini_hochberg(df).collect()}
+    # m = 2 valid p-values: q1 = min(.02*2/1, .04*2/2) = .04, q2 = .04
+    assert got[1] == pytest.approx(0.04, abs=1e-12)
+    assert got[2] == pytest.approx(0.04, abs=1e-12)
+    for idx in (0, 3, 4):
+        assert got[idx] is None, idx
+
+
 # ---- Spark plan: t path agrees with the scalar implementation ------------
 
 def test_spark_t_pvalue_path(spark):

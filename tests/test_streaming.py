@@ -87,6 +87,116 @@ def test_windowed_counts_match_batch(spark, event_files):
     assert sum(got.values()) == 6
 
 
+def test_sessionize_group_multichunk_out_of_order():
+    """applyInPandasWithState may split one group's micro-batch into several
+    pandas chunks in arbitrary order; session folding must sort globally, not
+    per chunk (per-chunk sorting walks event time backwards and never closes
+    the gap)."""
+    import pandas as pd
+
+    from etl_for_all_studies_spark.streaming.events import _sessionize_group
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    base = pd.Timestamp("2024-01-01")
+
+    def chunk(seconds, values):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(seconds),
+                "ts": [base + pd.Timedelta(seconds=s) for s in seconds],
+                "value": values,
+            }
+        )
+
+    # delivered out of order: the 50-min event arrives in the FIRST chunk
+    chunks = [chunk([50 * 60], [4.0]), chunk([0, 60], [1.0, 2.0])]
+    state = FakeState()
+    out = list(_sessionize_group((7,), iter(chunks), state))
+    assert len(out) == 1
+    closed = out[0].iloc[0]
+    # globally sorted: events at 0s,60s form the closed session; 50min opens a new one
+    base_us = int(base.value) // 1_000
+    assert closed["session_start_us"] == base_us
+    assert closed["n_events"] == 2
+    assert closed["duration_us"] == 60 * 1_000_000
+    assert closed["sum_value"] == pytest.approx(3.0)
+    open_us = base_us + 50 * 60 * 1_000_000
+    assert state.get == (open_us, open_us, 1, 4.0)
+
+
+def test_watermark_drops_late_events_batch_keeps_them(spark, tmp_path):
+    """Negative watermark test: a late event targeting an ALREADY-EMITTED
+    window must be dropped by the watermark (never re-emitting or corrupting
+    the finalized window), while the batch twin still counts it.
+
+    Spark's watermark contract is one-sided ("data delayed more than the
+    watermark may or may not be dropped"): the late filter applies the
+    watermark with one micro-batch of lag, so the drop is only guaranteed
+    once a prior batch has committed the advanced watermark — hence the
+    three-file staging here (advance → commit → late arrival).
+    """
+    d = tmp_path / "late_in"
+    d.mkdir()
+    hour = 3600
+    # batch 0: two on-time events in hour 0; one at hour 10 that advances
+    # event time (watermark becomes 8h at this batch's commit)
+    _write_events(
+        d / "f1.parquet",
+        [(0, 1, "click", 1.0), (120, 1, "click", 1.0), (10 * hour, 1, "click", 1.0)],
+    )
+    # batch 1: on-time filler; runs under the committed 8h watermark, which
+    # finalizes + emits the hour-0 window (append mode) and evicts its state
+    _write_events(d / "f2.parquet", [(10 * hour + 600, 1, "click", 1.0)], start_id=3)
+    # batch 2: a LATE event back into hour 0 — its window end (1h) is far
+    # behind the 8h watermark and the window was already emitted → dropped
+    _write_events(d / "f3.parquet", [(300, 2, "click", 7.0)], start_id=4)
+    # the file source orders micro-batches by modification time; pin distinct
+    # mtimes so the staging above is the actual batch order
+    import os
+
+    for i, name in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+        os.utime(d / name, (1_700_000_000 + 100 * i,) * 2)
+    stream = read_events_stream(spark, str(d))
+    run_to_memory_sink(
+        hourly_counts(stream, watermark="2 hours"), "late_test", output_mode="append"
+    )
+    got = {
+        (r["hour_us"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # exactly ONE hour-0 row, with on-time counts only: the late event neither
+    # re-emitted the window nor leaked into it; hour-10 stays open (unemitted)
+    base_us = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert got == {(base_us, "click"): (2, 2.0)}
+    # the batch twin (no watermark) still counts the late row
+    from pyspark.sql import functions as F
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(str(d))
+    expected = {
+        (r["hour_us"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert expected[(base_us, "click")] == 3  # late row present in batch
+
+
 def test_stateful_sessionize_stitches_across_batches(spark, event_files):
     stream = read_events_stream(spark, str(event_files))
     run_to_memory_sink(sessionize(stream), "sessions_test", output_mode="append")

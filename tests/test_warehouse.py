@@ -1,0 +1,113 @@
+"""Warehouse durability tests: crash-safe dim swap recovery and the JDBC
+retry/backoff contract (reference ``database.py:28-60``)."""
+import pytest
+
+from etl_for_all_studies_spark.sources.warehouse import (
+    Warehouse,
+    write_jdbc_with_retries,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, "gene_key long, ensembl_id string")
+
+
+def _read_ids(wh):
+    df = wh.read("dim_gene")
+    assert df is not None
+    return {r["ensembl_id"]: r["gene_key"] for r in df.collect()}
+
+
+def test_overwrite_dim_roundtrip_and_residue_cleanup(spark, wh):
+    wh.overwrite_dim("dim_gene", _dim(spark, [(1, "A"), (2, "B")]))
+    assert _read_ids(wh) == {"A": 1, "B": 2}
+    wh.overwrite_dim("dim_gene", _dim(spark, [(1, "A"), (2, "B"), (3, "C")]))
+    assert _read_ids(wh) == {"A": 1, "B": 2, "C": 3}
+    # no residue left behind after a completed swap
+    assert not wh.exists("dim_gene__tmp")
+    assert not wh.exists("dim_gene__old")
+
+
+def test_crash_between_aside_and_promote_recovers_tmp(spark, wh):
+    """Crash state: live renamed aside, tmp (the NEW copy) not yet promoted.
+    read() must promote tmp — the newest complete copy — not lose the dim."""
+    wh.overwrite_dim("dim_gene", _dim(spark, [(1, "A")]))
+    new = _dim(spark, [(1, "A"), (2, "B")])
+    new.write.mode("overwrite").parquet(wh.path("dim_gene") + "__tmp")
+    wh._rename(wh.path("dim_gene"), wh.path("dim_gene") + "__old")
+    assert _read_ids(wh) == {"A": 1, "B": 2}
+    assert not wh.exists("dim_gene__old")
+
+
+def test_crash_with_only_old_copy_restores_it(spark, wh):
+    """Crash state: live renamed aside and tmp lost — restore __old so an
+    existing dim is never silently re-keyed from scratch."""
+    wh.overwrite_dim("dim_gene", _dim(spark, [(1, "A"), (2, "B")]))
+    wh._rename(wh.path("dim_gene"), wh.path("dim_gene") + "__old")
+    assert _read_ids(wh) == {"A": 1, "B": 2}
+
+
+def test_overwrite_dim_reading_its_own_previous_version(spark, wh):
+    """The df being written may lazily scan the live table (rebuild-from-self);
+    the swap must materialize tmp before touching the live path."""
+    wh.overwrite_dim("dim_gene", _dim(spark, [(1, "A")]))
+    rebuilt = wh.read("dim_gene").unionByName(
+        _dim(spark, [(2, "B")]).select("gene_key", "ensembl_id")
+    )
+    wh.overwrite_dim("dim_gene", rebuilt)
+    assert _read_ids(wh) == {"A": 1, "B": 2}
+
+
+# ---- JDBC sink retry/backoff (O-44) --------------------------------------
+
+
+def test_jdbc_retry_backoff_then_success(spark, monkeypatch):
+    """Two failures then success: the writer must be re-invoked per attempt
+    with exponential backoff sleeps between (reference database.py:28-60)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    attempts = []
+    sleeps = []
+
+    def fake_jdbc(self, url=None, table=None, mode=None, properties=None):
+        attempts.append((url, table, mode))
+        if len(attempts) < 3:
+            raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(DataFrameWriter, "jdbc", fake_jdbc)
+    monkeypatch.setattr("time.sleep", lambda s: sleeps.append(s))
+
+    df = spark.createDataFrame([(1,)], "x long")
+    write_jdbc_with_retries(
+        df, "jdbc:sqlserver://host;db=x", "facts",
+        max_retries=5, retry_backoff_seconds=2.0,
+    )
+    assert len(attempts) == 3
+    assert all(a == ("jdbc:sqlserver://host;db=x", "facts", "append") for a in attempts)
+    assert sleeps == [2.0, 4.0]  # exponential: backoff * 2**attempt
+
+
+def test_jdbc_retry_exhaustion_raises(spark, monkeypatch):
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    calls = []
+
+    def always_fail(self, url=None, table=None, mode=None, properties=None):
+        calls.append(1)
+        raise RuntimeError("deadlock victim")
+
+    monkeypatch.setattr(DataFrameWriter, "jdbc", always_fail)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(RuntimeError, match="failed after 3 attempts"):
+        write_jdbc_with_retries(
+            df, "jdbc:sqlserver://h", "facts", max_retries=3,
+            retry_backoff_seconds=0.0,
+        )
+    assert len(calls) == 3
