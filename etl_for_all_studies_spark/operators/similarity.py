@@ -10,8 +10,19 @@ Beyond-reference capability (BASELINE.json north star):
   broadcast centroid list), then search only the query's probe cells. The
   candidate join is an equi-join on ``cell``, so the shuffle is keyed by
   cell — never all-pairs. Recall is tunable via ``n_probes``.
+* **IVF near-duplicates** — semantic dedup at scale: both sides multi-probe
+  into cells, candidate pairs come from an equi-join on ``cell`` (bounded by
+  Σ|cell|², never n²), then cosine-verified — the same candidates→verify
+  shape as ``minhash_dedup``. The brute-force form is kept as the oracle.
 
-Both are pure DataFrame ops; no Python in the row path.
+Cost model: cosine is evaluated per *pair*, so all pair-scoring paths
+pre-normalize each vector **once per row** (`unit vectors`) and score pairs
+with a single dot product — 1/3 the per-pair higher-order-function work of
+dot/(|a|·|b|). The unit-vector tables are persisted before any pair fan-out:
+HOF expressions get no common-subexpression elimination, so without the
+barrier Catalyst re-inlines the normalization into every pair row.
+
+All pure DataFrame ops; no Python in the row path.
 """
 from __future__ import annotations
 
@@ -40,6 +51,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit_vectors(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_alias: str = "vid",
+    vec_alias: str = "uv",
+) -> DataFrame:
+    """(id, unit-normalized float64 vector). Zero vectors normalize to NULL
+    elements (``nullif`` guard) so downstream cosines are NULL, never ∞/ANSI
+    errors. The norm is materialized as a column *before* the per-element
+    divide — inlining it into the ``transform`` lambda would re-evaluate the
+    O(dim) norm aggregate once per element (HOFs get no CSE)."""
+    return (
+        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
+        .withColumn("__nrm", F.nullif(norm(F.col("__v")), F.lit(0.0)))
+        .select(
+            id_alias,
+            F.transform(
+                F.col("__v"), lambda x: x.cast("double") / F.col("__nrm")
+            ).alias(vec_alias),
+        )
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -52,19 +88,19 @@ def brute_force_topk(
 
     Self-matches are excluded; ties break deterministically on neighbor id.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    q = unit_vectors(
+        queries, id_col=id_col, vec_col=vec_col, id_alias="query_id", vec_alias="qv"
+    ).persist()
+    c = unit_vectors(
+        corpus, id_col=id_col, vec_col=vec_col, id_alias="neighbor_id", vec_alias="cv"
+    ).persist()
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -77,6 +113,28 @@ def brute_force_topk(
     )
 
 
+def _assign_cells_from_units(
+    units: DataFrame, ucent: DataFrame, *, n_probes: int
+) -> DataFrame:
+    """Cell assignment over pre-normalized vectors: ``units`` (vid, uv) ×
+    broadcast ``ucent`` (cell, ucv) → (vid, cell, probe_rank ≤ n_probes)."""
+    scored = units.join(F.broadcast(ucent)).select(
+        "vid", "cell", dot(F.col("uv"), F.col("ucv")).alias("sim")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= n_probes)
+        .select("vid", "cell", "probe_rank")
+    )
+
+
+def _unit_centroids(centroids: DataFrame, vec_col: str) -> DataFrame:
+    return unit_vectors(
+        centroids, id_col="cell", vec_col=vec_col, id_alias="cell", vec_alias="ucv"
+    )
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -86,19 +144,10 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its ``n_probes`` nearest centroid cells (by
-    cosine). Centroids are broadcast; output (id, cell, probe_rank)."""
-    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
-    cent = centroids.select(
-        F.col("cell").alias("cell"), F.col(vec_col).alias("centv")
-    )
-    scored = v.join(F.broadcast(cent)).select(
-        "vid", "cell", cosine(F.col("vv"), F.col("centv")).alias("sim")
-    )
-    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("probe_rank", F.row_number().over(w))
-        .where(F.col("probe_rank") <= n_probes)
-        .select("vid", "cell", "probe_rank")
+    cosine). Centroids are broadcast; output (vid, cell, probe_rank)."""
+    units = unit_vectors(vectors, id_col=id_col, vec_col=vec_col)
+    return _assign_cells_from_units(
+        units, _unit_centroids(centroids, vec_col), n_probes=n_probes
     )
 
 
@@ -115,14 +164,17 @@ def ivf_topk(
     """IVF ANN top-k: corpus vectors live in their nearest cell; each query
     scans only its ``n_probes`` nearest cells. Returns
     (query_id, neighbor_id, cos_sim, rank)."""
-    corpus_cells = assign_cells(
-        corpus, centroids, n_probes=1, id_col=id_col, vec_col=vec_col
-    ).select(F.col("vid").alias("neighbor_id"), "cell")
-    query_cells = assign_cells(
-        queries, centroids, n_probes=n_probes, id_col=id_col, vec_col=vec_col
-    ).select(F.col("vid").alias("query_id"), "cell")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ucent = _unit_centroids(centroids, vec_col)
+    uc = unit_vectors(corpus, id_col=id_col, vec_col=vec_col).persist()
+    uq = unit_vectors(queries, id_col=id_col, vec_col=vec_col).persist()
+    corpus_cells = _assign_cells_from_units(uc, ucent, n_probes=1).select(
+        F.col("vid").alias("neighbor_id"), "cell"
+    )
+    query_cells = _assign_cells_from_units(uq, ucent, n_probes=n_probes).select(
+        F.col("vid").alias("query_id"), "cell"
+    )
+    q = uq.select(F.col("vid").alias("query_id"), F.col("uv").alias("qv"))
+    c = uc.select(F.col("vid").alias("neighbor_id"), F.col("uv").alias("cv"))
     candidates = (
         query_cells.join(corpus_cells, on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -135,7 +187,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -155,16 +207,72 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold (brute-force form;
-    for scale, route through :func:`ivf_topk` cells first)."""
-    a = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    """Near-dup pairs by embedding cosine ≥ threshold — **brute-force form**,
+    O(n²): the correctness oracle for bounded inputs. The scale path is
+    :func:`embedding_near_duplicates_ivf` (cell-bucketed candidates)."""
+    u = unit_vectors(vectors, id_col=id_col, vec_col=vec_col).persist()
+    a = u.select(F.col("vid").alias("doc_a"), F.col("uv").alias("va"))
+    b = u.select(F.col("vid").alias("doc_b"), F.col("uv").alias("vb"))
     return (
         a.crossJoin(b)
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
-        )
+        .select("doc_a", "doc_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_candidates(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, unit_vectors) for IVF-bucketed near-dup: every vector is
+    multi-probed into its ``n_probes`` nearest cells, candidate pairs are an
+    equi-join on ``cell`` — a pair is considered iff the two probe-cell sets
+    intersect, so work is Σ|cell|² over cells, never n². Exposed separately
+    so callers (and tests) can measure candidate volume vs n²."""
+    ucent = _unit_centroids(centroids, vec_col)
+    u = unit_vectors(vectors, id_col=id_col, vec_col=vec_col).persist()
+    cells = _assign_cells_from_units(u, ucent, n_probes=n_probes)
+    a = cells.select(F.col("vid").alias("doc_a"), "cell")
+    b = cells.select(F.col("vid").alias("doc_b"), "cell")
+    candidates = (
+        a.join(b, on="cell")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return candidates, u
+
+
+def embedding_near_duplicates_ivf(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-dup at scale: IVF-cell candidates → cosine verify —
+    the embedding analog of ``minhash_dedup``'s candidates→verify shape
+    (``operators/dedup.py``). Output matches
+    :func:`embedding_near_duplicates` wherever the pair's probe cells
+    intersect; recall is tuned by ``n_probes`` and centroid spread (a pair of
+    true near-dups has near-identical vectors, so both probe the same nearest
+    cells — multi-probing both sides covers centroid-boundary pairs)."""
+    candidates, u = embedding_near_dup_candidates(
+        vectors, centroids, n_probes=n_probes, id_col=id_col, vec_col=vec_col
+    )
+    va = u.select(F.col("vid").alias("doc_a"), F.col("uv").alias("va"))
+    vb = u.select(F.col("vid").alias("doc_b"), F.col("uv").alias("vb"))
+    return (
+        candidates.join(va, on="doc_a")
+        .join(vb, on="doc_b")
+        .select("doc_a", "doc_b", dot(F.col("va"), F.col("vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -174,7 +282,10 @@ __all__ = [
     "brute_force_topk",
     "cosine",
     "dot",
+    "embedding_near_dup_candidates",
     "embedding_near_duplicates",
+    "embedding_near_duplicates_ivf",
     "ivf_topk",
     "norm",
+    "unit_vectors",
 ]

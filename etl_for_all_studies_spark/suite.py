@@ -413,8 +413,13 @@ def q_spearman_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").cast("string").alias("gsm_accession"),
         "expression_value",
     ).persist()  # both sides of the pair self-join read this (~600k rows)
+    # mode="auto": one cheap classification agg routes each study — this
+    # supplier×part matrix is RAGGED (each supplier covers ~3% of parts), so
+    # the router provably picks the exact per-pair-intersection plan the
+    # reference semantics require; spearman_dense_auto below is the matrix
+    # shape where the same router takes the pre-ranked dense path.
     corr = compute_gene_pair_correlations(
-        expr, min_samples=2, mode="exact", computed_at="fixed"
+        expr, min_samples=2, mode="auto", computed_at="fixed"
     )
     return corr.select(
         "gene_a_key",
@@ -433,11 +438,14 @@ _P_EXPR = (
     f"ELSE LEAST(GREATEST(2.0*(1.0-(0.5*(1.0+{_SQL_ERF.format(y=_Y_EXPR)}))), 0.0), 1.0) END"
 )
 
-_SQL_SPEARMAN = f"""
+def _spearman_sql(base_select: str) -> str:
+    """Shared DuckDB oracle skeleton for the Spearman+BH plan; ranks are
+    computed within each pair's shared sample set (reference semantics) —
+    identical to per-gene ranks when the matrix is dense, so one oracle
+    covers both physical routes of ``mode="auto"``."""
+    return f"""
 WITH base AS (
-  SELECT l_suppkey AS g, CAST(l_partkey AS VARCHAR) AS s,
-         CAST(SUM(l_quantity) AS DOUBLE) AS v
-  FROM lineitem GROUP BY 1, 2
+  {base_select}
 ),
 pairs AS (
   SELECT a.g AS ga, b.g AS gb, a.s AS s, a.v AS va, b.v AS vb
@@ -487,6 +495,50 @@ FROM qs
 """
 
 
+_SQL_SPEARMAN = _spearman_sql(
+    "SELECT l_suppkey AS g, CAST(l_partkey AS VARCHAR) AS s, "
+    "CAST(SUM(l_quantity) AS DOUBLE) AS v FROM lineitem GROUP BY 1, 2"
+)
+
+
+# --------------------------------------------------------------------------
+# 10b. DENSE-route Spearman: supplier × line-number matrix — every supplier
+#      covers all 7 line numbers, so mode="auto" classifies the study dense
+#      and takes the pre-ranked plan (one window over the long table instead
+#      of two windows over the pair-expanded table). Same oracle skeleton:
+#      per-pair ranks == per-gene ranks on a dense matrix.
+# --------------------------------------------------------------------------
+
+def q_spearman_dense_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_suppkey", "l_linenumber").agg(
+        F.sum("l_quantity").cast("double").alias("expression_value")
+    )
+    expr = base.select(
+        F.lit(1).cast("long").alias("study_key"),
+        F.col("l_suppkey").cast("long").alias("gene_key"),
+        F.col("l_linenumber").cast("string").alias("gsm_accession"),
+        "expression_value",
+    ).persist()
+    corr = compute_gene_pair_correlations(
+        expr, min_samples=2, mode="auto", computed_at="fixed"
+    )
+    return corr.select(
+        "gene_a_key",
+        "gene_b_key",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        ((F.floor(F.col("rho_spearman") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("rho"),
+        ((F.floor(F.col("p_value") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("p"),
+        ((F.floor(F.col("q_value") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("q"),
+    )
+
+
+_SQL_SPEARMAN_DENSE = _spearman_sql(
+    "SELECT l_suppkey AS g, CAST(l_linenumber AS VARCHAR) AS s, "
+    "CAST(SUM(l_quantity) AS DOUBLE) AS v FROM lineitem GROUP BY 1, 2"
+)
+
+
 # --------------------------------------------------------------------------
 # 11. exact dedup (hash-groupBy)
 # --------------------------------------------------------------------------
@@ -529,6 +581,52 @@ WITH sh AS (
   )) AS shingle
   FROM documents WHERE doc_id < 600
 ),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
+       (FLOOR((common / (sa.set_size + sb.set_size - common)) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / (sa.set_size + sb.set_size - common) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# 12a. stop-shingle-capped n-gram Jaccard — the scale valve for the exact
+#      formulation: dropping shingles with document frequency > cap bounds
+#      the co-occurrence join at |vocab|·cap² regardless of corpus size, so
+#      (unlike 12's capped-input baseline) this runs UNBOUNDED over the
+#      documents table. Jaccard is over the kept-shingle universe — near-dup
+#      pairs share their rare shingles and survive; hot-shingle-only overlap
+#      vanishes.
+# --------------------------------------------------------------------------
+
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.35, max_shingle_df=64)
+    return pairs.select(
+        "doc_a", "doc_b", "common",
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        ((F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("jaccard"),
+    )
+
+
+_SQL_NGRAM_CAPPED = """
+WITH sh0 AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, GREATEST(length(text) - 4, 0) + 1),
+                   i -> text[i : i + 4])
+  )) AS shingle
+  FROM documents
+),
+hot AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > 64),
+sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
@@ -794,18 +892,27 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_EMBED_TOPK = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+# unit-normalized vectors + pair dot product — mirrors similarity.unit_vectors
+# term-for-term (sequential list_reduce sum == Spark's sequential aggregate):
+# cosine per pair is ONE dot over pre-normalized vectors, not dot/(|a|·|b|)
+_SQL_UNIT_CTE = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+    "nullif(SQRT(list_reduce(list_prepend(0.0, list_transform(embedding, "
+    "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (acc, z) -> acc + z)), 0.0)) AS uv "
+    "FROM embeddings"
+)
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+)
+
+_SQL_EMBED_TOPK = f"""
+WITH unit AS ({_SQL_UNIT_CTE}),
+q AS (SELECT vec_id AS query_id, uv AS qv FROM unit WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, uv AS cv FROM unit),
 scored AS (
-  SELECT query_id, neighbor_id,
-    list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
-      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (acc, x) -> acc + x)
-    / (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
-         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (acc, x) -> acc + x))
-       * SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, len(cv) + 1),
-         i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (acc, x) -> acc + x)))
-    AS cos_sim
+  SELECT query_id, neighbor_id, {_SQL_DOT.format(a="qv", b="cv")} AS cos_sim
   FROM q, c
   WHERE query_id <> neighbor_id
 ),
@@ -838,23 +945,14 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_COS = (
-    "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x) "
-    "/ (SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (acc, x) -> acc + x)) "
-    "* SQRT(list_reduce(list_prepend(0.0, list_transform(range(1, len({b}) + 1), "
-    "i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)))"
-)
-
 _SQL_EMBED_IVF = f"""
-WITH cent AS (
-  SELECT vec_id AS cell, embedding AS centv FROM embeddings WHERE vec_id < 8
+WITH unit AS ({_SQL_UNIT_CTE}),
+cent AS (
+  SELECT vec_id AS cell, uv AS ucv FROM unit WHERE vec_id < 8
 ),
 corpus_scored AS (
-  SELECT e.vec_id AS vid, c.cell,
-         {_SQL_COS.format(a="e.embedding", b="c.centv")} AS sim
-  FROM embeddings e, cent c
+  SELECT u.vec_id AS vid, c.cell, {_SQL_DOT.format(a="u.uv", b="c.ucv")} AS sim
+  FROM unit u, cent c
 ),
 corpus_cells AS (
   SELECT vid AS neighbor_id, cell FROM (
@@ -862,16 +960,10 @@ corpus_cells AS (
     FROM corpus_scored
   ) WHERE pr <= 1
 ),
-q_scored AS (
-  SELECT e.vec_id AS vid, c.cell,
-         {_SQL_COS.format(a="e.embedding", b="c.centv")} AS sim
-  FROM embeddings e, cent c
-  WHERE e.vec_id < 10
-),
 query_cells AS (
   SELECT vid AS query_id, cell FROM (
     SELECT vid, cell, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, cell ASC) AS pr
-    FROM q_scored
+    FROM corpus_scored WHERE vid < 10
   ) WHERE pr <= 2
 ),
 cand AS (
@@ -881,10 +973,10 @@ cand AS (
 ),
 scored AS (
   SELECT cand.query_id, cand.neighbor_id,
-         {_SQL_COS.format(a="q.embedding", b="n.embedding")} AS cos_sim
+         {_SQL_DOT.format(a="q.uv", b="n.uv")} AS cos_sim
   FROM cand
-  JOIN embeddings q ON q.vec_id = cand.query_id
-  JOIN embeddings n ON n.vec_id = cand.neighbor_id
+  JOIN unit q ON q.vec_id = cand.query_id
+  JOIN unit n ON n.vec_id = cand.neighbor_id
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
@@ -904,7 +996,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # brute-force all-pairs is the oracle baseline — bounded to vec_id < 500
     # (≈125k pairs) so the quadratic stays fixed across scale factors; the
-    # scale path for semantic dedup is the IVF cell join (embedding_ivf).
+    # scale path for semantic dedup is dedup_embedding_ivf below.
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
     out = embedding_near_duplicates(emb, threshold=0.35)
     return out.select(
@@ -913,11 +1005,64 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_DEDUP_EMBED = f"""
-WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+WITH unit AS ({_SQL_UNIT_CTE} WHERE vec_id < 500),
 pairs AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-         {_SQL_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim
-  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+         {_SQL_DOT.format(a="a.uv", b="b.uv")} AS cos_sim
+  FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, ROUND(cos_sim, 6) + 0.0 AS cos_sim
+FROM pairs WHERE cos_sim >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# 16b3. IVF-bucketed embedding near-dup — the SCALE path for semantic dedup:
+#     candidates from a multi-probe cell equi-join (Σ|cell|², never n²),
+#     cosine-verified; same candidates→verify shape as minhash_dedup. Runs
+#     UNBOUNDED over the embeddings table (the brute-force form above stays
+#     capped — that asymmetry is the point).
+# --------------------------------------------------------------------------
+
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_near_duplicates_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # deterministic centroids: the first 32 vectors; cell id = their vec_id.
+    # 32 cells × 2 probes bounds candidate volume at ~n²/8 worst-case uniform
+    # (measured far below that on clustered data) while double-probing keeps
+    # centroid-boundary near-dup pairs co-bucketed.
+    centroids = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cell"), F.col("embedding")
+    )
+    out = embedding_near_duplicates_ivf(emb, centroids, threshold=0.35, n_probes=2)
+    return out.select(
+        "doc_a", "doc_b", (F.round("cos_sim", 6) + F.lit(0.0)).alias("cos_sim")
+    )
+
+
+_SQL_DEDUP_EMBED_IVF = f"""
+WITH unit AS ({_SQL_UNIT_CTE}),
+cent AS (SELECT vec_id AS cell, uv AS ucv FROM unit WHERE vec_id < 32),
+scored AS (
+  SELECT u.vec_id AS vid, c.cell, {_SQL_DOT.format(a="u.uv", b="c.ucv")} AS sim
+  FROM unit u, cent c
+),
+cells AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY sim DESC, cell ASC) AS pr
+    FROM scored
+  ) WHERE pr <= 2
+),
+cand AS (
+  SELECT DISTINCT a.vid AS doc_a, b.vid AS doc_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vid < b.vid
+),
+pairs AS (
+  SELECT doc_a, doc_b, {_SQL_DOT.format(a="ua.uv", b="ub.uv")} AS cos_sim
+  FROM cand
+  JOIN unit ua ON ua.vec_id = cand.doc_a
+  JOIN unit ub ON ub.vec_id = cand.doc_b
 )
 SELECT doc_a, doc_b, ROUND(cos_sim, 6) + 0.0 AS cos_sim
 FROM pairs WHERE cos_sim >= 0.35
@@ -1037,8 +1182,10 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "average_rank": QueryDef(q_average_rank, _SQL_AVG_RANK),
     "top_parts_per_brand": QueryDef(q_top_parts_per_brand, _SQL_TOP_PARTS),
     "spearman_suppliers": QueryDef(q_spearman_suppliers, _SQL_SPEARMAN),
+    "spearman_dense_auto": QueryDef(q_spearman_dense_auto, _SQL_SPEARMAN_DENSE),
     "dedup_exact": QueryDef(q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _SQL_NGRAM),
+    "dedup_ngram_capped": QueryDef(q_dedup_ngram_capped, _SQL_NGRAM_CAPPED),
     "dedup_minhash": QueryDef(q_dedup_minhash, _SQL_MINHASH),
     "dedup_simhash": QueryDef(q_dedup_simhash, _SQL_SIMHASH),
     "text_quality": QueryDef(q_text_quality, _SQL_TEXT_QUALITY),
@@ -1047,6 +1194,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "embedding_topk": QueryDef(q_embedding_topk, _SQL_EMBED_TOPK),
     "embedding_ivf": QueryDef(q_embedding_ivf, _SQL_EMBED_IVF),
     "dedup_embedding": QueryDef(q_dedup_embedding, _SQL_DEDUP_EMBED),
+    "dedup_embedding_ivf": QueryDef(q_dedup_embedding_ivf, _SQL_DEDUP_EMBED_IVF),
     "multimodal_decode": QueryDef(q_multimodal_decode, _SQL_MULTIMODAL),
     "events_hourly": QueryDef(q_events_hourly, _SQL_EVENTS_HOURLY),
     "events_sessionize": QueryDef(q_events_sessionize, _SQL_SESSIONIZE),

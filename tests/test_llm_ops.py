@@ -15,6 +15,9 @@ from etl_for_all_studies_spark.operators.dedup import (
 )
 from etl_for_all_studies_spark.operators.similarity import (
     brute_force_topk,
+    embedding_near_dup_candidates,
+    embedding_near_duplicates,
+    embedding_near_duplicates_ivf,
     ivf_topk,
 )
 from etl_for_all_studies_spark.operators.textops import (
@@ -141,6 +144,65 @@ def test_ivf_topk_subset_of_bruteforce(spark):
     got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
     exp = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
     assert got == exp
+
+
+def _clustered_vectors(spark, *, n_clusters=4, per_cluster=25, dim=8, noise=0.02):
+    """Near-dup-rich fixture: each cluster is a basis direction + tiny noise,
+    so same-cluster pairs have cosine ≈ 1 and cross-cluster pairs ≈ 0."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            v = [rng.uniform(-noise, noise) for _ in range(dim)]
+            v[c] += 1.0
+            rows.append((c * per_cluster + j, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_near_dup_matches_brute_force_on_clustered_data(spark):
+    """On data with actual near-dup structure, the IVF-bucketed operator is
+    EXACT: every same-cluster pair shares its nearest cell, so recall is 100%
+    and the verified cosines are identical to the brute-force form."""
+    vecs = _clustered_vectors(spark)
+    # centroids: one representative per cluster (first member)
+    centroids = vecs.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") / 25).cast("long").alias("cell"), "embedding"
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates(vecs, threshold=0.95).collect()
+    }
+    ivf = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates_ivf(
+            vecs, centroids, threshold=0.95, n_probes=2
+        ).collect()
+    }
+    assert set(brute) == set(ivf)
+    assert len(brute) == 4 * (25 * 24) // 2  # all same-cluster pairs
+    for k in brute:
+        assert ivf[k] == pytest.approx(brute[k], abs=1e-12)
+
+
+def test_ivf_near_dup_candidates_far_below_n_squared(spark):
+    """The scale claim: candidate volume is Σ|cell|² over probe cells, not
+    n²/2 — on clustered data with C clusters it is ~(n_probes·n/C)²·C/2."""
+    vecs = _clustered_vectors(spark)
+    centroids = vecs.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") / 25).cast("long").alias("cell"), "embedding"
+    )
+    candidates, _ = embedding_near_dup_candidates(vecs, centroids, n_probes=1)
+    n = vecs.count()
+    n_cand = candidates.count()
+    all_pairs = n * (n - 1) // 2  # 4950
+    # single-probe on clean clusters: cells == clusters exactly, so the
+    # candidate set is precisely the 4·C(25,2) = 1200 same-cluster pairs —
+    # 24% of all-pairs here, and (n_probes·n/C)²·C/2 / (n²/2) = 1/C in
+    # general: the ratio shrinks as the centroid count grows
+    assert n_cand == 4 * (25 * 24) // 2
+    assert n_cand < all_pairs
 
 
 def test_text_annotations(spark):
