@@ -8,10 +8,15 @@ Replaces the reference's per-row get-or-create probes + in-memory dim caches
 keys get fresh keys starting at ``max(existing)+1`` (get-or-create semantics,
 set-at-a-time).
 
-Scale note: dims here are small by construction (genes ≈ whitelist size,
-studies/platforms/illnesses are tiny, samples ≪ facts). The single-partition
-``row_number`` window on a dim build is bounded by dim cardinality, not fact
-cardinality — the facts side only ever *joins* (broadcast) against these.
+Scale note: genes/studies/platforms/illnesses are small by construction
+(genes ≈ whitelist size, the rest tiny), so their single-partition
+``row_number`` is bounded by dim cardinality and left as-is. ``dim_sample``
+is the one dim that grows with the corpus (10k–50k samples/study × many
+studies), so its keys are assigned **per-study in parallel**: ``row_number``
+partitioned by ``study_key`` plus dense per-study offsets (a window over one
+row per study) — numerically identical to a global sort by
+``(study_key, gsm_accession)`` but with no fact-scale single-partition
+Exchange. The facts side only ever *joins* (broadcast) against these dims.
 """
 from __future__ import annotations
 
@@ -84,6 +89,32 @@ def build_dim_platform(existing: DataFrame | None, metadata: DataFrame) -> DataF
     return assign_surrogate_keys(existing, accs, "platform_key", ["platform_accession"])
 
 
+def _assign_sample_keys(incoming: DataFrame, base: int) -> DataFrame:
+    """Dense, deterministic sample keys without a global single-partition sort.
+
+    key = ``base`` + rank of (study_key, gsm_accession) — computed as a
+    per-study ``row_number`` (parallel across studies) plus each study's
+    cumulative row-count offset. The offset window is single-partition but
+    runs over ONE row per study (the counts aggregate), never the samples
+    themselves, so the plan stays parallel at any corpus size.
+    """
+    per_study = Window.partitionBy("study_key").orderBy("gsm_accession")
+    counts = incoming.groupBy("study_key").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = Window.orderBy("study_key").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "study_key", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        incoming.withColumn("__rn", F.row_number().over(per_study))
+        .join(F.broadcast(offsets), on="study_key")
+        .withColumn(
+            "sample_key",
+            (F.col("__rn") + F.col("__off") + F.lit(base)).cast("long"),
+        )
+        .drop("__rn", "__off")
+    )
+
+
 def build_dim_sample(
     existing: DataFrame | None,
     metadata: DataFrame,
@@ -124,9 +155,8 @@ def build_dim_sample(
         .dropDuplicates(["gsm_accession", "study_key"])
     )
     if existing is None or existing.isEmpty():
-        w = Window.orderBy("study_key", "gsm_accession")
-        return incoming.select(
-            F.row_number().over(w).cast("long").alias("sample_key"),
+        return _assign_sample_keys(incoming, 0).select(
+            "sample_key",
             "gsm_accession",
             "study_key",
             "platform_key",
@@ -156,10 +186,16 @@ def build_dim_sample(
         enrich_str("sex").alias("sex"),
     )
     base = existing.agg(F.max("sample_key")).collect()[0][0] or 0
-    w = Window.orderBy("study_key", "gsm_accession")
-    novel_keys = (
-        merged.where(F.col("sample_key").isNull())
-        .withColumn("sample_key", (F.row_number().over(w) + F.lit(base)).cast("long"))
+    novel_keys = _assign_sample_keys(
+        merged.where(F.col("sample_key").isNull()).drop("sample_key"), base
+    ).select(
+        "sample_key",
+        "gsm_accession",
+        "study_key",
+        "platform_key",
+        "illness_key",
+        "age",
+        "sex",
     )
     return merged.where(F.col("sample_key").isNotNull()).unionByName(novel_keys)
 
