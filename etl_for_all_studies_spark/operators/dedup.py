@@ -74,11 +74,15 @@ def ngram_jaccard_pairs(
     with ``J ≥ threshold`` and ``doc_a < doc_b``.
 
     ``max_shingle_df`` drops shingles occurring in more than that many docs
-    (stop-shingle removal — bounds the join's skew at scale; None keeps all,
-    which is the *exact* semantics used for oracle checking).
+    (stop-shingle removal): the co-occurrence join's cost is Σdf² over
+    shingle document frequency, so the cap bounds it at |vocab|·cap² —
+    independent of corpus size. Jaccard is then computed **within the
+    kept-shingle universe** (set sizes counted after the cap): near-dup
+    pairs share their rare shingles and stay ≈1, while pairs that only
+    share stop-shingles vanish entirely. ``None`` keeps all shingles —
+    the exact (but Σdf²-unbounded) semantics.
     """
     sh = shingle_sets(docs, text_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -87,6 +91,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(hot, on="shingle", how="left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
