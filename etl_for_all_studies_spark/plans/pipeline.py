@@ -82,25 +82,56 @@ def run_pipeline(
     wh = Warehouse(spark, str(config.warehouse.path))
     genes = read_gene_filter(spark, str(config.processing.gene_filter_file))
 
-    metadata_parts: list[DataFrame] = []
-    expression_parts: list[DataFrame] = []
-    processed: list[str] = []
     failures: list[StudyFailure] = []
 
+    # Phase 1 — plan-time discovery: per study, build the normalized-metadata
+    # frame and open the wide expression scan (header-only inference; no
+    # data-scale job). A study with missing/malformed files is quarantined
+    # (O-45).
+    staged: list[tuple[str, str, DataFrame, DataFrame]] = []
     for study_dir in discover_studies(config.processing.input_directory):
         try:
             files = discover_study_files(study_dir)
             raw_md = read_metadata_raw(spark, str(files.metadata_path))
             md = normalize_metadata(raw_md, files.accession, config.field_mappings)
-            samples = [r[0] for r in md.select("gsm_accession").collect()]
             wide = read_expression_wide(spark, str(files.expression_path))
-            long = expression_wide_to_long(wide, samples, files.accession)
-            expression_parts.append(filter_to_whitelist(long, genes))
-            metadata_parts.append(md)
-            processed.append(files.accession)
+            staged.append((str(study_dir), files.accession, md, wide))
         except Exception as exc:  # noqa: BLE001 — quarantine, don't kill the run
             logger.exception("Study %s failed; quarantined", study_dir)
             failures.append(StudyFailure(str(study_dir), f"{type(exc).__name__}: {exc}"))
+
+    if not staged:
+        return PipelineResult([], failures, 0, [], time.monotonic() - t0)
+
+    # Phase 2 — ONE batched collect of every study's sample list (the
+    # column-pruning driver metadata for O-14) instead of one job per study:
+    # plan construction stays O(1) Spark jobs as the study count grows.
+    # Cardinality is total samples (≤50k/study), same driver footprint as
+    # the per-study collects it replaces.
+    all_md = _union_all([md for _, _, md, _ in staged])
+    samples_by_study: dict[str, list[str]] = {}
+    for gse, gsm in (
+        all_md.select("gse_accession", "gsm_accession").distinct().collect()
+    ):
+        samples_by_study.setdefault(gse, []).append(gsm)
+
+    # Phase 3 — per-study unpivot plans against the collected sample lists;
+    # a study whose expression header shares no columns with its metadata is
+    # quarantined here (ExpressionSchemaError), after the batch job.
+    metadata_parts: list[DataFrame] = []
+    expression_parts: list[DataFrame] = []
+    processed: list[str] = []
+    for study_dir, accession, md, wide in staged:
+        try:
+            long = expression_wide_to_long(
+                wide, samples_by_study.get(accession, []), accession
+            )
+            expression_parts.append(filter_to_whitelist(long, genes))
+            metadata_parts.append(md)
+            processed.append(accession)
+        except Exception as exc:  # noqa: BLE001
+            logger.exception("Study %s failed; quarantined", study_dir)
+            failures.append(StudyFailure(study_dir, f"{type(exc).__name__}: {exc}"))
 
     if not metadata_parts:
         return PipelineResult([], failures, 0, [], time.monotonic() - t0)
