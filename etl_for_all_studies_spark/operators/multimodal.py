@@ -91,6 +91,31 @@ def _fake_decode(data: bytes) -> tuple[int, int]:
     return 64 + h % 961, 64 + (h * 31 + 7) % 961
 
 
+def _pillow_decode(data: bytes) -> tuple[int, int]:  # pragma: no cover
+    """Real-codec branch: Pillow header decode (bytes → (width, height))."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(data)) as im:
+        return im.width, im.height
+
+
+# The pluggable codec seam: any callable bytes -> (width, height). Resolved
+# to Pillow when installed, the deterministic fake otherwise; swappable at
+# runtime (tests inject a stand-in "real" codec through this exact seam).
+_IMAGE_DECODER = _pillow_decode if HAVE_REAL_CODECS else _fake_decode
+
+
+def set_image_decoder(decoder):
+    """Plug an image codec (``bytes -> (width, height)``); returns the
+    previous decoder so callers/tests can restore it."""
+    global _IMAGE_DECODER
+    prev = _IMAGE_DECODER
+    _IMAGE_DECODER = decoder
+    return prev
+
+
 def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Demo/test helper: wrap each document's UTF-8 bytes as an 'image'."""
     return docs.select(
@@ -105,18 +130,17 @@ def decode_images(media: DataFrame) -> DataFrame:
     """Binary → (width, height, n_bytes) via Arrow-batched ``mapInPandas``.
 
     Partition-preserving (no shuffle): each Arrow batch is decoded where it
-    sits. With real codecs installed this is where Pillow would run; in this
-    container the deterministic fake stands in (``HAVE_REAL_CODECS`` False).
+    sits. The codec is whatever ``_IMAGE_DECODER`` resolves to (Pillow when
+    installed, the deterministic fake in this container) — captured into the
+    closure HERE, at plan-build time, so an injected decoder rides along in
+    the serialized task instead of being re-resolved to the module default
+    on the executor.
     """
+    decoder = _IMAGE_DECODER
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_REAL_CODECS:  # pragma: no cover
-                raise NotImplementedError(
-                    "real codec path not wired in this container; "
-                    "plug Pillow decode here"
-                )
-            dims = [_fake_decode(bytes(d)) for d in pdf["data"]]
+            dims = [decoder(bytes(d)) for d in pdf["data"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -208,4 +232,5 @@ __all__ = [
     "extract_features",
     "resize_images",
     "sample_frames",
+    "set_image_decoder",
 ]

@@ -30,6 +30,40 @@ def test_decode_schema_and_determinism(spark, media):
     assert all(64 <= w < 1025 and 64 <= h < 1025 for w, h, _ in rows1.values())
 
 
+def test_codec_seam_injection(spark, media):
+    """The real-codec contract: a decoder plugged through set_image_decoder
+    is what mapInPandas actually runs — captured at plan-build time, so the
+    injected callable is serialized into the task (a module-global lookup on
+    the executor would silently fall back to the default)."""
+    from etl_for_all_studies_spark.operators.multimodal import set_image_decoder
+
+    def header_sniffer(data: bytes) -> tuple[int, int]:
+        # stand-in "real" codec: dimensions from the first bytes, like a
+        # PNG/JPEG header parse would
+        return (data[0] if data else 0) + 1000, len(data) + 2000
+
+    prev = set_image_decoder(header_sniffer)
+    try:
+        injected = {
+            r["media_id"]: (r["width"], r["height"])
+            for r in decode_images(media).collect()
+        }
+        # "hello world" -> ord('h')+1000, len+2000 — proves bytes reached
+        # the injected codec and its output flowed out through the schema
+        assert injected[1] == (ord("h") + 1000, 11 + 2000)
+        assert injected[3] == (ord("a") + 1000, 3 + 2000)
+    finally:
+        restored = set_image_decoder(prev)
+        assert restored is header_sniffer
+    # restored: back to the deterministic fake
+    default = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in decode_images(media).collect()
+    }
+    assert default[1] != injected[1]
+    assert all(64 <= w < 1025 and 64 <= h < 1025 for w, h in default.values())
+
+
 def test_resize_pads_and_truncates(spark, media):
     out = {r["media_id"]: bytes(r["data"]) for r in resize_images(media, 8, 4).collect()}
     assert all(len(d) == 32 for d in out.values())
