@@ -4,7 +4,6 @@
 from __future__ import annotations
 
 import argparse
-import logging
 import pathlib
 import sys
 
@@ -39,7 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     from etl_for_all_studies_spark import load_config, run_correlation_job
 
     config = load_config(args.config)
-    logging.basicConfig(level=config.logging.log_level)
+    from etl_for_all_studies_spark.logging_utils import configure_logging
+
+    configure_logging(config)
     result = run_correlation_job(
         config, accessions=args.study, mode=args.mode, pvalue_dist=args.pvalue_dist
     )

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import argparse
-import logging
 import pathlib
 import sys
 
@@ -23,7 +22,9 @@ def main(argv: list[str] | None = None) -> int:
     from etl_for_all_studies_spark import load_config, run_pipeline
 
     config = load_config(args.config)
-    logging.basicConfig(level=config.logging.log_level)
+    from etl_for_all_studies_spark.logging_utils import configure_logging
+
+    configure_logging(config)
     result = run_pipeline(config, with_correlations=args.with_correlations)
     print(
         f"processed={len(result.processed_studies)} failures={len(result.failures)} "

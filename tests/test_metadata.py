@@ -85,3 +85,41 @@ def test_required_columns_enforced(spark):
     df = spark.createDataFrame([("x",)], ["refinebio_accession_code"])
     with pytest.raises(MetadataSchemaError):
         normalize_metadata(df, "GSE1")
+
+
+def test_configure_logging_parity(tmp_path):
+    """Reference logging contract (logging_utils.py:12-34): rotated etl.log
+    under log_directory + console handler, level from config; force-rebind
+    so repeat calls don't stack handlers."""
+    import logging
+
+    from etl_for_all_studies_spark.config import config_from_dict
+    from etl_for_all_studies_spark.logging_utils import configure_logging
+
+    (tmp_path / "g.tsv").write_text("gene_symbol\tensembl_id\n")
+    cfg = config_from_dict(
+        {
+            "warehouse": {"path": str(tmp_path / "wh")},
+            "processing": {
+                "input_directory": str(tmp_path),
+                "gene_filter_file": str(tmp_path / "g.tsv"),
+            },
+            "logging": {"log_level": "WARNING", "log_directory": str(tmp_path / "logs")},
+        }
+    )
+    configure_logging(cfg)
+    configure_logging(cfg)  # idempotent: no handler accumulation
+    root = logging.getLogger()
+    assert root.level == logging.WARNING
+    assert len(root.handlers) == 2
+    logging.getLogger("parity-test").warning("hello etl")
+    for h in root.handlers:
+        h.flush()
+    log_file = tmp_path / "logs" / "etl.log"
+    assert log_file.exists()
+    text = log_file.read_text()
+    assert "hello etl" in text and "[WARNING] parity-test" in text
+    # restore pytest's own logging state
+    for h in list(root.handlers):
+        root.removeHandler(h)
+        h.close()
