@@ -63,6 +63,17 @@ def main() -> None:
         # queries run with a clean storage pool
         spark.catalog.clearCache()
 
+    # ETL throughput on the reference's own GSE9006-shaped envelope — in the
+    # bench JSON so BENCH_r{N}.json carries round-over-round ETL regressions,
+    # not just query timings (reference anchor: 78 records/s, BASELINE.md).
+    from tools.bench_etl import run_etl_bench
+
+    try:
+        etl = run_etl_bench(spark)
+    except Exception as exc:  # never let the ETL leg kill the suite numbers
+        etl = {"error": f"{type(exc).__name__}: {exc}"}
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -73,6 +84,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "etl": etl,
             }
         )
     )

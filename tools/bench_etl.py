@@ -50,26 +50,56 @@ def build_fixture(root: pathlib.Path, n_samples: int, n_genes: int) -> None:
             )
 
 
+def run_etl_bench(spark, n_samples: int = 163, n_genes: int = 20_000) -> dict:
+    """Run the GSE9006-shaped ETL + correlation workload on an existing
+    session; returns the metrics dict (reused by the repo-root ``bench.py``
+    so ``BENCH_r{N}.json`` tracks ETL throughput round-over-round)."""
+    import shutil
+
+    from etl_for_all_studies_spark import run_correlation_job, run_pipeline
+    from etl_for_all_studies_spark.config import config_from_dict
+
+    root = pathlib.Path(tempfile.mkdtemp(prefix="etl_bench_"))
+    try:
+        build_fixture(root, n_samples, n_genes)
+        cfg = config_from_dict(
+            {
+                "warehouse": {"path": str(root / "wh")},
+                "processing": {
+                    "input_directory": str(root / "studies"),
+                    "gene_filter_file": str(root / "genes.tsv"),
+                },
+                "logging": {"log_level": "WARNING"},
+            }
+        )
+        t0 = time.monotonic()
+        res = run_pipeline(cfg, spark=spark)
+        etl_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        corr = run_correlation_job(cfg, spark=spark)
+        corr_s = time.monotonic() - t0
+        return {
+            "metric": "etl_records_per_second",
+            "value": round(res.fact_rows_written / etl_s, 1),
+            "unit": "records/sec",
+            "fact_rows": res.fact_rows_written,
+            "etl_sec": round(etl_s, 2),
+            "corr_pairs": sum(corr.pair_counts.values()),
+            "corr_sec": round(corr_s, 2),
+            "n_samples": n_samples,
+            "n_genes": n_genes,
+            "reference_anchor_records_per_second": 78,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 163
     n_genes = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
 
-    from etl_for_all_studies_spark import run_correlation_job, run_pipeline
-    from etl_for_all_studies_spark.config import config_from_dict
     from etl_for_all_studies_spark.session import get_spark
 
-    root = pathlib.Path(tempfile.mkdtemp(prefix="etl_bench_"))
-    build_fixture(root, n_samples, n_genes)
-    cfg = config_from_dict(
-        {
-            "warehouse": {"path": str(root / "wh")},
-            "processing": {
-                "input_directory": str(root / "studies"),
-                "gene_filter_file": str(root / "genes.tsv"),
-            },
-            "logging": {"log_level": "WARNING"},
-        }
-    )
     spark = get_spark(
         master="local[32]",
         shuffle_partitions=32,
@@ -80,30 +110,7 @@ def main() -> None:
         },
     )
     spark.range(1).count()
-
-    t0 = time.monotonic()
-    res = run_pipeline(cfg, spark=spark)
-    etl_s = time.monotonic() - t0
-    t0 = time.monotonic()
-    corr = run_correlation_job(cfg, spark=spark)
-    corr_s = time.monotonic() - t0
-
-    print(
-        json.dumps(
-            {
-                "metric": "etl_records_per_second",
-                "value": round(res.fact_rows_written / etl_s, 1),
-                "unit": "records/sec",
-                "fact_rows": res.fact_rows_written,
-                "etl_sec": round(etl_s, 2),
-                "corr_pairs": sum(corr.pair_counts.values()),
-                "corr_sec": round(corr_s, 2),
-                "n_samples": n_samples,
-                "n_genes": n_genes,
-                "reference_anchor_records_per_second": 78,
-            }
-        )
-    )
+    print(json.dumps(run_etl_bench(spark, n_samples, n_genes)))
 
 
 if __name__ == "__main__":
