@@ -51,6 +51,36 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def incremental_new_documents(
+    new_docs: DataFrame, seen_digests: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: which documents of a new batch are
+    genuinely new content, and who is the in-batch keeper.
+
+    ``seen_digests`` is the warehouse's digest set (one ``text_hash`` column —
+    at scale a digest-bucketed table, so this anti-join co-locates without a
+    full shuffle of the corpus). The new batch is first reduced to one row per
+    digest (keeper = min doc_id, same rule as ``exact_duplicates``), then
+    anti-joined against the seen set — the same idempotent-append contract as
+    the warehouse fact loader (O-16, ``sources/warehouse.py``), applied to the
+    training corpus: re-deliveries and overlapping crawl snapshots never
+    duplicate content.
+
+    Returns ``(text_hash, keeper_doc_id, n_in_batch)`` for unseen digests.
+    """
+    in_batch = (
+        new_docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col("doc_id"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )
+    return in_batch.join(
+        seen_digests.select("text_hash"), "text_hash", "left_anti"
+    )
+
+
 def shingle_sets(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """(doc_id, shingle) exploded distinct k-char shingles + per-doc set size."""
     with_sh = docs.select(
@@ -355,6 +385,7 @@ def simhash_near_pairs(
 __all__ = [
     "MINHASH_SEEDS",
     "exact_duplicates",
+    "incremental_new_documents",
     "minhash_dedup",
     "minhash_lsh_candidates",
     "minhash_signatures",

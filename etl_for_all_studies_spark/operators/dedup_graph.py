@@ -1,0 +1,171 @@
+"""Connected components over near-duplicate pair graphs (dedup clustering).
+
+Beyond-reference capability: pairwise near-dup detectors (MinHash/SimHash/
+embedding — ``operators/dedup.py``, ``operators/similarity.py``) emit *edges*;
+curation needs *clusters* — one canonical keeper per group of transitively
+connected duplicates (A≈B, B≈C ⇒ {A,B,C} is one cluster even if A≉C). That
+transitive closure is a connected-components computation on a graph that, at
+100 TB, does not fit on any driver.
+
+Spark-native formulation: iterative min-label propagation with pointer
+jumping, all as DataFrame joins/aggregations —
+
+* each node starts labeled with itself;
+* **neighbor-min step**: every node takes ``min(own label, neighbor labels)``
+  (an equi-join of edges with labels + ``groupBy(node).min``, map-side
+  partial aggregation);
+* **pointer-jump step**: ``label := label(label)`` (labels self-join) — the
+  path-halving trick from Stergiou et al. / the MapReduce CC literature
+  (hash-to-min family), cutting convergence from O(diameter) to
+  ~O(log diameter) rounds;
+* converge when no label changes (cheap ``limit(1).count()`` existence probe).
+
+Each round ends in ``localCheckpoint`` — truncating lineage so the iteration
+count doesn't nest query plans (the standard Spark iterative-algorithm
+pattern; on a cluster use reliable ``checkpoint`` to survive executor loss).
+
+Scale notes:
+* Edges are shuffled on node id each round — linear in |E|, never all-pairs.
+  Exact-duplicate groups should enter as **star edges** (member→keeper, see
+  ``exact_dup_star_edges``) rather than cliques, keeping |E| linear in group
+  size.
+* Skewed super-nodes (one doc near-dup to millions) make the neighbor-min
+  groupBy skew; ``functions/skew.py`` salting applies (min is associative).
+* Driver involvement is one scalar existence check per round — no label data
+  ever collects to the driver.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dup_star_edges(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(u, v) star edges linking each exact duplicate to its group keeper
+    (min id per content digest). Linear in group size — never a clique."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    keeper = F.min(id_col).over(w)
+    return (
+        docs.select(F.col(id_col).alias("u"), keeper.alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) where ``cluster_id`` is the minimum node id in the
+    node's connected component.
+
+    ``nodes`` (optional) adds isolated vertices (they become singleton
+    clusters); otherwise the vertex set is the edge endpoints. Raises if the
+    propagation hasn't converged after ``max_iter`` rounds (pointer jumping
+    makes that ~2^25-diameter territory — unreachable for dedup graphs).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("eu"), F.col(dst).cast("long").alias("ev")
+    ).where(F.col("eu").isNotNull() & F.col("ev").isNotNull())
+    # materialize the symmetric edge list ONCE — it is re-joined every round,
+    # and recomputing its lineage (often a full near-dup detection) per
+    # iteration turns O(rounds) into O(rounds × detector cost)
+    sym = (
+        e.union(e.select(F.col("ev").alias("eu"), F.col("eu").alias("ev")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    if nodes is not None:
+        base = nodes.select(F.col(node_col).cast("long").alias("node")).distinct()
+    else:
+        base = sym.select(F.col("eu").alias("node")).distinct()
+
+    # Size the per-round label partitioning to the vertex count (~1M labels
+    # per partition): the loop runs O(log) rounds of tiny jobs, and paying
+    # full shuffle-partition task counts per round is pure scheduler latency
+    # at small n while a cluster-scale graph still fans out.
+    spark = edges.sparkSession
+    n_nodes = base.count()
+    n_parts = max(
+        1, min(spark.sparkContext.defaultParallelism * 4, 1 + n_nodes // 1_000_000)
+    )
+
+    labels = (
+        base.repartition(n_parts, "node")
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.ev == labels.node)
+            .groupBy(F.col("eu").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        jump_to = stepped.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
+        # the convergence flag rides inside the round's own checkpoint, so
+        # the probe below is a filter over materialized data — no extra join
+        # (and no extra codegen shape) per round
+        jumped = (
+            stepped.join(jump_to, stepped.comp == jump_to.jnode, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
+                (F.coalesce(F.col("jcomp"), F.col("comp")) != F.col("old_comp"))
+                .alias("moved"),
+            )
+            .repartition(n_parts, "node")
+            .localCheckpoint()
+        )
+        changed = jumped.where(F.col("moved")).limit(1).count()
+        labels = jumped.select("node", "comp")
+        if changed == 0:
+            return labels.select("node", F.col("comp").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def dedup_clusters(
+    docs: DataFrame, pair_edges: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster every document (singletons included) by exact-dup star edges ∪
+    the supplied near-dup ``pair_edges`` (columns ``doc_a``/``doc_b``).
+
+    Output: (doc_id, cluster_id, cluster_size, is_keeper) — the curation
+    contract: keep rows where ``is_keeper = 1``, audit the rest.
+    """
+    edges = exact_dup_star_edges(docs, id_col=id_col).union(
+        pair_edges.select(
+            F.col("doc_a").cast("long").alias("u"),
+            F.col("doc_b").cast("long").alias("v"),
+        )
+    )
+    comp = connected_components(
+        edges, nodes=docs.select(F.col(id_col).alias("node"))
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias(id_col),
+            "cluster_id",
+            "cluster_size",
+            (F.col("node") == F.col("cluster_id")).cast("long").alias("is_keeper"),
+        )
+    )
+
+
+__all__ = ["connected_components", "dedup_clusters", "exact_dup_star_edges"]

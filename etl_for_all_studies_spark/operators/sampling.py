@@ -1,0 +1,49 @@
+"""Deterministic hash-based sampling (stratified subsampling for data mixes).
+
+Beyond-reference capability: LLM data curation re-weights sources by sampling
+each stratum at its own rate (e.g. down-sample crawl, keep books). Doing that
+with ``rand()`` is irreproducible and unstable under retries/speculative
+execution; the standard scale answer is a *deterministic* hash of a stable
+key: ``keep iff hash(key) mod denom < rate``. Re-runs, partial re-runs, and
+per-executor retries all make identical decisions, and the sample composes
+with incremental loads (the same doc always lands the same way).
+
+The hash is the portable polynomial hash (``functions/hashing.py``), so the
+decision is reproducible *outside* Spark too (the DuckDB oracle replays it
+bit-for-bit) — auditable sampling, not engine-dependent.
+
+Scale notes: a narrow projection + filter per row — no shuffle, no Python;
+the filter sits directly on the scan so column pruning and partition pruning
+pass through. Per-stratum rates arrive as an arbitrary ``Column`` (a literal,
+an expression over the stratum column, or a broadcast-joined rate dim), so
+the rate table never forces a wide shuffle.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import affine_hash, poly_hash
+
+#: Default affine-family parameters (distinct from the MinHash family so the
+#: sampling decision is independent of dedup signatures).
+SALT_A = 7919
+SALT_B = 104729
+
+
+def sample_bucket(key: Column, denom: int = 1000) -> Column:
+    """Deterministic bucket in [0, denom) from a stable key column."""
+    return affine_hash(poly_hash(key.cast("string")), SALT_A, SALT_B) % F.lit(denom)
+
+
+def hash_sample(
+    df: DataFrame, key: Column, rate: Column, denom: int = 1000
+) -> DataFrame:
+    """Keep rows whose deterministic bucket falls below ``rate`` (per-row
+    Column — per-mille when ``denom=1000``). Annotates ``sample_bucket`` so
+    audits can verify the decision."""
+    bucketed = df.withColumn("sample_bucket", sample_bucket(key, denom))
+    return bucketed.where(F.col("sample_bucket") < rate)
+
+
+__all__ = ["SALT_A", "SALT_B", "hash_sample", "sample_bucket"]

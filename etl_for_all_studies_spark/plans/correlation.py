@@ -47,30 +47,28 @@ def _utc_now_iso() -> str:
 
 def _split_dense_studies(e: DataFrame) -> tuple[list[int], list[int]]:
     """Classify studies as dense (every gene covers every sample exactly
-    once) vs ragged. One cheap aggregation over the long table — negligible
-    next to the pair join it lets the dense studies skip."""
+    once) vs ragged, in ONE aggregation over the long table.
+
+    A study is dense iff (a) no (gene, sample) cell repeats
+    (``total == distinct cells``) and (b) the distinct cells fill the full
+    gene × sample grid (``cells == n_genes · n_samples``) — together those
+    force every gene to cover every sample exactly once. Single groupBy
+    (Catalyst plans the multi-count_distinct via one Expand), no join — this
+    runs once per job at plan time, so its fixed cost is pure latency on
+    every auto-routed query."""
     from pyspark.sql import functions as SF
 
-    per_gene = e.groupBy("study_key", "gene_key").agg(
-        SF.count(SF.lit(1)).alias("n_rows"),
+    per_study = e.groupBy("study_key").agg(
+        SF.count(SF.lit(1)).alias("total"),
+        SF.count_distinct("gene_key").alias("n_genes"),
         SF.count_distinct("gsm_accession").alias("n_samples"),
+        SF.count_distinct(SF.struct("gene_key", "gsm_accession")).alias("cells"),
     )
-    per_study = (
-        per_gene.join(
-            e.groupBy("study_key").agg(
-                SF.count_distinct("gsm_accession").alias("study_samples")
-            ),
-            on="study_key",
-        )
-        .groupBy("study_key")
-        .agg(
-            SF.max(
-                (SF.col("n_rows") != SF.col("n_samples"))
-                | (SF.col("n_samples") != SF.col("study_samples"))
-            ).alias("ragged")
-        )
-    )
-    rows = per_study.collect()
+    rows = per_study.withColumn(
+        "ragged",
+        (SF.col("total") != SF.col("cells"))
+        | (SF.col("cells") != SF.col("n_genes") * SF.col("n_samples")),
+    ).collect()
     dense = [r["study_key"] for r in rows if not r["ragged"]]
     ragged = [r["study_key"] for r in rows if r["ragged"]]
     return dense, ragged

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from .functions.stats import average_rank
 from .operators.dedup import (
     exact_duplicates,
+    incremental_new_documents,
     minhash_dedup,
     ngram_jaccard_pairs,
     simhash,
@@ -732,8 +733,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_POLY = _SQL_POLY_HASH.format(s="t")
 
-_SQL_SIMHASH = f"""
-WITH toks AS (
+# SimHash fingerprint + banded candidate pairs as a reusable CTE body — the
+# dedup_clusters oracle composes these same CTEs with a recursive
+# connected-components walk.
+_SIMHASH_CTES = f"""toks AS (
   SELECT doc_id, UNNEST(
     CASE WHEN TRIM(lower(text)) = '' THEN []
          ELSE string_split_regex(TRIM(lower(text)), '\\s+') END
@@ -756,14 +759,17 @@ blocks AS (
   SELECT doc_id, simhash, blk, (simhash >> CAST(blk * 16 AS INTEGER)) & 65535 AS val
   FROM fp, range(0, 2) AS r(blk)
 ),
-pairs AS (
+simpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sh_a, b.simhash AS sh_b
   FROM blocks a JOIN blocks b
     ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
-)
+)"""
+
+_SQL_SIMHASH = f"""
+WITH {_SIMHASH_CTES}
 SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
-FROM pairs
+FROM simpairs
 WHERE bit_count(xor(sh_a, sh_b)) <= 1
 """
 
@@ -1167,6 +1173,322 @@ FROM sessions GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# 19. document quality filtering (C4/Gopher-style rule pipeline)
+# --------------------------------------------------------------------------
+
+def _r6(col: F.Column) -> F.Column:
+    """Cross-engine 6-dp rounding (floor + epsilon — see module docstring)."""
+    return (F.floor(col * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import annotate_quality
+
+    docs = annotate_quality(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_words",
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("type_token_ratio")).alias("type_token_ratio"),
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        "pass_n_words",
+        "pass_word_len",
+        "pass_ttr",
+        "pass_stopwords",
+        "keep",
+    )
+
+
+_SQL_QUALITY = """
+WITH t AS (
+  SELECT doc_id, source,
+         string_split_regex(TRIM(text), '\\s+') AS toks,
+         string_split_regex(lower(TRIM(text)), '\\s+') AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_reduce(list_transform(toks, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS type_token_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(ltoks, w -> w IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, source, n_words,
+  (FLOOR(mean_word_len * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS mean_word_len,
+  (FLOOR(type_token_ratio * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS type_token_ratio,
+  (FLOOR(stopword_ratio * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS stopword_ratio,
+  CAST(CASE WHEN n_words BETWEEN 30 AND 90 THEN 1 ELSE 0 END AS BIGINT) AS pass_n_words,
+  CAST(CASE WHEN mean_word_len BETWEEN 3.5 AND 5.0 THEN 1 ELSE 0 END AS BIGINT) AS pass_word_len,
+  CAST(CASE WHEN type_token_ratio >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS pass_ttr,
+  CAST(CASE WHEN stopword_ratio >= 0.02 THEN 1 ELSE 0 END AS BIGINT) AS pass_stopwords,
+  CAST(CASE WHEN n_words BETWEEN 30 AND 90 AND mean_word_len BETWEEN 3.5 AND 5.0
+             AND type_token_ratio >= 0.3 AND stopword_ratio >= 0.02
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# 20. contiguous sequence packing (concat-then-split training batches)
+# --------------------------------------------------------------------------
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_contiguous
+    from .operators.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    packed = pack_contiguous(
+        docs, "n_tokens", budget=512, group_col="source", order_col="doc_id"
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_SQL_PACK = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+               / 512.0) AS BIGINT) AS pack_id
+  FROM t
+)
+SELECT source, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM p GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 21. stratified deterministic hash sampling (per-source data-mix rates)
+# --------------------------------------------------------------------------
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    # per-stratum rate as a pure expression over the stratum column — works
+    # at any SF without a driver-side source list; a broadcast-joined rate
+    # dim plugs into the same ``rate`` parameter (see tests/test_llm_ops.py)
+    src_idx = F.substring(F.col("source"), 4, 10).cast("int")
+    rate = F.when(src_idx % 2 == 0, F.lit(250)).otherwise(F.lit(600))
+    return hash_sample(docs, F.col("doc_id"), rate, denom=1000).select(
+        "doc_id", "source", "sample_bucket"
+    )
+
+
+_SQL_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, source,
+    (({_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}) * 7919 + 104729)
+      % 1000000007 % 1000 AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, source, sample_bucket
+FROM b
+WHERE sample_bucket < CASE WHEN CAST(source[4:] AS INTEGER) % 2 = 0
+                           THEN 250 ELSE 600 END
+"""
+
+
+# --------------------------------------------------------------------------
+# 22. incremental cross-snapshot dedup (new batch vs seen digest set)
+# --------------------------------------------------------------------------
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    seen = (
+        docs.where(F.col("doc_id") < 250)
+        .select(F.md5(F.col("text")).alias("text_hash"))
+        .distinct()
+    )
+    return incremental_new_documents(docs.where(F.col("doc_id") >= 250), seen)
+
+
+_SQL_DEDUP_INCR = """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id < 250
+),
+nb AS (
+  SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
+         COUNT(*) AS n_in_batch
+  FROM documents WHERE doc_id >= 250 GROUP BY 1
+)
+SELECT nb.* FROM nb ANTI JOIN seen USING (text_hash)
+"""
+
+
+# --------------------------------------------------------------------------
+# 23. overlapping text chunking (RAG / pretraining context windows)
+# --------------------------------------------------------------------------
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import chunk_text
+
+    chunks = chunk_text(_t(spark, sf_dir, "documents"), size=200, stride=150)
+    return chunks.select("doc_id", "chunk_idx", "chunk_len", "chunk_hash")
+
+
+_SQL_CHUNK = f"""
+WITH s AS (
+  SELECT doc_id, text, UNNEST(range(1, length(text) + 1, 150)) AS st
+  FROM documents WHERE length(text) > 0
+),
+c AS (
+  SELECT doc_id, CAST((st - 1) // 150 AS BIGINT) AS chunk_idx,
+         text[st : st + 199] AS ct
+  FROM s
+)
+SELECT doc_id, chunk_idx, CAST(length(ct) AS BIGINT) AS chunk_len,
+       {_SQL_POLY_HASH.format(s="ct")} AS chunk_hash
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# 24. dedup clusters: connected components over near-dup pair graphs —
+#     exact-dup star edges ∪ SimHash near-pairs, iterative min-label
+#     propagation + pointer jumping in Spark vs a recursive-CTE transitive
+#     closure in DuckDB.
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash(docs, bits=32)
+    near = simhash_near_pairs(fps, bits=32, max_hamming=1, bands=2)
+    return dedup_clusters(docs, near)
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SIMHASH_CTES},
+near AS (
+  SELECT doc_a AS u, doc_b AS v FROM simpairs
+  WHERE bit_count(xor(sh_a, sh_b)) <= 1
+),
+star0 AS (
+  SELECT doc_id AS u, MIN(doc_id) OVER (PARTITION BY md5(text)) AS v
+  FROM documents
+),
+star AS (SELECT u, v FROM star0 WHERE u != v),
+edges0 AS (SELECT u, v FROM star UNION SELECT u, v FROM near),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+nodes AS (SELECT doc_id AS node FROM documents),
+walk AS (
+  SELECT node, node AS reach FROM nodes
+  UNION
+  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
+),
+comp AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY 1),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT comp.node AS doc_id, comp.cluster_id, csize.cluster_size,
+       CAST(CASE WHEN comp.node = comp.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+         AS is_keeper
+FROM comp JOIN csize USING (cluster_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# 25. rollup revenue — multi-level aggregation (GROUPING SETS family, §2.6)
+# --------------------------------------------------------------------------
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    )
+    return agg.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "sum_price",
+        "g_status",
+        "g_priority",
+    )
+
+
+_SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# 26. exact token-count percentiles per source (corpus length profile)
+# --------------------------------------------------------------------------
+
+def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.expr("percentile(n_tokens, 0.25)").alias("p25_raw"),
+        F.expr("percentile(n_tokens, 0.5)").alias("p50_raw"),
+        F.expr("percentile(n_tokens, 0.75)").alias("p75_raw"),
+        F.expr("percentile(n_tokens, 0.9)").alias("p90_raw"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        _r6(F.col("p25_raw")).alias("p25"),
+        _r6(F.col("p50_raw")).alias("p50"),
+        _r6(F.col("p75_raw")).alias("p75"),
+        _r6(F.col("p90_raw")).alias("p90"),
+    )
+
+
+_SQL_PERCENTILES = """
+WITH t AS (
+  SELECT source,
+         CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       (FLOOR(quantile_cont(n_tokens, 0.25) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS p25,
+       (FLOOR(quantile_cont(n_tokens, 0.5) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS p50,
+       (FLOOR(quantile_cont(n_tokens, 0.75) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS p75,
+       (FLOOR(quantile_cont(n_tokens, 0.9) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS p90
+FROM t GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1198,6 +1520,14 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "multimodal_decode": QueryDef(q_multimodal_decode, _SQL_MULTIMODAL),
     "events_hourly": QueryDef(q_events_hourly, _SQL_EVENTS_HOURLY),
     "events_sessionize": QueryDef(q_events_sessionize, _SQL_SESSIONIZE),
+    "quality_filter": QueryDef(q_quality_filter, _SQL_QUALITY),
+    "pack_sequences": QueryDef(q_pack_sequences, _SQL_PACK),
+    "sample_stratified": QueryDef(q_sample_stratified, _SQL_SAMPLE),
+    "dedup_incremental": QueryDef(q_dedup_incremental, _SQL_DEDUP_INCR),
+    "chunk_documents": QueryDef(q_chunk_documents, _SQL_CHUNK),
+    "dedup_clusters": QueryDef(q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    "rollup_revenue": QueryDef(q_rollup_revenue, _SQL_ROLLUP),
+    "token_percentiles": QueryDef(q_token_percentiles, _SQL_PERCENTILES),
 }
 
 
