@@ -161,6 +161,25 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once ingestion dedup: drop re-delivered ``event_id``s.
+
+    The third canonical stateful-streaming shape (after windowed agg and
+    sessionization): at-least-once upstreams (Kafka redeliveries, replayed
+    files) are collapsed to exactly-once downstream. State is one key per
+    event_id, *bounded by the watermark* —
+    ``dropDuplicatesWithinWatermark`` evicts ids older than the horizon, so
+    state never grows with the full history (the unbounded-state failure mode
+    of plain ``dropDuplicates`` at 100 TB/day event volume).
+
+    Batch twin: ``dropDuplicates`` on event_id (exact, unbounded) — agreement
+    is asserted in ``test_streaming.py`` for in-horizon redeliveries.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     query_name: str,
@@ -183,6 +202,7 @@ __all__ = [
     "EVENT_SCHEMA",
     "SESSION_GAP_US",
     "SESSION_SCHEMA",
+    "dedup_events",
     "hourly_counts",
     "read_events_stream",
     "run_to_memory_sink",

@@ -1489,6 +1489,62 @@ FROM t GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 27. as-of join: each click enriched with the user's latest view value at
+#     or before the click (union-and-window formulation — no range-join
+#     explosion; see operators/asof.py)
+# --------------------------------------------------------------------------
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    # collapse same-instant views deterministically (max value) so the
+    # as-of carry has a total order on ties in BOTH engines
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        clicks, views, key="user_id", left_ts="ts_us", right_ts="ts_us",
+        value_cols=["view_value"],
+    )
+    return out.select("event_id", "user_id", "ts_us", "value", "view_value_asof")
+
+
+_SQL_ASOF = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_type, value
+  FROM events
+),
+views AS (
+  SELECT user_id, ts_us, MAX(value) AS view_value
+  FROM ev WHERE event_type = 'view' GROUP BY 1, 2
+),
+m AS (
+  SELECT event_id, user_id, ts_us, value, 1 AS side,
+         CAST(NULL AS DOUBLE) AS rv
+  FROM ev WHERE event_type = 'click'
+  UNION ALL
+  SELECT NULL, user_id, ts_us, NULL, 0, view_value FROM views
+),
+c AS (
+  SELECT *,
+    LAST_VALUE(rv IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts_us, side
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value_asof
+  FROM m
+)
+SELECT event_id, user_id, ts_us, value, view_value_asof
+FROM c WHERE side = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1528,6 +1584,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "dedup_clusters": QueryDef(q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     "rollup_revenue": QueryDef(q_rollup_revenue, _SQL_ROLLUP),
     "token_percentiles": QueryDef(q_token_percentiles, _SQL_PERCENTILES),
+    "events_asof": QueryDef(q_events_asof, _SQL_ASOF),
 }
 
 

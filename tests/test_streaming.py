@@ -209,3 +209,30 @@ def test_stateful_sessionize_stitches_across_batches(spark, event_files):
     assert s["n_events"] == 3  # stitched across the file boundary
     assert s["duration_us"] == 180 * 1_000_000
     assert s["sum_value"] == pytest.approx(6.0)
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    from etl_for_all_studies_spark.streaming.events import dedup_events
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    rows = [(0, 1, "click", 1.0), (60, 1, "click", 2.0), (120, 2, "view", 5.0)]
+    _write_events(d / "f1.parquet", rows)
+    # redelivery: same event_ids again (plus one genuinely new event) in a
+    # second file → second micro-batch, well inside the watermark horizon
+    _write_events(d / "f2.parquet", rows[:2])
+    _write_events(d / "f3.parquet", [(240, 3, "view", 7.0)], start_id=100)
+
+    stream = read_events_stream(spark, str(d))
+    run_to_memory_sink(dedup_events(stream), "dedup_test", output_mode="append")
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dedup_test").collect()
+    )
+    assert got == [0, 1, 2, 100]  # each id exactly once
+
+    # batch twin: unbounded dropDuplicates agrees
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(str(d))
+    assert sorted(
+        r["event_id"]
+        for r in batch.dropDuplicates(["event_id"]).select("event_id").collect()
+    ) == got
