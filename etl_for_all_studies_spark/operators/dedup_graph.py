@@ -24,6 +24,15 @@ Each round ends in ``localCheckpoint`` — truncating lineage so the iteration
 count doesn't nest query plans (the standard Spark iterative-algorithm
 pattern; on a cluster use reliable ``checkpoint`` to survive executor loss).
 
+Small-graph fast path: iterative Spark jobs cost ~seconds of scheduler
+latency per round regardless of data size, which swamps small graphs. Below
+``local_edge_threshold`` edges (same philosophy as Spark's own
+``autoBroadcastJoinThreshold`` — a bounded-size escape hatch, default 2M
+edges ≈ 32 MB of longs) the symmetric edge list is collected once and solved
+with union-find on the driver, then joined back as a broadcast label map.
+The distributed loop remains the scale path and is exercised directly in
+tests with ``local_edge_threshold=0``.
+
 Scale notes:
 * Edges are shuffled on node id each round — linear in |E|, never all-pairs.
   Exact-duplicate groups should enter as **star edges** (member→keeper, see
@@ -53,6 +62,25 @@ def exact_dup_star_edges(
     )
 
 
+def _local_union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find: node -> min member of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "u",
@@ -60,6 +88,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iter: int = 25,
+    local_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, cluster_id) where ``cluster_id`` is the minimum node id in the
     node's connected component.
@@ -68,73 +97,123 @@ def connected_components(
     clusters); otherwise the vertex set is the edge endpoints. Raises if the
     propagation hasn't converged after ``max_iter`` rounds (pointer jumping
     makes that ~2^25-diameter territory — unreachable for dedup graphs).
+
+    Graphs with at most ``local_edge_threshold`` distinct edges are solved
+    with driver-side union-find + a broadcast label join (see module
+    docstring); pass ``0`` to force the distributed loop.
     """
     e = edges.select(
         F.col(src).cast("long").alias("eu"), F.col(dst).cast("long").alias("ev")
     ).where(F.col("eu").isNotNull() & F.col("ev").isNotNull())
-    # materialize the symmetric edge list ONCE — it is re-joined every round,
-    # and recomputing its lineage (often a full near-dup detection) per
-    # iteration turns O(rounds) into O(rounds × detector cost)
-    sym = (
-        e.union(e.select(F.col("ev").alias("eu"), F.col("eu").alias("ev")))
-        .distinct()
-        .localCheckpoint()
-    )
+    # materialize the distinct edge list ONCE — it is re-used (joined every
+    # round, or collected), and recomputing its lineage (often a full
+    # near-dup detection) per use turns O(rounds) into O(rounds × detector)
+    dedup_e = e.distinct().localCheckpoint()
 
     if nodes is not None:
         base = nodes.select(F.col(node_col).cast("long").alias("node")).distinct()
     else:
-        base = sym.select(F.col("eu").alias("node")).distinct()
+        base = (
+            dedup_e.select(F.col("eu").alias("node"))
+            .union(dedup_e.select(F.col("ev").alias("node")))
+            .distinct()
+        )
+
+    spark = edges.sparkSession
+    n_edges = dedup_e.count()
+
+    if n_edges <= local_edge_threshold:
+        # Small graph: one collect of the (bounded) edge list, exact
+        # union-find on the driver, broadcast the label map back. No
+        # iterative jobs at all — the label map is itself bounded by 2×|E|.
+        comp = _local_union_find(
+            [(r.eu, r.ev) for r in dedup_e.collect()]
+        )
+        if comp:
+            label_df = F.broadcast(
+                spark.createDataFrame(
+                    list(comp.items()), schema="node long, mapped long"
+                )
+            )
+            out = base.join(label_df, "node", "left").select(
+                "node", F.coalesce("mapped", "node").alias("cluster_id")
+            )
+        else:
+            out = base.select("node", F.col("node").alias("cluster_id"))
+        return out
+
+    sym = (
+        dedup_e.union(dedup_e.select(F.col("ev").alias("eu"), F.col("eu").alias("ev")))
+        .distinct()
+        .localCheckpoint()
+    )
 
     # Size the per-round label partitioning to the vertex count (~1M labels
     # per partition): the loop runs O(log) rounds of tiny jobs, and paying
     # full shuffle-partition task counts per round is pure scheduler latency
     # at small n while a cluster-scale graph still fans out.
-    spark = edges.sparkSession
     n_nodes = base.count()
     n_parts = max(
         1, min(spark.sparkContext.defaultParallelism * 4, 1 + n_nodes // 1_000_000)
     )
 
-    labels = (
-        base.repartition(n_parts, "node")
-        .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.ev == labels.node)
-            .groupBy(F.col("eu").alias("node"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        stepped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.col("comp").alias("old_comp"),
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-            ).alias("comp"),
-        )
-        jump_to = stepped.select(
-            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
-        )
-        # the convergence flag rides inside the round's own checkpoint, so
-        # the probe below is a filter over materialized data — no extra join
-        # (and no extra codegen shape) per round
-        jumped = (
-            stepped.join(jump_to, stepped.comp == jump_to.jnode, "left")
-            .select(
-                "node",
-                F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
-                (F.coalesce(F.col("jcomp"), F.col("comp")) != F.col("old_comp"))
-                .alias("moved"),
-            )
-            .repartition(n_parts, "node")
+    # Loop-scoped tuning: AQE re-plans every stage of every round (pure
+    # latency on an already-sized iteration), and the default shuffle
+    # partition count fans tiny label tables into many empty tasks. Restore
+    # both afterwards.
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        labels = (
+            base.repartition(n_parts, "node")
+            .select("node", F.col("node").alias("comp"))
             .localCheckpoint()
         )
-        changed = jumped.where(F.col("moved")).limit(1).count()
-        labels = jumped.select("node", "comp")
-        if changed == 0:
-            return labels.select("node", F.col("comp").alias("cluster_id"))
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym.ev == labels.node)
+                .groupBy(F.col("eu").alias("node"))
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            stepped = labels.join(nbr_min, "node", "left").select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            jump_to = stepped.select(
+                F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+            )
+            # the convergence flag rides inside the round's own checkpoint, so
+            # the probe below is a filter over materialized data — no extra
+            # join (and no extra codegen shape) per round
+            jumped = (
+                stepped.join(jump_to, stepped.comp == jump_to.jnode, "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
+                    (F.coalesce(F.col("jcomp"), F.col("comp")) != F.col("old_comp"))
+                    .alias("moved"),
+                )
+                .repartition(n_parts, "node")
+                .localCheckpoint()
+            )
+            changed = jumped.where(F.col("moved")).limit(1).count()
+            labels = jumped.select("node", "comp")
+            if changed == 0:
+                return labels.select("node", F.col("comp").alias("cluster_id"))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 

@@ -156,13 +156,32 @@ def test_connected_components_chain_and_isolates(spark):
 
 def test_connected_components_long_path_converges(spark):
     # a 64-node path exercises pointer jumping (plain neighbor-min would need
-    # 63 rounds; the jump step collapses it well inside max_iter)
+    # 63 rounds; the jump step collapses it well inside max_iter).
+    # local_edge_threshold=0 forces the distributed loop — the scale path —
+    # so this test covers it even though the graph fits the local solver.
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "u long, v long"
     )
-    out = connected_components(edges, max_iter=12)
+    out = connected_components(edges, max_iter=12, local_edge_threshold=0)
     assert out.where(F.col("cluster_id") != 0).count() == 0
     assert out.count() == 64
+
+
+def test_connected_components_local_and_distributed_agree(spark):
+    # two components + isolate, random-ish ids; both paths must label
+    # identically (cluster_id = min member)
+    pairs = [(7, 3), (3, 9), (20, 21), (21, 22), (22, 20)]
+    edges = spark.createDataFrame(pairs, "u long, v long")
+    nodes = spark.createDataFrame([(n,) for n in [3, 7, 9, 20, 21, 22, 99]], "node long")
+    expect = {3: 3, 7: 3, 9: 3, 20: 20, 21: 20, 22: 20, 99: 99}
+    for thr in (0, 2_000_000):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                edges, nodes=nodes, local_edge_threshold=thr
+            ).collect()
+        }
+        assert got == expect, f"threshold={thr}"
 
 
 def test_dedup_clusters_merges_exact_and_near(spark):
