@@ -106,4 +106,78 @@ def quality_filter(
     return annotate_quality(docs, text_col, rules).where(F.col("keep") == 1)
 
 
-__all__ = ["STOPWORDS", "QualityRules", "annotate_quality", "quality_filter"]
+def repetition_metrics(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics:
+    (doc_id, n_grams, top_gram_frac, dup_token_frac).
+
+    * ``top_gram_frac`` — occurrences of the most frequent word ``ngram``-gram
+      over total n-grams (Gopher drops docs whose top 2-gram exceeds 0.20);
+    * ``dup_token_frac`` — 1 − distinct/total tokens (crude boilerplate
+      signal; pairs with the TTR rule in ``annotate_quality``).
+
+    Spark-native formulation: n-grams from ``transform`` over a ``sequence``
+    of start offsets (per-row, no shuffle), then ONE ``groupBy(doc, gram)``
+    count and ONE ``groupBy(doc)`` max/sum — both shuffles keyed by doc id,
+    linear in token count, map-side combined. Token-level stats ride the same
+    per-row projection. Docs with fewer than ``ngram`` words emit zero grams
+    and report fractions of 0 (kept via left join).
+    """
+    from .contamination import word_ngrams  # local import: avoids a cycle
+
+    toks = word_tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        # all n-grams incl. repeats — frequency is the point here, so no
+        # array_distinct (contrast word_ngrams, which dedups for set probes)
+        F.when(
+            F.size(toks) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(ngram - 1)),
+                lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    gram_counts = (
+        base.select(F.col(id_col), F.explode("grams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = gram_counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"), F.max("cnt").alias("top_cnt")
+    )
+    return (
+        base.select(id_col, "n_tokens", "n_distinct_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce(
+                F.col("top_cnt").cast("double") / F.col("n_grams"), F.lit(0.0)
+            ).alias("top_gram_frac"),
+            F.when(
+                F.col("n_tokens") > 0,
+                1.0 - F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),
+            )
+            .otherwise(0.0)
+            .alias("dup_token_frac"),
+        )
+    )
+
+
+__all__ = [
+    "STOPWORDS",
+    "QualityRules",
+    "annotate_quality",
+    "quality_filter",
+    "repetition_metrics",
+]

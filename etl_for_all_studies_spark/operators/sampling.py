@@ -46,4 +46,60 @@ def hash_sample(
     return bucketed.where(F.col("sample_bucket") < rate)
 
 
-__all__ = ["SALT_A", "SALT_B", "hash_sample", "sample_bucket"]
+def mix_to_budget(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    weight_col_df: DataFrame,
+    token_col: str,
+    budget_tokens: int,
+    key_col: str = "doc_id",
+    denom: int = 1000,
+) -> DataFrame:
+    """Deterministically subsample each stratum toward a target token mix.
+
+    ``weight_col_df`` is a tiny (stratum, weight) table; stratum ``s`` gets a
+    token target of ``budget_tokens * weight_s / Σweights`` and a keep-rate of
+    ``min(1, target_s / actual_tokens_s)`` (an undersized stratum is kept
+    whole — rates never upsample). Rows are then kept by the same
+    deterministic hash-bucket rule as ``hash_sample``, so the mix is
+    reproducible under retries and replayable outside Spark.
+
+    Scale notes: per-stratum token totals are ONE map-side-combined
+    aggregation over a two-column projection; the resulting rate table is
+    strata-sized and **broadcast** back, so the data path is scan → broadcast
+    join → filter — a single pass with no wide shuffle. Expected (not exact)
+    token counts per stratum — the standard trade for a one-pass, stateless,
+    retry-stable mix (an exact cut would need a per-stratum global sort).
+
+    Output: input columns + ``sample_bucket``, ``keep_rate_mille`` (audit
+    columns), filtered to kept rows.
+    """
+    totals = df.groupBy(stratum_col).agg(F.sum(token_col).alias("actual_tokens"))
+    wsum = weight_col_df.agg(F.sum("weight").alias("wsum"))
+    rates = (
+        totals.join(F.broadcast(weight_col_df), stratum_col)
+        .join(F.broadcast(wsum))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(denom),
+                F.floor(
+                    F.lit(float(budget_tokens))
+                    * F.col("weight")
+                    / F.col("wsum")
+                    / F.col("actual_tokens")
+                    * denom
+                ),
+            )
+            .cast("long")
+            .alias("keep_rate_mille"),
+        )
+    )
+    joined = df.join(F.broadcast(rates), stratum_col)
+    return hash_sample(
+        joined, F.col(key_col), F.col("keep_rate_mille"), denom=denom
+    )
+
+
+__all__ = ["SALT_A", "SALT_B", "hash_sample", "mix_to_budget", "sample_bucket"]

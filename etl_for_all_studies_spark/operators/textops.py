@@ -168,10 +168,54 @@ def annotate_documents(
     )
 
 
+# PII patterns deliberately restricted to syntax shared by Java regex
+# (Spark) and RE2 (DuckDB/Go tooling): no lookaround, no backreferences —
+# the masking decision must replay identically outside Spark for audits.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3}[- .]?[0-9]{2,4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[PII:{kind}]",
+) -> DataFrame:
+    """Mask PII spans (emails, phone numbers, IPv4 addresses by default) and
+    annotate per-kind match counts.
+
+    Adds ``n_pii_{kind}`` (match count, BIGINT) per pattern and replaces
+    ``text_col`` with the masked text. Patterns apply in dict order, counting
+    before any masking so overlapping kinds see the original text. A narrow
+    per-row projection — regexes run inside codegen, no Python, no shuffle;
+    at 100 TB this is scan-bound like every other annotate pass.
+    """
+    patterns = patterns or PII_PATTERNS
+    out = docs
+    masked = F.col(text_col)
+    for kind, pat in patterns.items():
+        out = out.withColumn(
+            f"n_pii_{kind}",
+            # idx=0 (whole match): Spark's default idx is group 1, and these
+            # patterns are groupless by design (RE2 parity)
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).cast("long"),
+        )
+        masked = F.regexp_replace(masked, pat, replacement.format(kind=kind))
+    return out.withColumn(text_col, masked)
+
+
 __all__ = [
     "BPE_ISH_PATTERN",
     "LANG_MARKERS",
+    "PII_PATTERNS",
     "annotate_documents",
+    "redact_pii",
     "bpeish_token_count",
     "fingerprint",
     "language_scores",

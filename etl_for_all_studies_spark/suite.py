@@ -1545,6 +1545,276 @@ FROM c WHERE side = 1
 
 
 # --------------------------------------------------------------------------
+# 28. train/eval decontamination: flag training docs sharing any word 3-gram
+#     with a held-out eval slice (GPT-3/PaLM decontamination recipe)
+# --------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    # eval slice derived from the corpus itself (every 50th doc) so the query
+    # runs at any SF with a guaranteed-nonempty eval side
+    return decontaminate(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+
+
+# word 3-grams, distinct per doc — mirrors operators/contamination.word_ngrams
+_SQL_NGRAM3 = """
+  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS g
+  FROM (
+    SELECT doc_id, toks, UNNEST(range(1, len(toks) - 1)) AS i
+    FROM (
+      SELECT doc_id,
+             CASE WHEN TRIM(lower(text)) = '' THEN []
+                  ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS toks
+      FROM {src}
+    )
+    WHERE len(toks) >= 3
+  )
+"""
+
+_SQL_DECONTAMINATE = f"""
+WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0),
+ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+tg AS ({_SQL_NGRAM3.format(src="train")}),
+eg AS (SELECT DISTINCT g FROM ({_SQL_NGRAM3.format(src="ev")})),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_overlap_ngrams
+  FROM tg JOIN eg USING (g) GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(ov.n_overlap_ngrams, 0) AS n_overlap_ngrams,
+       CAST(CASE WHEN COALESCE(ov.n_overlap_ngrams, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM train t LEFT JOIN ov USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# 29. within-document repetition metrics (Gopher repetition filters)
+# --------------------------------------------------------------------------
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import repetition_metrics
+
+    rep = repetition_metrics(_t(spark, sf_dir, "documents"), ngram=2)
+    return rep.select(
+        "doc_id",
+        "n_grams",
+        _r6(F.col("top_gram_frac")).alias("top_gram_frac"),
+        _r6(F.col("dup_token_frac")).alias("dup_token_frac"),
+    )
+
+
+_SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(lower(text)) = '' THEN []
+              ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS g
+  FROM (
+    SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+    FROM t WHERE len(toks) >= 2
+  )
+),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+pd AS (SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS top_cnt FROM gc GROUP BY 1)
+SELECT base.doc_id,
+       CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       (FLOOR(COALESCE(CAST(pd.top_cnt AS DOUBLE) / pd.n_grams, 0.0)
+              * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS top_gram_frac,
+       (FLOOR(CASE WHEN base.n_tokens > 0
+                   THEN 1.0 - CAST(base.n_distinct AS DOUBLE) / base.n_tokens
+                   ELSE 0.0 END * 1000000.0 + 0.5001) / 1000000.0) + 0.0
+         AS dup_token_frac
+FROM base LEFT JOIN pd USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# 30. PII redaction: mask emails/phones/IPs, count per kind, verify the
+#     masked text byte-for-byte via md5 (PII synthesized deterministically —
+#     the corpus itself is clean)
+# --------------------------------------------------------------------------
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "n_pii_email",
+        "n_pii_phone",
+        "n_pii_ipv4",
+        F.md5(F.col("text")).alias("masked_md5"),
+    )
+
+
+_SQL_PII = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-000-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_pii_email,
+  CAST(len(regexp_extract_all(text,
+    '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3}[- .]?[0-9]{2,4}')) AS BIGINT)
+    AS n_pii_phone,
+  CAST(len(regexp_extract_all(text,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+    AS n_pii_ipv4,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII:email]', 'g'),
+        '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3}[- .]?[0-9]{2,4}',
+        '[PII:phone]', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[PII:ipv4]', 'g')
+  ) AS masked_md5
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# 31. BM25 retrieval over the corpus (Robertson k1/b form, Lucene idf)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import bm25_topk
+
+    out = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+    return out.select("doc_id", "n_hit_terms", _r6(F.col("score")).alias("score"))
+
+
+_SQL_BM25 = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(lower(text)) = '' THEN []
+              ELSE string_split_regex(TRIM(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+hits AS (
+  SELECT doc_id, dl, UNNEST(toks) AS term FROM d
+),
+tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf FROM hits
+  WHERE term IN {tuple(_BM25_TERMS)!r}
+  GROUP BY 1, 2, 3
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (corpus.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * (tf.tf * (1.2 + 1))
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / corpus.avgdl))
+           AS term_score
+  FROM tf JOIN dfq USING (term) CROSS JOIN corpus
+)
+SELECT doc_id, COUNT(*) AS n_hit_terms,
+       (FLOOR(SUM(term_score) * 1000000.0 + 0.5001) / 1000000.0) + 0.0
+         AS score
+FROM scored GROUP BY 1
+ORDER BY SUM(term_score) DESC, doc_id
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# 32. domain-mixture sampling to a token budget (deterministic, replayable)
+# --------------------------------------------------------------------------
+
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import mix_to_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    # weights as an expression-derived tiny dim (even-indexed sources get 3x
+    # weight) — works at any SF without a driver-side source list
+    weights = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "weight",
+            F.when(
+                F.substring(F.col("source"), 4, 10).cast("int") % 2 == 0,
+                F.lit(3.0),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    kept = mix_to_budget(
+        docs,
+        stratum_col="source",
+        weight_col_df=weights,
+        token_col="n_chars",
+        budget_tokens=30_000,
+        key_col="doc_id",
+    )
+    return kept.select("doc_id", "source", "sample_bucket", "keep_rate_mille")
+
+
+_SQL_MIX = f"""
+WITH w AS (
+  SELECT source,
+         CASE WHEN CAST(source[4:] AS INTEGER) % 2 = 0 THEN 3.0 ELSE 1.0 END
+           AS weight
+  FROM (SELECT DISTINCT source FROM documents)
+),
+totals AS (SELECT source, SUM(n_chars) AS actual_tokens FROM documents GROUP BY 1),
+wsum AS (SELECT SUM(weight) AS wsum FROM w),
+rates AS (
+  SELECT totals.source,
+         CAST(LEAST(1000, FLOOR(CAST(30000 AS DOUBLE) * w.weight / wsum.wsum
+                                / totals.actual_tokens * 1000))
+              AS BIGINT) AS keep_rate_mille
+  FROM totals JOIN w USING (source) CROSS JOIN wsum
+),
+b AS (
+  SELECT doc_id, documents.source, keep_rate_mille,
+    (({_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}) * 7919 + 104729)
+      % 1000000007 % 1000 AS sample_bucket
+  FROM documents JOIN rates ON documents.source = rates.source
+)
+SELECT doc_id, source, sample_bucket, keep_rate_mille
+FROM b WHERE sample_bucket < keep_rate_mille
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1585,6 +1855,11 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "rollup_revenue": QueryDef(q_rollup_revenue, _SQL_ROLLUP),
     "token_percentiles": QueryDef(q_token_percentiles, _SQL_PERCENTILES),
     "events_asof": QueryDef(q_events_asof, _SQL_ASOF),
+    "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
+    "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
+    "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
+    "bm25_topk": QueryDef(q_bm25_topk, _SQL_BM25),
+    "mix_budget": QueryDef(q_mix_budget, _SQL_MIX),
 }
 
 

@@ -1,0 +1,178 @@
+"""Unit tests for the text-pipeline operators added on top of the curation
+set: decontamination, repetition metrics, PII redaction, BM25 ranking, and
+budgeted domain mixing."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_for_all_studies_spark.operators.contamination import (
+    decontaminate,
+    word_ngrams,
+)
+from etl_for_all_studies_spark.operators.quality import repetition_metrics
+from etl_for_all_studies_spark.operators.ranking import bm25_scores, bm25_topk
+from etl_for_all_studies_spark.operators.sampling import mix_to_budget
+from etl_for_all_studies_spark.operators.textops import redact_pii
+
+
+# ---------------------------------------------------------------- ngrams
+
+
+def test_word_ngrams_short_text_guard(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("solo",)], ["text"]
+    ).select(word_ngrams(F.col("text"), 3).alias("g"))
+    rows = [r.g for r in df.collect()]
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []  # shorter than n → no spurious gram
+    assert rows[2] == []
+    assert rows[3] == []
+
+
+def test_word_ngrams_distinct(spark):
+    df = spark.createDataFrame([("x y x y x y",)], ["text"]).select(
+        word_ngrams(F.col("text"), 2).alias("g")
+    )
+    assert sorted(df.first().g) == ["x y", "y x"]
+
+
+# ---------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares "quick brown fox"
+            (2, "totally unrelated training text here"),
+            (3, ""),  # empty doc: zero grams, never contaminated
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "benchmark asks about the quick brown fox riddle")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in decontaminate(train, ev, n=3).collect()}
+    assert out[1].contaminated == 1 and out[1].n_overlap_ngrams >= 1
+    assert out[2].contaminated == 0 and out[2].n_overlap_ngrams == 0
+    assert out[3].contaminated == 0
+    assert len(out) == 3  # every train doc present
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    # the shared gram appears twice in train doc — distinct-per-doc counting
+    # reports it once
+    train = spark.createDataFrame([(1, "a b c x a b c")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    row = decontaminate(train, ev, n=3).first()
+    assert row.n_overlap_ngrams == 1
+
+
+# ------------------------------------------------------------- repetition
+
+
+def test_repetition_metrics_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "go go go go"),     # bigrams: 3x "go go" → top frac 1.0
+            (2, "a b c d"),          # all distinct
+            (3, ""),                 # empty: everything 0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert out[1].n_grams == 3 and out[1].top_gram_frac == 1.0
+    assert out[1].dup_token_frac == pytest.approx(1 - 1 / 4)
+    assert out[2].top_gram_frac == pytest.approx(1 / 3)
+    assert out[2].dup_token_frac == 0.0
+    assert out[3].n_grams == 0
+    assert out[3].top_gram_frac == 0.0 and out[3].dup_token_frac == 0.0
+
+
+# -------------------------------------------------------------------- pii
+
+
+def test_redact_pii_masks_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call +1 555-123-4567 or visit 192.168.0.1 twice 10.0.0.7"),
+            (3, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].n_pii_email == 1
+    assert out[1].text == "mail [PII:email] now"
+    assert out[2].n_pii_phone == 1 and out[2].n_pii_ipv4 == 2
+    assert "[PII:phone]" in out[2].text and out[2].text.count("[PII:ipv4]") == 2
+    assert out[3].text == "clean text with no pii at all"
+    assert out[3].n_pii_email == out[3].n_pii_phone == out[3].n_pii_ipv4 == 0
+
+
+# ------------------------------------------------------------------- bm25
+
+
+def test_bm25_scores_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),
+            (2, "spark is nice"),
+            (3, "nothing relevant"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(out) == {1, 2}  # non-matching doc omitted
+    # N=3, df=2, idf = ln(1 + 1.5/2.5); doc1: tf=3, dl=3, avgdl=8/3
+    idf = math.log(1 + 1.5 / 2.5)
+    expect1 = idf * (3 * 2.2) / (3 + 1.2 * (1 - 0.75 + 0.75 * 3 / (8 / 3)))
+    assert out[1].score == pytest.approx(expect1)
+    assert out[1].score > out[2].score
+
+
+def test_bm25_topk_deterministic_ties(spark):
+    docs = spark.createDataFrame(
+        [(i, "tie tie tie") for i in range(10)], ["doc_id", "text"]
+    )
+    top = bm25_topk(docs, ["tie"], k=5).collect()
+    assert [r.doc_id for r in top] == [0, 1, 2, 3, 4]  # id-ordered on ties
+
+
+# ------------------------------------------------------------ mix budget
+
+
+def test_mix_to_budget_rates_and_determinism(spark):
+    rows = [(i, "big" if i < 800 else "small", 100) for i in range(1000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    weights = spark.createDataFrame(
+        [("big", 1.0), ("small", 1.0)], ["source", "weight"]
+    )
+    kept = mix_to_budget(
+        docs,
+        stratum_col="source",
+        weight_col_df=weights,
+        token_col="n_tokens",
+        budget_tokens=40_000,
+        key_col="doc_id",
+    )
+    rates = {
+        r.source: r.keep_rate_mille
+        for r in kept.select("source", "keep_rate_mille").distinct().collect()
+    }
+    # big: target 20k / actual 80k → 250‰; small: 20k / 20k → capped at 1000‰
+    assert rates == {"big": 250, "small": 1000}
+    assert kept.where(F.col("source") == "small").count() == 200  # kept whole
+    # deterministic: identical decisions on a rerun
+    again = mix_to_budget(
+        docs,
+        stratum_col="source",
+        weight_col_df=weights,
+        token_col="n_tokens",
+        budget_tokens=40_000,
+        key_col="doc_id",
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
