@@ -47,30 +47,49 @@ def _utc_now_iso() -> str:
 
 def _split_dense_studies(e: DataFrame) -> tuple[list[int], list[int]]:
     """Classify studies as dense (every gene covers every sample exactly
-    once) vs ragged, in ONE aggregation over the long table.
+    once) vs ragged.
 
-    A study is dense iff (a) no (gene, sample) cell repeats
-    (``total == distinct cells``) and (b) the distinct cells fill the full
-    gene × sample grid (``cells == n_genes · n_samples``) — together those
-    force every gene to cover every sample exactly once. Single groupBy
-    (Catalyst plans the multi-count_distinct via one Expand), no join — this
-    runs once per job at plan time, so its fixed cost is pure latency on
-    every auto-routed query."""
+    A study is dense iff (a) no (gene, sample) cell repeats and (b) the
+    distinct cells fill the full gene × sample grid. Two-phase screen so the
+    router's fixed cost stays small (it is pure latency on every auto-routed
+    query):
+
+    1. ONE aggregation computes (total, n_genes, n_samples). If
+       ``total != n_genes · n_samples`` the study cannot be dense — this
+       rejects ragged matrices (the common case at warehouse scale) without
+       ever paying a distinct over (gene, sample) pairs. The screen's Expand
+       is over two single columns, not a two-column struct.
+    2. Only screen-passing candidates get the exact no-duplicate-cells
+       verification: a distinct count over (gene, sample), filtered to just
+       those studies. A truly dense study pays it (and then saves far more
+       on the pre-ranked plan); a duplicated-cell impostor is demoted to
+       ragged, so routing can never change results.
+    """
     from pyspark.sql import functions as SF
 
     per_study = e.groupBy("study_key").agg(
         SF.count(SF.lit(1)).alias("total"),
         SF.count_distinct("gene_key").alias("n_genes"),
         SF.count_distinct("gsm_accession").alias("n_samples"),
-        SF.count_distinct(SF.struct("gene_key", "gsm_accession")).alias("cells"),
     )
     rows = per_study.withColumn(
-        "ragged",
-        (SF.col("total") != SF.col("cells"))
-        | (SF.col("cells") != SF.col("n_genes") * SF.col("n_samples")),
+        "candidate", SF.col("total") == SF.col("n_genes") * SF.col("n_samples")
     ).collect()
-    dense = [r["study_key"] for r in rows if not r["ragged"]]
-    ragged = [r["study_key"] for r in rows if r["ragged"]]
+    candidates = [r["study_key"] for r in rows if r["candidate"]]
+    expected = {r["study_key"]: r["total"] for r in rows}
+
+    dense: list[int] = []
+    if candidates:
+        cells = (
+            e.where(F.col("study_key").isin(candidates))
+            .select("study_key", "gene_key", "gsm_accession")
+            .distinct()
+            .groupBy("study_key")
+            .agg(SF.count(SF.lit(1)).alias("cells"))
+            .collect()
+        )
+        dense = [r["study_key"] for r in cells if r["cells"] == expected[r["study_key"]]]
+    ragged = [r["study_key"] for r in rows if r["study_key"] not in set(dense)]
     return dense, ragged
 
 
