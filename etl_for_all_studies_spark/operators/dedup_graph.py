@@ -235,6 +235,11 @@ def dedup_clusters(
     comp = connected_components(
         edges, nodes=docs.select(F.col(id_col).alias("node"))
     )
+    # sizes has one row per cluster — singleton-heavy corpora make that
+    # ~|nodes| rows, so no broadcast hint: the shuffle join is the safe plan
+    # at scale (and AQE upgrades it to broadcast at runtime whenever the agg
+    # comes out small). A window over cluster_id would funnel any
+    # mega-cluster through a single partition; the join keeps skew bounded.
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comp.join(sizes, "cluster_id")
