@@ -52,16 +52,26 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name, qd in QUERY_REGISTRY.items():
-        t0 = time.monotonic()
-        # noop sink: full distributed execution of every result row without
-        # paying py4j driver-side deserialization (which would dominate for
-        # large results and measure the client, not the engine)
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        # sketch operators persist() intermediates; drop them so successive
-        # queries run with a clean storage pool
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            # noop sink: full distributed execution of every result row
+            # without paying py4j driver-side deserialization (which would
+            # dominate for large results and measure the client, not the
+            # engine)
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            el = time.monotonic() - t0
+            best = el if best is None else min(best, el)
+            # sketch operators persist() intermediates; drop them so
+            # successive runs/queries start with a clean storage pool
+            spark.catalog.clearCache()
+        # best-of-N is the steady-state number: single-shot timings on this
+        # shared container swing 2-3x with unrelated load (measured same
+        # query 14s vs 49s minutes apart), which would bury real round-over-
+        # round regressions in noise
+        timings[name] = round(best, 3)
 
     # ETL throughput on the reference's own GSE9006-shaped envelope — in the
     # bench JSON so BENCH_r{N}.json carries round-over-round ETL regressions,

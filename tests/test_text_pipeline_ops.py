@@ -140,6 +140,35 @@ def test_bm25_topk_deterministic_ties(spark):
     assert [r.doc_id for r in top] == [0, 1, 2, 3, 4]  # id-ordered on ties
 
 
+# ------------------------------------------------------------ plan shapes
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_probes_eval_set_via_broadcast(spark):
+    train = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(9, "c d e")], ["doc_id", "text"])
+    plan = _executed_plan(decontaminate(train, ev))
+    # the train-side n-gram probe must be a broadcast hash join — a shuffled
+    # join here would re-shuffle the full corpus against a benchmark-sized set
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_stats_joined_by_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, "spark join window scan") for i in range(5)], ["doc_id", "text"]
+    )
+    plan = _executed_plan(bm25_scores(docs, ["spark", "join"]))
+    # per-term df joins by broadcast hash; the keyless scalar corpus stats
+    # ride a broadcast nested-loop (one row — effectively a literal). The
+    # doc side must never sort-merge against either.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 # ------------------------------------------------------------ mix budget
 
 
@@ -176,3 +205,6 @@ def test_mix_to_budget_rates_and_determinism(spark):
     assert sorted(r.doc_id for r in kept.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+    # scale shape: the rate dim joins by broadcast — the corpus side of the
+    # mix never takes a wide shuffle
+    assert "BroadcastHashJoin" in _executed_plan(kept)
