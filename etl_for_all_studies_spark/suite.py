@@ -1545,6 +1545,82 @@ FROM c WHERE side = 1
 
 
 # --------------------------------------------------------------------------
+# 27b. per-user rolling window over event time (time-series smoothing —
+#      ROWS frame; deterministic (ts, id) order; §2.6 window family)
+# --------------------------------------------------------------------------
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    # one shuffle on user_id serves both frames; (ts_us, event_id) makes the
+    # order total, so the ROWS frame is engine-independent
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        _r6(
+            F.avg("value").over(w.rowsBetween(-4, Window.currentRow))
+        ).alias("avg5"),
+        _r6(
+            F.sum("value").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("running_sum"),
+    )
+    return out
+
+
+_SQL_ROLLING = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id, user_id, ts_us,
+  (FLOOR(AVG(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5001)
+   / 1000000.0) + 0.0 AS avg5,
+  (FLOOR(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000.0 + 0.5001)
+   / 1000000.0) + 0.0 AS running_sum
+FROM ev
+"""
+
+
+# --------------------------------------------------------------------------
+# 27c. retention cohorts: users active on day D grouped by their first-seen
+#      day (pure integer day arithmetic — exact across engines)
+# --------------------------------------------------------------------------
+
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day")
+    ).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_SQL_RETENTION = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+SELECT cohort.cohort_day, days.day - cohort.cohort_day AS day_offset,
+       COUNT(DISTINCT days.user_id) AS n_users
+FROM days JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # 28. train/eval decontamination: flag training docs sharing any word 3-gram
 #     with a held-out eval slice (GPT-3/PaLM decontamination recipe)
 # --------------------------------------------------------------------------
@@ -1855,6 +1931,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "rollup_revenue": QueryDef(q_rollup_revenue, _SQL_ROLLUP),
     "token_percentiles": QueryDef(q_token_percentiles, _SQL_PERCENTILES),
     "events_asof": QueryDef(q_events_asof, _SQL_ASOF),
+    "events_rolling": QueryDef(q_events_rolling, _SQL_ROLLING),
+    "user_retention": QueryDef(q_user_retention, _SQL_RETENTION),
     "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
     "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
