@@ -1621,6 +1621,51 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# 27d. skew-safe aggregation: the salted two-phase plan over a hot-key
+#      distribution, verified against the plain one-phase oracle
+# --------------------------------------------------------------------------
+
+def q_events_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.skew import salted_aggregate
+
+    ev = _events(spark, sf_dir)
+    # event_type is a classic hot-key column (a handful of values over the
+    # whole fact table). The salted plan must be *semantically invisible*:
+    # the oracle is the plain GROUP BY.
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("sum", F.count(F.lit(1))),
+            "sum_value": ("sum", F.sum("value")),
+            "max_value": ("max", F.max("value")),
+            "min_ts_us": ("min", F.min("ts_us")),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        _r6(F.col("sum_value")).alias("sum_value"),
+        _r6(F.col("max_value")).alias("max_value"),
+        "min_ts_us",
+    )
+
+
+_SQL_SKEWED_AGG = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       (FLOOR(SUM(value) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS sum_value,
+       (FLOOR(MAX(value) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS max_value,
+       MIN(ts_us) AS min_ts_us
+FROM ev GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # 28. train/eval decontamination: flag training docs sharing any word 3-gram
 #     with a held-out eval slice (GPT-3/PaLM decontamination recipe)
 # --------------------------------------------------------------------------
@@ -1933,6 +1978,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_asof": QueryDef(q_events_asof, _SQL_ASOF),
     "events_rolling": QueryDef(q_events_rolling, _SQL_ROLLING),
     "user_retention": QueryDef(q_user_retention, _SQL_RETENTION),
+    "events_skewed_agg": QueryDef(q_events_skewed_agg, _SQL_SKEWED_AGG),
     "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
     "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),

@@ -236,3 +236,46 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
         r["event_id"]
         for r in batch.dropDuplicates(["event_id"]).select("event_id").collect()
     ) == got
+
+
+def test_stream_quality_annotation_matches_batch(spark, tmp_path):
+    """The curation annotators are stateless projections, so they must run
+    unchanged on a stream and agree row-for-row with the batch plan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.quality import annotate_quality
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    texts = [
+        # 40 distinct ~4-char words + one stopword: passes every rule
+        "the " + " ".join(f"w{i:02d}a" for i in range(39)),
+        "short",
+        "",
+        "a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a",
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "f1.parquet"))
+
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    run_to_memory_sink(annotate_quality(stream), "quality_stream")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in spark.sql("SELECT * FROM quality_stream").collect()
+    }
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in annotate_quality(
+            spark.read.schema(schema).parquet(str(d))
+        ).collect()
+    }
+    assert got == want
+    assert {k: v["keep"] for k, v in want.items()} == {0: 1, 1: 0, 2: 0, 3: 0}
