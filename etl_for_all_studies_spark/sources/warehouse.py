@@ -168,6 +168,95 @@ class Warehouse:
             logger.info("Clearing stale partition %s", part)
             self._delete(part)
 
+    def partition_file_stats(self, table: str) -> dict[int, tuple[int, int]]:
+        """study_key → (n_data_files, total_bytes) from the filesystem — the
+        fragmentation signal for :meth:`compact_fact_partitions`. One
+        metadata listing, no data read."""
+        fs, jvm = self._fs()
+        p = jvm.org.apache.hadoop.fs.Path
+        root = p(self.path(table))
+        stats: dict[int, tuple[int, int]] = {}
+        if not fs.exists(root):
+            return stats
+        for part in fs.listStatus(root):
+            name = part.getPath().getName()
+            if not (part.isDirectory() and name.startswith("study_key=")):
+                continue
+            key = int(name.split("=", 1)[1])
+            n, size = 0, 0
+            for f in fs.listStatus(part.getPath()):
+                fname = f.getPath().getName()
+                if f.isFile() and not fname.startswith(("_", ".")):
+                    n += 1
+                    size += f.getLen()
+            stats[key] = (n, size)
+        return stats
+
+    def compact_fact_partitions(
+        self,
+        table: str,
+        *,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files_to_compact: int = 4,
+    ) -> list[int]:
+        """Rewrite fragmented study partitions into ~``target_file_bytes``
+        files. Returns the compacted study keys.
+
+        Incremental per-study appends (:meth:`append_fact`) fragment
+        partitions over time; at warehouse scale the resulting small files
+        tax every downstream scan with per-file open/footer costs and
+        schedule far more tasks than the data needs. (The reference's SQL
+        Server sink gets this maintenance from the database engine —
+        reference ``database.py`` — a Parquet warehouse must do its own.)
+
+        Mechanics: pick candidates purely from filesystem metadata
+        (``n_files > max(min_files_to_compact, ceil(bytes/target))``), then
+        rewrite all of them in ONE job — ``repartition("study_key")``
+        clusters each study into one task while
+        ``spark.sql.files.maxRecordsPerFile`` (derived from the observed
+        bytes-per-row) re-splits any partition larger than the target. The
+        subset is checkpointed first: Spark (correctly) refuses a write that
+        overwrites its own input files, and the checkpoint also pins the
+        rows so the rewrite is a pure re-layout. Dynamic partition overwrite
+        commits all partitions at job commit (staging-dir protocol), so a
+        crash mid-job leaves the old layout fully intact — rerun-safe, same
+        idempotency contract as the rest of the warehouse.
+
+        Compact in bounded batches (the checkpoint materializes the
+        candidate rows): at warehouse scale call this per ingest wave, not
+        over years of backlog at once; on a cluster prefer a reliable
+        ``checkpoint()`` dir over ``localCheckpoint`` for executor-loss
+        tolerance.
+        """
+        stats = self.partition_file_stats(table)
+        candidates = [
+            key
+            for key, (n, size) in stats.items()
+            if n > max(min_files_to_compact, -(-size // target_file_bytes))
+        ]
+        if not candidates:
+            return []
+        sub = (
+            self.read(table)
+            .where(F.col("study_key").isin(candidates))
+            .localCheckpoint()
+        )
+        total_bytes = sum(stats[k][1] for k in candidates)
+        total_rows = sub.count()
+        if total_rows == 0:
+            return []
+        rows_per_file = max(1, int(target_file_bytes / max(1, total_bytes / total_rows)))
+        conf = self.spark.conf
+        saved = conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        conf.set("spark.sql.files.maxRecordsPerFile", str(rows_per_file))
+        try:
+            self.overwrite_study_partitions(
+                table, sub.repartition("study_key")
+            )
+        finally:
+            conf.set("spark.sql.files.maxRecordsPerFile", saved)
+        return sorted(candidates)
+
 
 def write_jdbc_with_retries(
     df: DataFrame,

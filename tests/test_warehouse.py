@@ -111,3 +111,44 @@ def test_jdbc_retry_exhaustion_raises(spark, monkeypatch):
             retry_backoff_seconds=0.0,
         )
     assert len(calls) == 3
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(
+        rows, "sample_key long, gene_key long, expression_value double, study_key long"
+    )
+
+
+def test_compact_fact_partitions(spark, wh):
+    # 6 separate appends → ≥6 small files in study 1's partition
+    for i in range(6):
+        wh.append_fact(
+            "fact_expression",
+            _fact(spark, [(i * 10 + j, 1, 1.0, 1) for j in range(5)]),
+            dedup_keys=["sample_key", "gene_key", "study_key"],
+        )
+    # study 2: one small append — below min_files_to_compact, must be left alone
+    wh.append_fact(
+        "fact_expression",
+        _fact(spark, [(1, 2, 2.0, 2)]),
+        dedup_keys=["sample_key", "gene_key", "study_key"],
+    )
+    before = wh.partition_file_stats("fact_expression")
+    assert before[1][0] >= 6
+    files_study2 = before[2][0]
+    rows_before = sorted(
+        map(tuple, wh.read("fact_expression").collect())
+    )
+
+    compacted = wh.compact_fact_partitions(
+        "fact_expression", min_files_to_compact=4
+    )
+    assert compacted == [1]
+    after = wh.partition_file_stats("fact_expression")
+    assert after[1][0] < before[1][0]  # fewer files
+    assert after[2][0] == files_study2  # untouched partition untouched
+    # pure re-layout: identical rows
+    assert sorted(map(tuple, wh.read("fact_expression").collect())) == rows_before
+
+    # idempotent: a second call finds nothing to do
+    assert wh.compact_fact_partitions("fact_expression", min_files_to_compact=4) == []
