@@ -1666,6 +1666,64 @@ FROM ev GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 27e. conversion funnel: view → click per user, strictly ordered in event
+#      time (sequence analytics via conditional windows — no self-join)
+# --------------------------------------------------------------------------
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # first view per user, then the first click AFTER that view: two
+    # conditional MIN aggregations — the naive formulation self-joins events
+    # against events per user; this one is a single shuffle on user_id
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias(
+            "first_view_us"
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("click_us")
+    )
+    conv = (
+        clicks.join(per_user, "user_id")
+        .where(F.col("click_us") >= F.col("first_view_us"))
+        .groupBy("user_id", "first_view_us")
+        .agg(F.min("click_us").alias("first_conv_click_us"))
+    )
+    out = per_user.join(conv.select("user_id", "first_conv_click_us"), "user_id", "left")
+    return out.select(
+        "user_id",
+        "first_view_us",
+        "first_conv_click_us",
+        (F.col("first_conv_click_us") - F.col("first_view_us")).alias("lag_us"),
+        F.col("first_conv_click_us").isNotNull().cast("long").alias("converted"),
+    )
+
+
+_SQL_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view_us
+  FROM ev GROUP BY 1
+),
+conv AS (
+  SELECT ev.user_id, MIN(ev.ts_us) AS first_conv_click_us
+  FROM ev JOIN per_user USING (user_id)
+  WHERE ev.event_type = 'click' AND ev.ts_us >= per_user.first_view_us
+  GROUP BY 1
+)
+SELECT per_user.user_id, per_user.first_view_us, conv.first_conv_click_us,
+       conv.first_conv_click_us - per_user.first_view_us AS lag_us,
+       CAST(CASE WHEN conv.first_conv_click_us IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS converted
+FROM per_user LEFT JOIN conv USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # 28. train/eval decontamination: flag training docs sharing any word 3-gram
 #     with a held-out eval slice (GPT-3/PaLM decontamination recipe)
 # --------------------------------------------------------------------------
@@ -1979,6 +2037,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_rolling": QueryDef(q_events_rolling, _SQL_ROLLING),
     "user_retention": QueryDef(q_user_retention, _SQL_RETENTION),
     "events_skewed_agg": QueryDef(q_events_skewed_agg, _SQL_SKEWED_AGG),
+    "events_funnel": QueryDef(q_events_funnel, _SQL_FUNNEL),
     "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
     "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
