@@ -128,8 +128,6 @@ def repetition_metrics(
     per-row projection. Docs with fewer than ``ngram`` words emit zero grams
     and report fractions of 0 (kept via left join).
     """
-    from .contamination import word_ngrams  # local import: avoids a cycle
-
     toks = word_tokens(F.lower(F.col(text_col)))
     base = docs.select(
         F.col(id_col),
@@ -146,7 +144,10 @@ def repetition_metrics(
         )
         .otherwise(F.array().cast("array<string>"))
         .alias("grams"),
-    )
+    ).persist()  # barrier: both the gram explode and the final join read
+    # this, and the interpreted HOF projection gets no CSE — without the
+    # barrier every branch re-tokenizes (same discipline as the sketch
+    # operators in dedup.py; measured 13.3s -> 5.8s warm at sf0.1)
     gram_counts = (
         base.select(F.col(id_col), F.explode("grams").alias("gram"))
         .groupBy(id_col, "gram")
