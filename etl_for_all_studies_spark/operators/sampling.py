@@ -82,15 +82,22 @@ def mix_to_budget(
         .join(F.broadcast(wsum))
         .select(
             stratum_col,
-            F.least(
-                F.lit(denom),
-                F.floor(
-                    F.lit(float(budget_tokens))
-                    * F.col("weight")
-                    / F.col("wsum")
-                    / F.col("actual_tokens")
-                    * denom
-                ),
+            # a stratum whose rows sum to zero tokens costs nothing against
+            # the budget — keep it whole rather than divide by zero (ANSI
+            # mode makes that an error, not an Inf)
+            F.when(F.col("actual_tokens") <= 0, F.lit(denom))
+            .when(F.col("wsum") <= 0, F.lit(0))  # degenerate all-zero weights
+            .otherwise(
+                F.least(
+                    F.lit(denom),
+                    F.floor(
+                        F.lit(float(budget_tokens))
+                        * F.col("weight")
+                        / F.col("wsum")
+                        / F.col("actual_tokens")
+                        * denom
+                    ),
+                )
             )
             .cast("long")
             .alias("keep_rate_mille"),

@@ -208,3 +208,90 @@ def test_mix_to_budget_rates_and_determinism(spark):
     # scale shape: the rate dim joins by broadcast — the corpus side of the
     # mix never takes a wide shuffle
     assert "BroadcastHashJoin" in _executed_plan(kept)
+
+
+def test_mix_to_budget_zero_token_stratum_kept_whole(spark):
+    docs = spark.createDataFrame(
+        [(1, "empty", 0), (2, "empty", 0), (3, "full", 100)],
+        ["doc_id", "source", "n_tokens"],
+    )
+    weights = spark.createDataFrame(
+        [("empty", 1.0), ("full", 1.0)], ["source", "weight"]
+    )
+    kept = mix_to_budget(
+        docs,
+        stratum_col="source",
+        weight_col_df=weights,
+        token_col="n_tokens",
+        budget_tokens=100,
+        key_col="doc_id",
+    )
+    # zero-token stratum costs nothing: kept whole, no divide-by-zero
+    assert kept.where(F.col("source") == "empty").count() == 2
+
+
+# --------------------------------------------------- property-based checks
+
+
+def _py_ngrams(text, n):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_decontaminate_matches_python_oracle(spark):
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+    text = st.lists(words, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=5), st.lists(text, min_size=1, max_size=3))
+    def check(train_texts, eval_texts):
+        train = spark.createDataFrame(
+            list(enumerate(train_texts)), ["doc_id", "text"]
+        )
+        ev = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(eval_texts)], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: r.n_overlap_ngrams
+            for r in decontaminate(train, ev, n=2).collect()
+        }
+        eval_grams = set().union(*(_py_ngrams(t, 2) for t in eval_texts))
+        want = {
+            i: len(_py_ngrams(t, 2) & eval_grams)
+            for i, t in enumerate(train_texts)
+        }
+        assert got == want
+
+    check()
+
+
+def test_repetition_matches_python_oracle(spark):
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["x", "y", "z"])
+    text = st.lists(words, min_size=0, max_size=10).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=4))
+    def check(texts):
+        docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        got = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+            assert got[i].n_grams == len(grams)
+            if grams:
+                top = Counter(grams).most_common(1)[0][1]
+                assert got[i].top_gram_frac == pytest.approx(top / len(grams))
+            else:
+                assert got[i].top_gram_frac == 0.0
+            if toks:
+                assert got[i].dup_token_frac == pytest.approx(
+                    1 - len(set(toks)) / len(toks)
+                )
+
+    check()
