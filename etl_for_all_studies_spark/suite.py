@@ -1724,6 +1724,49 @@ FROM per_user LEFT JOIN conv USING (user_id)
 
 
 # --------------------------------------------------------------------------
+# 27f. pivot (long → wide): per-user value totals by event type. Dual of
+#      unpivot_part; explicit value list keeps the schema static (the
+#      reference's nested-dict matrix pivot is the same shape, single-node —
+#      reference repositories.py:312-328)
+# --------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "view", "purchase")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.where(F.col("event_type").isin(list(_PIVOT_TYPES)))
+        .groupBy("user_id")
+        # explicit pivot values: no extra distinct pass, static schema, and
+        # the whole pivot compiles to one grouped conditional aggregation
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_id",
+        *[
+            _r6(F.coalesce(F.col(t), F.lit(0.0))).alias(f"{t}_value")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+_SQL_PIVOT = """
+WITH ev AS (SELECT user_id, event_type, value FROM events)
+SELECT user_id,
+  (FLOOR(COALESCE(SUM(value) FILTER (event_type = 'click'), 0.0)
+         * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS click_value,
+  (FLOOR(COALESCE(SUM(value) FILTER (event_type = 'view'), 0.0)
+         * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS view_value,
+  (FLOOR(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0.0)
+         * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS purchase_value
+FROM ev WHERE event_type IN ('click', 'view', 'purchase')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # 28. train/eval decontamination: flag training docs sharing any word 3-gram
 #     with a held-out eval slice (GPT-3/PaLM decontamination recipe)
 # --------------------------------------------------------------------------
@@ -2038,6 +2081,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "user_retention": QueryDef(q_user_retention, _SQL_RETENTION),
     "events_skewed_agg": QueryDef(q_events_skewed_agg, _SQL_SKEWED_AGG),
     "events_funnel": QueryDef(q_events_funnel, _SQL_FUNNEL),
+    "events_pivot": QueryDef(q_events_pivot, _SQL_PIVOT),
     "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
     "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
