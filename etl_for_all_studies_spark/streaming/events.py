@@ -198,10 +198,59 @@ def run_to_memory_sink(
     q.awaitTermination(await_seconds)
 
 
+def attribute_clicks(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to every view by the
+    same user within the preceding ``attribution_window``.
+
+    Both sides carry event-time watermarks and the join condition bounds the
+    time skew, so Spark can size the join state to
+    ``watermark + attribution_window`` per side and evict older rows —
+    bounded state on unbounded streams, the scale contract for stream-stream
+    joins. An unbounded-condition join would grow state forever and is
+    rejected by Spark in append mode.
+
+    Output: (click_event_id, user_id, click_ts_us, view_ts_us, view_value).
+    The batch twin is the identical inner join on the same condition —
+    parity pinned in ``test_streaming.py``.
+    """
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        "event_id", "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = c.join(
+        v,
+        F.expr(
+            f"user_id = v_user AND v_ts <= c_ts "
+            f"AND v_ts >= c_ts - INTERVAL {attribution_window}"
+        ),
+    )
+    return joined.select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        "view_value",
+    )
+
+
 __all__ = [
     "EVENT_SCHEMA",
     "SESSION_GAP_US",
     "SESSION_SCHEMA",
+    "attribute_clicks",
     "dedup_events",
     "hourly_counts",
     "read_events_stream",

@@ -279,3 +279,53 @@ def test_stream_quality_annotation_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert {k: v["keep"] for k, v in want.items()} == {0: 1, 1: 0, 2: 0, 3: 0}
+
+
+def test_stream_stream_click_attribution_matches_batch(spark, tmp_path):
+    """Watermarked interval join (view→click attribution): bounded state on
+    both sides; results agree with the identical batch join."""
+    from etl_for_all_studies_spark.streaming.events import attribute_clicks
+
+    d = tmp_path / "attr_in"
+    d.mkdir()
+    # user 1: view at t=0, clicks at t=10min (attributed) and t=50min (outside
+    # the 30min window); user 2: click with no prior view; user 3: two views
+    # then one click → two attributed pairs
+    _write_events(
+        d / "f1.parquet",
+        [
+            (0, 1, "view", 1.5),
+            (600, 1, "click", 0.0),
+            (3000, 1, "click", 0.0),
+            (100, 2, "click", 0.0),
+            (0, 3, "view", 2.0),
+            (60, 3, "view", 3.0),
+        ],
+    )
+    _write_events(d / "f2.parquet", [(120, 3, "click", 0.0)], start_id=6)
+
+    def split(df):
+        views = df.where(df.event_type == "view")
+        clicks = df.where(df.event_type == "click")
+        return views, clicks
+
+    stream = read_events_stream(spark, str(d))
+    run_to_memory_sink(
+        attribute_clicks(*split(stream), attribution_window="30 minutes"),
+        "attr_stream",
+    )
+    got = sorted(
+        (r["click_event_id"], r["view_ts_us"])
+        for r in spark.sql("SELECT * FROM attr_stream").collect()
+    )
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(str(d))
+    want = sorted(
+        (r["click_event_id"], r["view_ts_us"])
+        for r in attribute_clicks(
+            *split(batch), attribution_window="30 minutes"
+        ).collect()
+    )
+    assert got == want
+    # event 1 (10min click): attributed; event 2 (50min): outside window;
+    # event 3 (user 2): no view; event 6 (user 3): both views attributed
+    assert [eid for eid, _ in got] == [1, 6, 6]
