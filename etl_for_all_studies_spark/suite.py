@@ -1767,6 +1767,39 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 27g. document-length histogram (width_bucket distribution profile —
+#      fixed-width bins are a single narrow projection + one agg, the
+#      at-scale alternative to exact percentiles when a profile suffices)
+# --------------------------------------------------------------------------
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.width_bucket(F.col("n_chars"), F.lit(0), F.lit(500), F.lit(10)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# DuckDB has no width_bucket scalar — the bucket rule spelled out:
+# below range → 0, above → n+1, else floor(x/width)+1
+_SQL_HISTOGRAM = """
+SELECT source,
+       CAST(CASE WHEN n_chars < 0 THEN 0
+                 WHEN n_chars >= 500 THEN 11
+                 ELSE n_chars // 50 + 1 END AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # 28. train/eval decontamination: flag training docs sharing any word 3-gram
 #     with a held-out eval slice (GPT-3/PaLM decontamination recipe)
 # --------------------------------------------------------------------------
@@ -2082,6 +2115,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_skewed_agg": QueryDef(q_events_skewed_agg, _SQL_SKEWED_AGG),
     "events_funnel": QueryDef(q_events_funnel, _SQL_FUNNEL),
     "events_pivot": QueryDef(q_events_pivot, _SQL_PIVOT),
+    "doc_length_histogram": QueryDef(q_doc_length_histogram, _SQL_HISTOGRAM),
     "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
     "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),

@@ -229,3 +229,15 @@ def test_text_annotations(spark):
     )
     fp2 = annotate_documents(docs2).collect()[0]["fingerprint"]
     assert fp2 == rows[1]["fingerprint"]
+
+
+def test_approx_count_distinct_within_bound(spark):
+    """Sketch aggregates are the at-scale path for distinct counts (exact
+    count_distinct shuffles every value; HLL++ merges fixed-size sketches).
+    Pin the accuracy contract: default rsd=5%, assert within 3x of that."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    row = docs.agg(
+        F.count_distinct("text").alias("exact"),
+        F.approx_count_distinct("text").alias("approx"),
+    ).first()
+    assert row.approx == pytest.approx(row.exact, rel=0.15)
