@@ -1800,6 +1800,62 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# 27h. integrity report: unique-key + FK assertions as one query (Parquet
+#      analog of the reference's DB constraints — reference models.py:55,
+#      74-76,92-97; same shapes as plans/integrity.py, made oracle-visible)
+# --------------------------------------------------------------------------
+
+def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _events(spark, sf_dir)  # nanos-timestamp-safe read
+
+    def count1(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check"), "n_violations"
+        )
+
+    dup_cust = (
+        customer.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    dup_event = (
+        events.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    orphan_orders = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    )
+    orphan_lines = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    return (
+        count1("customer_pk_unique", dup_cust)
+        .union(count1("event_pk_unique", dup_event))
+        .union(count1("orders_custkey_fk", orphan_orders))
+        .union(count1("lineitem_orderkey_fk", orphan_lines))
+    )
+
+
+_SQL_INTEGRITY = """
+SELECT 'customer_pk_unique' AS check, COUNT(*) AS n_violations
+FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'event_pk_unique', COUNT(*)
+FROM (SELECT event_id FROM events GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orders_custkey_fk', COUNT(*)
+FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem_orderkey_fk', COUNT(*)
+FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
 # 28. train/eval decontamination: flag training docs sharing any word 3-gram
 #     with a held-out eval slice (GPT-3/PaLM decontamination recipe)
 # --------------------------------------------------------------------------
@@ -2116,6 +2172,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_funnel": QueryDef(q_events_funnel, _SQL_FUNNEL),
     "events_pivot": QueryDef(q_events_pivot, _SQL_PIVOT),
     "doc_length_histogram": QueryDef(q_doc_length_histogram, _SQL_HISTOGRAM),
+    "integrity_report": QueryDef(q_integrity_report, _SQL_INTEGRITY),
     "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
     "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),

@@ -295,3 +295,47 @@ def test_repetition_matches_python_oracle(spark):
                 )
 
     check()
+
+
+def test_bm25_matches_python_oracle(spark):
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["q1", "q2", "w", "x"])
+    text = st.lists(words, min_size=1, max_size=8).map(" ".join)
+
+    def py_bm25(texts, terms, k1=1.2, b=0.75):
+        toks = [t.lower().split() for t in texts]
+        n = len(toks)
+        avgdl = sum(map(len, toks)) / n
+        out = {}
+        for i, doc in enumerate(toks):
+            score, hits = 0.0, 0
+            for term in terms:
+                tf = doc.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for d in toks if term in d)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                score += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(doc) / avgdl)
+                )
+                hits += 1
+            if hits:
+                out[i] = (hits, score)
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=6))
+    def check(texts):
+        docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_hit_terms, r.score)
+            for r in bm25_scores(docs, ["q1", "q2"]).collect()
+        }
+        want = py_bm25(texts, ["q1", "q2"])
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == pytest.approx(want[i][1])
+
+    check()
