@@ -36,11 +36,13 @@ DOCUMENT_SCHEMA = T.StructType(
 def read_documents(
     spark: SparkSession, path: str, fmt: str = "parquet"
 ) -> DataFrame:
-    """Read a documents corpus from parquet / jsonl / csv with the canonical
-    schema (column pruning and predicate pushdown work on all three; parquet
-    additionally prunes row groups)."""
+    """Read a documents corpus from parquet / orc / jsonl / csv with the
+    canonical schema (column pruning and predicate pushdown work on all
+    four; parquet and ORC additionally prune row groups/stripes)."""
     if fmt == "parquet":
         return spark.read.schema(DOCUMENT_SCHEMA).parquet(path)
+    if fmt == "orc":
+        return spark.read.schema(DOCUMENT_SCHEMA).orc(path)
     if fmt in ("json", "jsonl"):
         return spark.read.schema(DOCUMENT_SCHEMA).json(path)
     if fmt == "csv":

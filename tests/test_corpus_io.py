@@ -28,11 +28,13 @@ def test_read_documents_format_parity(spark, tmp_path, pq_corpus):
     df = spark.createDataFrame(ROWS, DOCUMENT_SCHEMA)
     jl = str(tmp_path / "docs.jsonl")
     cv = str(tmp_path / "docs.csv")
+    oc = str(tmp_path / "docs.orc")
     df.write.json(jl)
     df.write.option("header", "true").csv(cv)
+    df.write.orc(oc)
 
     base = sorted(map(tuple, read_documents(spark, pq_corpus).collect()))
-    for path, fmt in [(jl, "jsonl"), (cv, "csv")]:
+    for path, fmt in [(jl, "jsonl"), (cv, "csv"), (oc, "orc")]:
         got = read_documents(spark, path, fmt)
         assert got.schema == DOCUMENT_SCHEMA
         assert sorted(map(tuple, got.collect())) == base
