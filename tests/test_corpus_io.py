@@ -79,3 +79,22 @@ def test_partitioned_write_prunes(spark, pq_corpus, tmp_path):
         assert "PartitionFilters: [isnotnull(source" in plan or "source=src1" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_p")
+
+
+def test_partitioned_table_prunes_partitions(spark, pq_corpus):
+    docs = read_documents(spark, pq_corpus)
+    try:
+        write_corpus_table(
+            docs, "corpus_part", bucket_by=None, partition_by="source"
+        )
+        q = spark.table("corpus_part").where(F.col("source") == "src1")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # the source filter must reach the scan as a partition filter (no
+        # data read outside the matching partition dirs) — at corpus scale
+        # this is the difference between one stratum and a full-table scan
+        assert "PartitionFilters" in plan
+        assert "src1" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        rows = q.collect()
+        assert rows and all(r["source"] == "src1" for r in rows)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_part")
