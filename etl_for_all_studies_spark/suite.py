@@ -1856,6 +1856,48 @@ FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
 
 
 # --------------------------------------------------------------------------
+# 27i. full-outer reconciliation: per-user click vs view activity — §2.3
+#      join-family completion (inner/semi/anti/left covered elsewhere)
+# --------------------------------------------------------------------------
+
+def q_events_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def per_user(etype: str, alias: str):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    clicks, views = per_user("click", "n_clicks"), per_user("view", "n_views")
+    out = clicks.join(views, "user_id", "full_outer")
+    return out.select(
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.when(F.col("n_clicks").isNull(), "view_only")
+        .when(F.col("n_views").isNull(), "click_only")
+        .otherwise("both")
+        .alias("activity"),
+    )
+
+
+_SQL_FULL_OUTER = """
+WITH ev AS (SELECT user_id, event_type FROM events),
+c AS (SELECT user_id, COUNT(*) AS n_clicks FROM ev WHERE event_type = 'click' GROUP BY 1),
+v AS (SELECT user_id, COUNT(*) AS n_views FROM ev WHERE event_type = 'view' GROUP BY 1)
+SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_views, 0) AS n_views,
+       CASE WHEN n_clicks IS NULL THEN 'view_only'
+            WHEN n_views IS NULL THEN 'click_only'
+            ELSE 'both' END AS activity
+FROM c FULL OUTER JOIN v ON c.user_id = v.user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # 28. train/eval decontamination: flag training docs sharing any word 3-gram
 #     with a held-out eval slice (GPT-3/PaLM decontamination recipe)
 # --------------------------------------------------------------------------
@@ -2173,6 +2215,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_pivot": QueryDef(q_events_pivot, _SQL_PIVOT),
     "doc_length_histogram": QueryDef(q_doc_length_histogram, _SQL_HISTOGRAM),
     "integrity_report": QueryDef(q_integrity_report, _SQL_INTEGRITY),
+    "events_full_outer": QueryDef(q_events_full_outer, _SQL_FULL_OUTER),
     "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
     "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
