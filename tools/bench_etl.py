@@ -59,25 +59,37 @@ def run_etl_bench(spark, n_samples: int = 163, n_genes: int = 20_000) -> dict:
     from etl_for_all_studies_spark import run_correlation_job, run_pipeline
     from etl_for_all_studies_spark.config import config_from_dict
 
+    import os
+
     root = pathlib.Path(tempfile.mkdtemp(prefix="etl_bench_"))
     try:
         build_fixture(root, n_samples, n_genes)
-        cfg = config_from_dict(
-            {
-                "warehouse": {"path": str(root / "wh")},
-                "processing": {
-                    "input_directory": str(root / "studies"),
-                    "gene_filter_file": str(root / "genes.tsv"),
-                },
-                "logging": {"log_level": "WARNING"},
-            }
-        )
-        t0 = time.monotonic()
-        res = run_pipeline(cfg, spark=spark)
-        etl_s = time.monotonic() - t0
-        t0 = time.monotonic()
-        corr = run_correlation_job(cfg, spark=spark)
-        corr_s = time.monotonic() - t0
+        # best-of-N (default 2): single-shot timings swing 2-3x with
+        # container load (see bench.py). Each repeat loads into a FRESH
+        # warehouse — a rerun into the same one would idempotently append
+        # zero facts and measure the dedup anti-join instead of the load.
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        etl_s = corr_s = None
+        res = corr = None
+        for i in range(repeats):
+            cfg = config_from_dict(
+                {
+                    "warehouse": {"path": str(root / f"wh{i}")},
+                    "processing": {
+                        "input_directory": str(root / "studies"),
+                        "gene_filter_file": str(root / "genes.tsv"),
+                    },
+                    "logging": {"log_level": "WARNING"},
+                }
+            )
+            t0 = time.monotonic()
+            res = run_pipeline(cfg, spark=spark)
+            el = time.monotonic() - t0
+            etl_s = el if etl_s is None else min(etl_s, el)
+            t0 = time.monotonic()
+            corr = run_correlation_job(cfg, spark=spark)
+            el = time.monotonic() - t0
+            corr_s = el if corr_s is None else min(corr_s, el)
         return {
             "metric": "etl_records_per_second",
             "value": round(res.fact_rows_written / etl_s, 1),
