@@ -18,31 +18,35 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def build_fixture(root: pathlib.Path, n_samples: int, n_genes: int) -> None:
+def build_fixture(
+    root: pathlib.Path, n_samples: int, n_genes: int, study: str = "GSE9006",
+    seed: int = 42,
+) -> None:
     studies = root / "studies"
-    d = studies / "GSE9006"
+    d = studies / study
     d.mkdir(parents=True)
-    rng = random.Random(42)
-    samples = [f"GSM{i:06d}" for i in range(n_samples)]
+    rng = random.Random(seed)
+    samples = [f"GSM{rng.randrange(10**9):09d}" for _ in range(n_samples)]
     lines = [
         "refinebio_accession_code\texperiment_accession\trefinebio_age\t"
         "refinebio_sex\tcharacteristics_ch1_Illness\trefinebio_platform"
     ]
     for s in samples:
         lines.append(
-            f"{s}\tGSE9006\t{rng.randint(1, 80)} yrs\t"
+            f"{s}\t{study}\t{rng.randint(1, 80)} yrs\t"
             f"{rng.choice(['male', 'female'])}\t"
             f"{rng.choice(['Healthy', 'T1D', 'T2D', 'UNKNOWN'])}\tGPL96"
         )
-    (d / "metadata_GSE9006.tsv").write_text("\n".join(lines))
+    (d / f"metadata_{study}.tsv").write_text("\n".join(lines))
     whitelist = [f"ENSG{i:011d}" for i in range(143)]
-    (root / "genes.tsv").write_text(
-        "gene_symbol\tensembl_id\n"
-        + "\n".join(f"G{i}\t{g}" for i, g in enumerate(whitelist))
-    )
+    if not (root / "genes.tsv").exists():
+        (root / "genes.tsv").write_text(
+            "gene_symbol\tensembl_id\n"
+            + "\n".join(f"G{i}\t{g}" for i, g in enumerate(whitelist))
+        )
     genes = whitelist[:120] + [f"ENSGX{i:010d}" for i in range(n_genes - 120)]
     rng.shuffle(genes)
-    with open(d / "expression_GSE9006.tsv", "w") as f:
+    with open(d / f"expression_{study}.tsv", "w") as f:
         f.write("Gene\t" + "\t".join(samples) + "\n")
         for g in genes:
             f.write(
@@ -106,7 +110,73 @@ def run_etl_bench(spark, n_samples: int = 163, n_genes: int = 20_000) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_multi_study_bench(
+    spark, n_studies: int = 20, n_samples: int = 40, n_genes: int = 2_000
+) -> dict:
+    """Many-small-studies workload: driver-side per-study costs (discovery,
+    header resolution, plan construction) must amortize — the reference
+    processes studies strictly serially (reference ``pipeline.py``), while
+    this engine runs one job over all of them with a single batched
+    sample-list collection."""
+    import shutil
+
+    from etl_for_all_studies_spark import run_correlation_job, run_pipeline
+    from etl_for_all_studies_spark.config import config_from_dict
+
+    root = pathlib.Path(tempfile.mkdtemp(prefix="etl_bench_multi_"))
+    try:
+        for i in range(n_studies):
+            build_fixture(
+                root, n_samples, n_genes, study=f"GSE{90000 + i}", seed=100 + i
+            )
+        cfg = config_from_dict(
+            {
+                "warehouse": {"path": str(root / "wh")},
+                "processing": {
+                    "input_directory": str(root / "studies"),
+                    "gene_filter_file": str(root / "genes.tsv"),
+                },
+                "logging": {"log_level": "WARNING"},
+            }
+        )
+        t0 = time.monotonic()
+        res = run_pipeline(cfg, spark=spark)
+        etl_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        corr = run_correlation_job(cfg, spark=spark)
+        corr_s = time.monotonic() - t0
+        return {
+            "metric": "multi_study_etl",
+            "n_studies": n_studies,
+            "studies_processed": len(res.processed_studies),
+            "fact_rows": res.fact_rows_written,
+            "etl_sec": round(etl_s, 2),
+            "sec_per_study": round(etl_s / n_studies, 2),
+            "records_per_second": round(res.fact_rows_written / etl_s, 1),
+            "corr_pairs": sum(corr.pair_counts.values()),
+            "corr_sec": round(corr_s, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "multi":
+        from etl_for_all_studies_spark.session import get_spark
+
+        spark = get_spark(
+            master="local[32]",
+            shuffle_partitions=32,
+            extra_conf={
+                "spark.ui.enabled": "false",
+                "spark.driver.memory": "32g",
+                "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+            },
+        )
+        spark.range(1).count()
+        n_studies = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+        print(json.dumps(run_multi_study_bench(spark, n_studies)))
+        return
     n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 163
     n_genes = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
 
