@@ -61,7 +61,10 @@ def mix_to_budget(
     ``weight_col_df`` is a tiny (stratum, weight) table; stratum ``s`` gets a
     token target of ``budget_tokens * weight_s / Σweights`` and a keep-rate of
     ``min(1, target_s / actual_tokens_s)`` (an undersized stratum is kept
-    whole — rates never upsample). Rows are then kept by the same
+    whole — rates never upsample). Strata ABSENT from the weight table are
+    dropped entirely (inner join) — weight-zero and weight-missing mean the
+    same thing: not in the mix. Pass an explicit weight for every stratum
+    you want kept. Rows are then kept by the same
     deterministic hash-bucket rule as ``hash_sample``, so the mix is
     reproducible under retries and replayable outside Spark.
 

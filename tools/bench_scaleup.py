@@ -91,6 +91,23 @@ def main() -> None:
         spark.catalog.clearCache()
         return t
 
+    def run_ann(emb):
+        from etl_for_all_studies_spark.operators.similarity import ivf_topk
+
+        # fixed query set + fixed centroid count: the corpus side scales, so
+        # linear growth is the pass criterion (cells grow, probes don't)
+        centroids = emb.where(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("cell"), F.col("embedding")
+        )
+        queries = emb.where(F.col("vec_id") < 64)
+        t0 = time.monotonic()
+        ivf_topk(queries, emb, centroids, k=5, n_probes=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        el = time.monotonic() - t0
+        spark.catalog.clearCache()
+        return el
+
     # warm once at 1x so JIT/codegen doesn't pollute the ratio
     run_stack(base)
     one = run_stack(base)
@@ -104,6 +121,28 @@ def main() -> None:
             f"{op}: {n_base} docs {one[op]:.2f}s -> {n_big} docs "
             f"{ten[op]:.2f}s (x{ratio:.1f} time at x{mult} data)"
         )
+
+    # ANN leg: replicate embeddings by vec_id offset (same vectors — IVF
+    # cell sizes grow x mult, which is exactly the scan the probe bounds)
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n_emb = emb.count()
+    run_ann(emb)
+    e_one = run_ann(emb)
+    emb_big = emb
+    for i in range(1, mult):
+        emb_big = emb_big.union(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    emb_big = emb_big.localCheckpoint()
+    e_ten = run_ann(emb_big)
+    print(
+        f"ivf_topk: {n_emb} vecs {e_one:.2f}s -> {emb_big.count()} vecs "
+        f"{e_ten:.2f}s (x{e_ten / e_one:.1f} time at x{mult} data)"
+    )
 
 
 if __name__ == "__main__":
