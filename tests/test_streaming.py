@@ -329,3 +329,50 @@ def test_stream_stream_click_attribution_matches_batch(spark, tmp_path):
     # event 1 (10min click): attributed; event 2 (50min): outside window;
     # event 3 (user 2): no view; event 6 (user 3): both views attributed
     assert [eid for eid, _ in got] == [1, 6, 6]
+
+
+def test_stream_ingest_corpus_exactly_once_across_restarts(spark, tmp_path):
+    """File-source + checkpointed file-sink ingestion: draining, adding more
+    shards, and draining again must land every doc exactly once — the
+    checkpoint carries source progress across restarts."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.quality import annotate_quality
+    from etl_for_all_studies_spark.streaming.corpus import (
+        read_corpus_stream,
+        stream_ingest_corpus,
+    )
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def shard(name, ids):
+        rows = [
+            {"doc_id": i, "text": f"doc {i} body words here", "lang": "en",
+             "source": "s", "n_chars": 20}
+            for i in ids
+        ]
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    shard("a.jsonl", [1, 2, 3])
+    stream_ingest_corpus(
+        read_corpus_stream(spark, str(src)), out, ckpt,
+        transform=annotate_quality,
+    )
+    first = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in first.select("doc_id").collect()) == [1, 2, 3]
+    assert "keep" in first.columns  # transform stage applied
+
+    # "restart": new shard arrives, the old one must NOT be re-ingested
+    shard("b.jsonl", [4, 5])
+    stream_ingest_corpus(
+        read_corpus_stream(spark, str(src)), out, ckpt,
+        transform=annotate_quality,
+    )
+    again = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in again.select("doc_id").collect()) == [1, 2, 3, 4, 5]
+    assert again.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
