@@ -1898,6 +1898,40 @@ FROM c FULL OUTER JOIN v ON c.user_id = v.user_id
 
 
 # --------------------------------------------------------------------------
+# 27j. latest record per key (SCD-style recency dedup — the standard
+#      upsert-view over an append-only log; one shuffle, top-1 window)
+# --------------------------------------------------------------------------
+
+def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+    )
+
+
+_SQL_LATEST = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_type, value
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM ev
+)
+SELECT user_id, event_id, ts_us, event_type, value FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # 28. train/eval decontamination: flag training docs sharing any word 3-gram
 #     with a held-out eval slice (GPT-3/PaLM decontamination recipe)
 # --------------------------------------------------------------------------
@@ -2216,6 +2250,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "doc_length_histogram": QueryDef(q_doc_length_histogram, _SQL_HISTOGRAM),
     "integrity_report": QueryDef(q_integrity_report, _SQL_INTEGRITY),
     "events_full_outer": QueryDef(q_events_full_outer, _SQL_FULL_OUTER),
+    "events_latest": QueryDef(q_events_latest, _SQL_LATEST),
     "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
     "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
