@@ -60,15 +60,29 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table with the nano-precision parquet timestamp normalized to an
     epoch-microsecond LONG (``ts_us``).
 
-    The testdata stores ``ts`` as INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    reader refuses; ``nanosAsLong`` reads it as a raw long, and integer division
-    (not double math — 1.7e18 ns exceeds double's exact-integer range) converts
-    to microseconds. Query outputs stick to epoch-us BIGINTs so the oracle
-    comparison never depends on cross-engine timestamp precision/rendering.
+    The testdata stores ``ts`` as INT64 TIMESTAMP(NANOS), which different Spark
+    builds surface differently: older readers refuse it unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` maps it to a raw BIGINT of nanos,
+    while newer readers return TIMESTAMP_NTZ (nanos truncated to micros).
+    Branch on the type actually read:
+
+    * BIGINT of nanos → integer division by 1000 (not double math — 1.7e18 ns
+      exceeds double's exact-integer range);
+    * TIMESTAMP_NTZ → wall-clock micros via ``unix_micros`` after an
+      ntz→instant cast, exact because the session timezone is pinned UTC
+      (``session.py``) — identical to the oracle's
+      ``epoch_us(CAST(ts AS TIMESTAMP))``, which also truncates nanos.
+
+    Query outputs stick to epoch-us BIGINTs so the oracle comparison never
+    depends on cross-engine timestamp precision/rendering.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us)
 
 
 # --------------------------------------------------------------------------
