@@ -252,4 +252,41 @@ def dedup_clusters(
     )
 
 
-__all__ = ["connected_components", "dedup_clusters", "exact_dup_star_edges"]
+def select_cluster_keepers(
+    clustered: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Policy-based cluster representative: per cluster keep the member with
+    the highest ``score_col`` (ties → lowest ``id_col``).
+
+    ``dedup_clusters``' default keeper (min doc id) is arbitrary; curation
+    pipelines keep the *best* member — longest, highest quality score,
+    freshest crawl. Input is (id, cluster, score) rows (typically
+    ``dedup_clusters`` output joined to a quality annotation); output is ONE
+    row per cluster: ``(cluster_col, cluster_size, keeper_<id>,
+    keeper_score)``.
+
+    Scale notes: a single ``max_by`` aggregation keyed by cluster — map-side
+    partial aggregation applies (each partition contributes one candidate
+    per cluster), so a mega-cluster never funnels its members through one
+    partition the way a ``row_number`` window would. The tie-break rides
+    inside the ordering struct ``(score, -id)``: lexicographic struct
+    comparison makes one aggregate both maximize the score and break ties
+    deterministically toward the smallest id.
+    """
+    order = F.struct(F.col(score_col), (-F.col(id_col)).alias("tb"))
+    return clustered.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max_by(F.col(id_col), order).alias(f"keeper_{id_col}"),
+        F.max(F.col(score_col)).alias("keeper_score"),
+    )
+
+
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "exact_dup_star_edges",
+    "select_cluster_keepers",
+]

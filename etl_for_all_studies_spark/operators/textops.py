@@ -32,6 +32,22 @@ def token_count(col: Column) -> Column:
     return F.size(word_tokens(col))
 
 
+def canonicalize_text(col: Column) -> Column:
+    """Normalization-robust canonical form: lowercase, collapse every run of
+    non-alphanumeric characters (punctuation, whitespace, casing noise) to a
+    single space, trim.
+
+    Canonical-form equality catches the trivial-variant duplicates exact
+    dedup misses (re-encoded punctuation, case flips, whitespace reflow)
+    without any pairwise comparison — grouping by a digest of the canonical
+    text stays one linear shuffle, same shape as ``exact_duplicates``. The
+    character class is ASCII on purpose: identical semantics under Java
+    regex (Spark) and RE2 (DuckDB/the oracle), so the decision is replayable
+    outside the engine.
+    """
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
 def bpeish_token_count(col: Column) -> Column:
     """Count of BPE-ish tokens (words / digit runs / punctuation marks)."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
@@ -215,6 +231,7 @@ __all__ = [
     "LANG_MARKERS",
     "PII_PATTERNS",
     "annotate_documents",
+    "canonicalize_text",
     "redact_pii",
     "bpeish_token_count",
     "fingerprint",

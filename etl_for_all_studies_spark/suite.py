@@ -1394,8 +1394,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, near)
 
 
-_SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_SIMHASH_CTES},
+# shared cluster CTE chain: simhash near-pairs ∪ exact-dup stars → transitive
+# closure (recursive walk) → min-label components; reused by the keeper-policy
+# oracle below
+_CLUSTER_CTES = f"""{_SIMHASH_CTES},
 near AS (
   SELECT doc_a AS u, doc_b AS v FROM simpairs
   WHERE bit_count(xor(sh_a, sh_b)) <= 1
@@ -1413,7 +1415,10 @@ walk AS (
   UNION
   SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
 ),
-comp AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY 1),
+comp AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY 1)"""
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
 csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
 SELECT comp.node AS doc_id, comp.cluster_id, csize.cluster_size,
        CAST(CASE WHEN comp.node = comp.cluster_id THEN 1 ELSE 0 END AS BIGINT)
@@ -2216,6 +2221,180 @@ FROM b WHERE sample_bucket < keep_rate_mille
 
 
 # --------------------------------------------------------------------------
+# 34. dedup keeper policy — cluster representatives by quality (max tokens)
+# --------------------------------------------------------------------------
+
+def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster graph as ``dedup_clusters``, but the keeper is chosen by
+    policy (longest member, ties → lowest id) via one ``max_by`` aggregation
+    — no per-cluster window sort (see ``select_cluster_keepers``)."""
+    from .operators.dedup_graph import dedup_clusters, select_cluster_keepers
+    from .operators.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash(docs, bits=32)
+    near = simhash_near_pairs(fps, bits=32, max_hamming=1, bands=2)
+    clustered = dedup_clusters(docs, near)
+    scored = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return select_cluster_keepers(
+        clustered.join(scored, "doc_id"), score_col="n_tokens"
+    ).select(
+        "cluster_id",
+        "cluster_size",
+        "keeper_doc_id",
+        F.col("keeper_score").alias("keeper_tokens"),
+    )
+
+
+_SQL_DEDUP_KEEPER = f"""
+WITH RECURSIVE {_CLUSTER_CTES},
+scored AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT comp.cluster_id, comp.node AS doc_id, s.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                            ORDER BY s.n_tokens DESC, comp.node ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY comp.cluster_id) AS cluster_size
+  FROM comp JOIN scored s ON s.doc_id = comp.node
+)
+SELECT cluster_id, cluster_size, doc_id AS keeper_doc_id,
+       n_tokens AS keeper_tokens
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 35. corpus sharding — deterministic global shuffle into N training shards
+# --------------------------------------------------------------------------
+
+def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment balance profile: every document dealt to one of 16
+    shards by the portable hash (``operators/sharding.py``); per-shard doc
+    count, token mass, and source spread show the deal is uniform and
+    source-decorrelated — the properties a training loader needs."""
+    from .operators.sharding import assign_shards
+    from .operators.textops import token_count
+
+    docs = assign_shards(_t(spark, sf_dir, "documents"), n_shards=16)
+    return docs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("sum_tokens"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+
+
+_SQL_CORPUS_SHARD = f"""
+WITH sharded AS (
+  SELECT source,
+         CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+         (({_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}) * 12289 + 65537)
+           % 1000000007 % 16 AS shard
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       COUNT(DISTINCT source) AS n_sources
+FROM sharded GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 36. normalization-robust dedup — canonical-form digest groups
+# --------------------------------------------------------------------------
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the *canonical* text form (lowercase, punctuation/
+    whitespace collapsed — ``canonicalize_text``): catches trivial-variant
+    duplicates byte-exact dedup misses, still one linear digest-keyed
+    shuffle. ``n_raw_variants`` counts distinct raw bytes per canonical
+    group — >1 means the group is invisible to ``dedup_exact``."""
+    from .operators.textops import canonicalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id", F.md5(canonicalize_text(F.col("text"))).alias("canon_hash"),
+        F.md5(F.col("text")).alias("raw_hash"),
+    )
+    return canon.groupBy("canon_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct(F.col("raw_hash")).alias("n_raw_variants"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+_SQL_DEDUP_NORMALIZED = """
+WITH canon AS (
+  SELECT doc_id,
+         md5(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_hash,
+         md5(text) AS raw_hash
+  FROM documents
+)
+SELECT canon_hash, COUNT(*) AS n_copies,
+       COUNT(DISTINCT raw_hash) AS n_raw_variants,
+       MIN(doc_id) AS keeper_doc_id
+FROM canon GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 37. native session windows — batch `session_window` (gap-merge semantics)
+# --------------------------------------------------------------------------
+
+def q_events_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` in batch: per-event windows
+    ``[t, t+gap)`` merged on overlap. Complements ``events_sessionize``
+    (explicit lag/cumsum formulation): the native operator's merge rule makes
+    a *new* session when the gap is ≥ 30 min (end-exclusive), vs the lag
+    formulation's >; the oracle pins the native semantics, covering the
+    boundary case the other query can't."""
+    ev = _events(spark, sf_dir)
+    w = F.session_window(F.timestamp_micros(F.col("ts_us")), "30 minutes")
+    return (
+        ev.groupBy(F.col("user_id"), w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SQL_SESSIONS_NATIVE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, value,
+    CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+           OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+              >= 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sessions AS (
+  SELECT user_id, ts_us, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 30 * 60 * 1000000 AS session_end_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2270,6 +2449,10 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
     "bm25_topk": QueryDef(q_bm25_topk, _SQL_BM25),
     "mix_budget": QueryDef(q_mix_budget, _SQL_MIX),
+    "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
+    "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),
+    "dedup_normalized": QueryDef(q_dedup_normalized, _SQL_DEDUP_NORMALIZED),
+    "events_sessions_native": QueryDef(q_events_sessions_native, _SQL_SESSIONS_NATIVE),
 }
 
 

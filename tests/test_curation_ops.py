@@ -201,3 +201,77 @@ def test_dedup_clusters_merges_exact_and_near(spark):
     assert {d: r["cluster_id"] for d, r in out.items()} == {1: 1, 2: 1, 3: 1, 4: 4}
     assert out[1]["cluster_size"] == 3 and out[4]["cluster_size"] == 1
     assert sorted(d for d, r in out.items() if r["is_keeper"] == 1) == [1, 4]
+
+
+# --------------------------------------------------------------------------
+# keeper policy selection
+# --------------------------------------------------------------------------
+
+def test_select_cluster_keepers_policy_and_ties(spark):
+    from etl_for_all_studies_spark.operators.dedup_graph import (
+        select_cluster_keepers,
+    )
+
+    rows = [  # (doc_id, cluster_id, score)
+        (1, 1, 5), (2, 1, 9), (3, 1, 9),   # tie at 9 → lowest id (2) wins
+        (7, 7, 4),                         # singleton keeps itself
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long, score long")
+    out = {
+        r["cluster_id"]: r
+        for r in select_cluster_keepers(df, score_col="score").collect()
+    }
+    assert out[1]["keeper_doc_id"] == 2 and out[1]["keeper_score"] == 9
+    assert out[1]["cluster_size"] == 3
+    assert out[7]["keeper_doc_id"] == 7 and out[7]["cluster_size"] == 1
+
+
+# --------------------------------------------------------------------------
+# canonical-form dedup
+# --------------------------------------------------------------------------
+
+def test_canonicalize_text_collapses_trivial_variants(spark):
+    from etl_for_all_studies_spark.operators.textops import canonicalize_text
+
+    rows = [
+        (1, "Hello,   World!"),
+        (2, "hello world"),          # same canonical form as 1
+        (3, "hello  world?!?"),      # same again
+        (4, "goodbye world"),        # different
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    canon = df.select("doc_id", canonicalize_text(F.col("text")).alias("c"))
+    vals = {r["doc_id"]: r["c"] for r in canon.collect()}
+    assert vals[1] == vals[2] == vals[3] == "hello world"
+    assert vals[4] != vals[1]
+
+
+# --------------------------------------------------------------------------
+# deterministic sharding
+# --------------------------------------------------------------------------
+
+def test_write_training_shards_deterministic_and_partitioned(spark, tmp_path):
+    from etl_for_all_studies_spark.operators.sharding import (
+        assign_shards,
+        write_training_shards,
+    )
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    a = {r["doc_id"]: r["shard"] for r in assign_shards(docs, 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in assign_shards(docs, 8).collect()}
+    assert a == b                                   # retry/rerun-stable
+    assert set(a.values()) == set(range(8))         # all shards populated
+
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, n_shards=8)
+    m = {r["shard"]: r["n_docs"] for r in manifest.collect()}
+    assert sum(m.values()) == 200
+    # hive layout: one directory per shard
+    dirs = sorted(p.name for p in (tmp_path / "shards").iterdir() if p.name.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in sorted(m)]
+    # written data reproduces the plan-side assignment
+    back = spark.read.parquet(path)
+    got = {r["doc_id"]: int(r["shard"]) for r in back.collect()}
+    assert got == a
