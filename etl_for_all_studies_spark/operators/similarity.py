@@ -277,6 +277,115 @@ def embedding_near_duplicates_ivf(
     )
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² — sequential left-to-right fold, same evaluation order as
+    the oracle's ``list_reduce``, so distances from identical inputs are
+    bitwise identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _q6(col: Column) -> Column:
+    """Quantize to a 1e-6 grid (floor + epsilon, the suite's cross-engine
+    rounding form)."""
+    return (F.floor(col * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+
+def kmeans_predict(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (squared L2; ties → lowest cell id):
+    (vec_id, cell, sq_dist). Centroids are broadcast — a narrow per-row
+    computation, no shuffle beyond the argmin window keyed by vector id."""
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    scored = vecs.join(F.broadcast(centroids)).select(
+        "vid", "cell", _sq_dist(F.col("v"), F.col("c")).alias("sq_dist")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sq_dist").asc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("vid").alias(id_col), "cell", "sq_dist")
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, pure DataFrame ops —
+    semantic corpus clustering (topic buckets for mixing/curation; centroid
+    tables feed the IVF operators). Returns (cell, c:array<double>).
+
+    Deterministic by construction, so the run is reproducible AND an
+    unrolled-CTE DuckDB oracle can replay it exactly:
+
+    * init = the ``k`` lowest-id vectors (their ids name the cells);
+    * assignment = argmin squared-L2, ties → lowest cell — the fold order of
+      the distance sum matches ``list_reduce`` (see :func:`_sq_dist`);
+    * update = element-wise mean **quantized to a 1e-6 grid** — AVG over a
+      shuffled partitioning is not order-stable at the 1e-15 level, and an
+      unquantized centroid would let that noise flip argmin near-ties; the
+      grid absorbs it (quantizing centroids is standard practice — PQ/IVF
+      codebooks are far coarser);
+    * empty cells keep their previous centroid.
+
+    Scale shape per iteration: broadcast-join argmin (narrow) + one
+    ``posexplode`` aggregation shuffling n·dim (cell, pos, val) rows with
+    map-side partial AVG; the centroid table (k·dim) is checkpointed per
+    round so the loop never nests plans. Iterations are O(n·dim) with no
+    pairwise blowup — the same per-round cost profile as
+    ``connected_components``' label loop.
+    """
+    vecs = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .persist()
+    )
+    cent = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").alias("cell"), F.col("v").alias("c"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        asg = kmeans_predict(
+            vecs, cent, id_col="vid", vec_col="v"
+        ).select(F.col("vid"), "cell")
+        means = (
+            asg.join(vecs, "vid")
+            .select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(_q6(F.avg("val")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("c_new"))
+        )
+        cent = (
+            cent.join(means, "cell", "left")
+            .select("cell", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint()
+        )
+    vecs.unpersist()
+    return cent
+
+
 __all__ = [
     "assign_cells",
     "brute_force_topk",
@@ -286,6 +395,8 @@ __all__ = [
     "embedding_near_duplicates",
     "embedding_near_duplicates_ivf",
     "ivf_topk",
+    "kmeans_fit",
+    "kmeans_predict",
     "norm",
     "unit_vectors",
 ]

@@ -2395,6 +2395,80 @@ FROM sessions GROUP BY user_id, session_seq
 
 
 # --------------------------------------------------------------------------
+# 38. k-means embedding clustering — iterative Lloyd's, unrolled-CTE oracle
+# --------------------------------------------------------------------------
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations (k=8, deterministic init + quantized centroids —
+    see ``kmeans_fit``), then final nearest-centroid assignment. The oracle
+    replays the identical iterations as unrolled CTEs."""
+    from .operators.similarity import kmeans_fit, kmeans_predict
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, k=8, n_iter=2)
+    asg = kmeans_predict(emb, cent)
+    return asg.select(
+        "vec_id",
+        "cell",
+        ((F.floor(F.col("sq_dist") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("sq_dist"),
+    )
+
+
+def _kmeans_sql(k: int, n_iter: int) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs, mirroring ``kmeans_fit``
+    term-for-term (same fold order, same 1e-6 centroid grid)."""
+    dist = (
+        "list_reduce(list_transform(range(1, len(v)+1), "
+        "i -> (v[i]-c[i])*(v[i]-c[i])), (a,b) -> a+b)"
+    )
+    sql = f"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cell, v AS c FROM vecs
+  WHERE vec_id IN (SELECT vec_id FROM vecs ORDER BY vec_id LIMIT {k})
+)"""
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        sql += f""",
+a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vecs.vec_id, {prev}.cell,
+           ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                              ORDER BY {dist}, {prev}.cell) AS rn
+    FROM vecs CROSS JOIN {prev}
+  ) t WHERE rn = 1
+),
+m{it} AS (
+  SELECT cell, i.pos AS pos,
+         (FLOOR(AVG(v[i.pos]) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS m
+  FROM a{it} JOIN vecs USING (vec_id) CROSS JOIN range(1, 65) i(pos)
+  GROUP BY 1, 2
+),
+mm{it} AS (SELECT cell, list(m ORDER BY pos) AS c_new FROM m{it} GROUP BY 1),
+c{it} AS (
+  SELECT {prev}.cell, COALESCE(mm{it}.c_new, {prev}.c) AS c
+  FROM {prev} LEFT JOIN mm{it} USING (cell)
+)"""
+        prev = f"c{it}"
+    sql += f"""
+SELECT vec_id, cell,
+       (FLOOR(sq_dist * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS sq_dist
+FROM (
+  SELECT vecs.vec_id, {prev}.cell, {dist} AS sq_dist,
+         ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                            ORDER BY {dist}, {prev}.cell) AS rn
+  FROM vecs CROSS JOIN {prev}
+) t WHERE rn = 1
+"""
+    return sql
+
+
+_SQL_KMEANS = _kmeans_sql(k=8, n_iter=2)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2453,6 +2527,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),
     "dedup_normalized": QueryDef(q_dedup_normalized, _SQL_DEDUP_NORMALIZED),
     "events_sessions_native": QueryDef(q_events_sessions_native, _SQL_SESSIONS_NATIVE),
+    "kmeans_embeddings": QueryDef(q_kmeans_embeddings, _SQL_KMEANS),
 }
 
 

@@ -241,3 +241,38 @@ def test_approx_count_distinct_within_bound(spark):
         F.approx_count_distinct("text").alias("approx"),
     ).first()
     assert row.approx == pytest.approx(row.exact, rel=0.15)
+
+
+def test_kmeans_separates_blobs_and_converges(spark):
+    from etl_for_all_studies_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_predict,
+    )
+
+    # Init is the two lowest ids — one seeded in each blob by construction.
+    blob_a = [(0, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]), (4, [1.0, 1.0])]
+    blob_b = [(1, [10.0, 10.0]), (5, [11.0, 10.0]), (6, [10.0, 11.0]), (7, [11.0, 11.0])]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id long, embedding array<double>"
+    )
+    cent = kmeans_fit(df, k=2, n_iter=2)
+    cents = {r["cell"]: r["c"] for r in cent.collect()}
+    assert cents[0] == pytest.approx([0.5, 0.5])
+    assert cents[1] == pytest.approx([10.5, 10.5])
+
+    asg = {r["vec_id"]: r["cell"] for r in kmeans_predict(df, cent).collect()}
+    assert all(asg[i] == 0 for i, _ in blob_a)
+    assert all(asg[i] == 1 for i, _ in blob_b)
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    from etl_for_all_studies_spark.operators.similarity import kmeans_fit
+
+    # vec 2 duplicates vec 0: equidistant points tie-break to the lowest
+    # cell, so cell 2 ends empty and must retain its init centroid.
+    rows = [(0, [0.0, 0.0]), (1, [5.0, 5.0]), (2, [0.0, 0.0]), (3, [5.0, 6.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {r["cell"]: r["c"] for r in kmeans_fit(df, k=3, n_iter=2).collect()}
+    assert cents[2] == pytest.approx([0.0, 0.0])   # unchanged init
+    assert cents[0] == pytest.approx([0.0, 0.0])   # mean of vecs 0 and 2
+    assert cents[1] == pytest.approx([5.0, 5.5])   # mean of vecs 1 and 3
