@@ -2469,6 +2469,139 @@ _SQL_KMEANS = _kmeans_sql(k=8, n_iter=2)
 
 
 # --------------------------------------------------------------------------
+# 39. corpus vocabulary — global word frequencies + document frequency, top-k
+# --------------------------------------------------------------------------
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: the 50 most frequent (lowercased) words
+    with term count and document frequency. One explode + one groupBy —
+    map-side combine does the heavy lifting; the top-k is a TakeOrdered
+    (no global sort materialization). Deterministic total order
+    (count desc, word asc) makes the LIMIT cut stable."""
+    from .functions.hashing import word_tokens as _wt  # reuse tokenization
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_wt(F.lower(F.col("text")))).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        toks.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.count_distinct(F.col("doc_id")).alias("doc_freq"),
+        )
+        .orderBy(F.col("term_count").desc(), F.col("w").asc())
+        .limit(50)
+    )
+
+
+_SQL_VOCAB = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(TRIM(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT w, COUNT(*) AS term_count, COUNT(DISTINCT doc_id) AS doc_freq
+FROM toks WHERE w != ''
+GROUP BY 1 ORDER BY term_count DESC, w ASC LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# 40. SCD Type-2 interval build — state-change versioning with validity spans
+# --------------------------------------------------------------------------
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) build from an event stream: per
+    user, each run of consecutive identical states (event_type) becomes one
+    version row with ``[valid_from, valid_to)`` and a version number; the
+    open version has NULL valid_to. Two window passes over one (user, ts)
+    sort — the standard gaps-and-islands SCD2 formulation, no self-join."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("int")
+    starts = ev.withColumn("chg", changed).where(F.col("chg") == 1)
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return starts.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version_n"),
+        F.lead("ts_us").over(w2).isNull().cast("long").alias("is_current"),
+    )
+
+
+_SQL_SCD2 = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts_us,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR event_type != LAG(event_type) OVER w
+         THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+starts AS (SELECT * FROM flagged WHERE chg = 1)
+SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+       LEAD(ts_us) OVER w2 AS valid_to_us,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version_n,
+       CAST(CASE WHEN LEAD(ts_us) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# 41. decile profile — ntile distribution windows per group (§2.6 breadth)
+# --------------------------------------------------------------------------
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value deciles via ``ntile(10)`` over a deterministic
+    total order (value, event_id), aggregated to decile boundaries — the
+    window + re-aggregate shape of distribution profiling."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(F.avg("value"), 2).alias("mean_value"),
+        )
+    )
+
+
+_SQL_DECILES = """
+WITH d AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value ASC, event_id ASC) AS decile
+  FROM events
+)
+SELECT event_type, decile, COUNT(*) AS n,
+       ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi,
+       ROUND(AVG(value), 2) AS mean_value
+FROM d GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2528,6 +2661,9 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "dedup_normalized": QueryDef(q_dedup_normalized, _SQL_DEDUP_NORMALIZED),
     "events_sessions_native": QueryDef(q_events_sessions_native, _SQL_SESSIONS_NATIVE),
     "kmeans_embeddings": QueryDef(q_kmeans_embeddings, _SQL_KMEANS),
+    "vocab_topk": QueryDef(q_vocab_topk, _SQL_VOCAB),
+    "events_scd2": QueryDef(q_events_scd2, _SQL_SCD2),
+    "value_deciles": QueryDef(q_value_deciles, _SQL_DECILES),
 }
 
 
