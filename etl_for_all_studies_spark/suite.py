@@ -2602,6 +2602,47 @@ FROM d GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# 42. join-key skew report — the pre-flight diagnosis for salting decisions
+# --------------------------------------------------------------------------
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest join keys with their hotness relative to a uniform deal:
+    ``hot_mille = 1000 · n_key / (total/n_keys)``. This is the measurement
+    that decides when to reach for ``functions/skew.py`` salting (the events
+    table is deliberately Zipf-skewed — see ``events_skewed_agg``). One
+    groupBy + a TakeOrdered top-10 + a broadcast of the 1-row totals."""
+    ev = _events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = per_key.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n",
+        "total_rows",
+        "n_keys",
+        F.expr("n * 1000 * n_keys div total_rows").alias("hot_mille"),
+    )
+
+
+_SQL_SKEW_REPORT = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_rows, COUNT(*) AS n_keys FROM per_key
+),
+top AS (
+  SELECT user_id, n FROM per_key ORDER BY n DESC, user_id ASC LIMIT 10
+)
+SELECT user_id, n, total_rows, n_keys,
+       (n * 1000 * n_keys) // total_rows AS hot_mille
+FROM top CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2664,6 +2705,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "vocab_topk": QueryDef(q_vocab_topk, _SQL_VOCAB),
     "events_scd2": QueryDef(q_events_scd2, _SQL_SCD2),
     "value_deciles": QueryDef(q_value_deciles, _SQL_DECILES),
+    "skew_report": QueryDef(q_skew_report, _SQL_SKEW_REPORT),
 }
 
 
