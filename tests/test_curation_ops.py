@@ -275,3 +275,38 @@ def test_write_training_shards_deterministic_and_partitioned(spark, tmp_path):
     back = spark.read.parquet(path)
     got = {r["doc_id"]: int(r["shard"]) for r in back.collect()}
     assert got == a
+
+
+def test_select_cluster_keepers_aggregates_with_partial_max_by(spark):
+    from etl_for_all_studies_spark.operators.dedup_graph import (
+        select_cluster_keepers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 9)], "doc_id long, cluster_id long, score long"
+    )
+    plan = (
+        select_cluster_keepers(df, score_col="score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # keeper choice must be a two-phase aggregate (partial max_by before the
+    # exchange), never a per-cluster window sort — that's what keeps a
+    # mega-cluster from funnelling through one task
+    assert "max_by" in plan and "Window" not in plan, plan
+
+
+def test_canonicalize_text_idempotent_and_edge_cases(spark):
+    from etl_for_all_studies_spark.operators.textops import canonicalize_text
+
+    rows = [
+        (1, ""), (2, "   "), (3, "...!!!"), (4, "A-B_c  9"),
+        (5, "tabs\tand\nnewlines"), (6, "ÜBER café"),  # non-ASCII collapses
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = df.select("doc_id", canonicalize_text(F.col("text")).alias("c"))
+    twice = once.select("doc_id", canonicalize_text(F.col("c")).alias("c"))
+    assert once.collect() == twice.collect()   # idempotent
+    vals = {r["doc_id"]: r["c"] for r in once.collect()}
+    assert vals[1] == vals[2] == vals[3] == ""  # degenerate → empty canon
+    assert vals[4] == "a b c 9"
+    assert vals[5] == "tabs and newlines"

@@ -276,3 +276,20 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert cents[2] == pytest.approx([0.0, 0.0])   # unchanged init
     assert cents[0] == pytest.approx([0.0, 0.0])   # mean of vecs 0 and 2
     assert cents[1] == pytest.approx([5.0, 5.5])   # mean of vecs 1 and 3
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    from etl_for_all_studies_spark.operators.similarity import kmeans_predict
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])], "cell long, c array<double>"
+    )
+    plan = kmeans_predict(df, cent)._jdf.queryExecution().executedPlan().toString()
+    # centroid fan-out must ride a broadcast (nested-loop on the keyless
+    # join) — a shuffle here would re-partition the full vector table per
+    # iteration
+    assert "Broadcast" in plan, plan
