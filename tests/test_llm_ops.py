@@ -293,3 +293,18 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     # join) — a shuffle here would re-partition the full vector table per
     # iteration
     assert "Broadcast" in plan, plan
+
+
+def test_approx_percentile_within_bound(spark):
+    """percentile_approx (GK sketch) is the at-scale quantile path (exact
+    percentile sorts every group). Pin the accuracy contract: with
+    accuracy=10000 the rank error is ≤ n/10000, so on this data the p50/p90
+    estimates must land within a whisker of the exact interpolated values."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    lens = docs.select(F.length("text").cast("double").alias("n"))
+    row = lens.agg(
+        F.expr("percentile(n, array(0.5, 0.9))").alias("exact"),
+        F.expr("percentile_approx(n, array(0.5, 0.9), 10000)").alias("approx"),
+    ).first()
+    for e, a in zip(row.exact, row.approx):
+        assert a == pytest.approx(e, rel=0.02), (row.exact, row.approx)

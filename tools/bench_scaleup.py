@@ -144,6 +144,32 @@ def main() -> None:
         f"{e_ten:.2f}s (x{e_ten / e_one:.1f} time at x{mult} data)"
     )
 
+    # k-means leg: fixed k and iteration count, corpus side scales — per
+    # round cost is one broadcast argmin + one n·dim mean aggregation, so
+    # linear growth is the pass criterion here too
+    def run_kmeans(vectors):
+        from etl_for_all_studies_spark.operators.similarity import (
+            kmeans_fit,
+            kmeans_predict,
+        )
+
+        t0 = time.monotonic()
+        cent = kmeans_fit(vectors, k=8, n_iter=2)
+        kmeans_predict(vectors, cent).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        el = time.monotonic() - t0
+        spark.catalog.clearCache()
+        return el
+
+    run_kmeans(emb)
+    k_one = run_kmeans(emb)
+    k_ten = run_kmeans(emb_big)
+    print(
+        f"kmeans: {n_emb} vecs {k_one:.2f}s -> {emb_big.count()} vecs "
+        f"{k_ten:.2f}s (x{k_ten / k_one:.1f} time at x{mult} data)"
+    )
+
 
 if __name__ == "__main__":
     main()
