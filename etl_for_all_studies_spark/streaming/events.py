@@ -180,6 +180,31 @@ def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native ``session_window`` sessionization (the declarative counterpart
+    of :func:`sessionize`'s arbitrary-state formulation): event-time windows
+    ``[t, t+gap)`` merged on overlap, watermark-bounded state. Matches the
+    batch ``events_sessions_native`` suite query once all data has arrived
+    (same ≥-gap boundary semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     query_name: str,
@@ -255,5 +280,6 @@ __all__ = [
     "hourly_counts",
     "read_events_stream",
     "run_to_memory_sink",
+    "session_aggregates",
     "sessionize",
 ]

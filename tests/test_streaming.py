@@ -376,3 +376,47 @@ def test_stream_ingest_corpus_exactly_once_across_restarts(spark, tmp_path):
     again = spark.read.parquet(out)
     assert sorted(r.doc_id for r in again.select("doc_id").collect()) == [1, 2, 3, 4, 5]
     assert again.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_native_session_window_stream_matches_batch(spark, event_files):
+    """The declarative session_window path (vs sessionize's arbitrary-state
+    formulation): streamed sessions must equal the batch session_window run
+    over the same files. Complete mode — sessions merge across micro-batches
+    (user 1's session spans both files) and the final state is compared."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.streaming.events import session_aggregates
+
+    stream = read_events_stream(spark, str(event_files))
+    run_to_memory_sink(
+        session_aggregates(stream), "native_sessions_test", output_mode="complete"
+    )
+    got = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"], r["n_events"], r["sum_value"]
+        )
+        for r in spark.sql("SELECT * FROM native_sessions_test").collect()
+    }
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(str(event_files))
+    expected = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"], r["n_events"], r["sum_value"]
+        )
+        for r in (
+            batch.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                    F.unix_micros(F.col("w.end")).alias("session_end_us"),
+                    "n_events", "sum_value")
+        ).collect()
+    }
+    assert got == expected
+    # fixture invariants: user 1's stitched session has 3 events, then a
+    # second session after the 45-min gap; user 2 has one 2-event session
+    base_us = 1704067200000000  # 2024-01-01T00:00:00Z
+    assert got[(1, base_us)][1] == 3
+    assert got[(1, base_us + (180 + 45 * 60) * 1_000_000)][1] == 1
+    assert got[(2, base_us + 120 * 1_000_000)][1] == 2
