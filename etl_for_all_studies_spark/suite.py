@@ -2643,6 +2643,68 @@ FROM top CROSS JOIN tot
 
 
 # --------------------------------------------------------------------------
+# 43. correlated scalar subquery — Catalyst decorrelation via the SQL API
+# --------------------------------------------------------------------------
+
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced >1.5× their customer's average — written as a correlated
+    scalar subquery through ``spark.sql`` on purpose: Catalyst must
+    decorrelate it into an aggregate + join (no per-row re-execution), which
+    is the rewrite that makes this shape viable at scale. The oracle runs the
+    *identical* SQL text."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice, 2) AS totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+_SQL_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o_totalprice > (
+  SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# 44. ANSI set operations — INTERSECT / EXCEPT over keyed projections
+# --------------------------------------------------------------------------
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders in BOTH 1995 and 1996 (INTERSECT), excluding
+    any with an urgent 1996 order (EXCEPT) — the set-op family the reference
+    never needed (SURVEY §2.6) expressed natively; both engines run the same
+    ANSI text. Set ops compile to aggregate/join shapes, so the usual
+    shuffle-key reasoning applies unchanged."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_SET_OPS_BODY)
+
+
+_SQL_SET_OPS_BODY = """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  AND o_orderpriority = '1-URGENT'
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2706,6 +2768,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_scd2": QueryDef(q_events_scd2, _SQL_SCD2),
     "value_deciles": QueryDef(q_value_deciles, _SQL_DECILES),
     "skew_report": QueryDef(q_skew_report, _SQL_SKEW_REPORT),
+    "orders_above_avg": QueryDef(q_orders_above_avg, _SQL_ABOVE_AVG),
+    "customer_set_ops": QueryDef(q_customer_set_ops, _SQL_SET_OPS_BODY),
 }
 
 
