@@ -2705,6 +2705,58 @@ WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
 
 
 # --------------------------------------------------------------------------
+# 45. regional revenue — 6-table star join (TPC-H Q5 shape, join reordering)
+# --------------------------------------------------------------------------
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: revenue per nation for one region-year, with the
+    local-supplier condition (c_nationkey = s_nationkey). Declared as six
+    chained joins; Catalyst reorders them and broadcasts every dimension
+    (region/nation/customer/supplier), so lineitem — the 100 TB table —
+    is never shuffled for the dims, only aggregated."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_SQL_REGIONAL = """
+SELECT n_name AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2770,6 +2822,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "skew_report": QueryDef(q_skew_report, _SQL_SKEW_REPORT),
     "orders_above_avg": QueryDef(q_orders_above_avg, _SQL_ABOVE_AVG),
     "customer_set_ops": QueryDef(q_customer_set_ops, _SQL_SET_OPS_BODY),
+    "regional_revenue": QueryDef(q_regional_revenue, _SQL_REGIONAL),
 }
 
 

@@ -420,3 +420,45 @@ def test_native_session_window_stream_matches_batch(spark, event_files):
     assert got[(1, base_us)][1] == 3
     assert got[(1, base_us + (180 + 45 * 60) * 1_000_000)][1] == 1
     assert got[(2, base_us + 120 * 1_000_000)][1] == 2
+
+
+def test_stream_shard_and_canonical_annotation_matches_batch(spark, tmp_path):
+    """Shard assignment and canonical-form digesting are stateless
+    projections — the deterministic-hash contract means a streamed document
+    gets the SAME shard and canonical hash as a batch (or re-run) one, so
+    incremental ingestion composes with sharded training output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.sharding import assign_shards
+    from etl_for_all_studies_spark.operators.textops import canonicalize_text
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array([f"Doc {i}!" for i in range(8)], pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "f1.parquet"))
+
+    schema = "doc_id long, text string"
+
+    def annotate(df):
+        return assign_shards(df, n_shards=4).withColumn(
+            "canon_hash", F.md5(canonicalize_text(F.col("text")))
+        )
+
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    run_to_memory_sink(annotate(stream), "shard_stream")
+    got = {
+        r["doc_id"]: (r["shard"], r["canon_hash"])
+        for r in spark.sql("SELECT * FROM shard_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["shard"], r["canon_hash"])
+        for r in annotate(spark.read.schema(schema).parquet(str(d))).collect()
+    }
+    assert got == want and len(got) == 8
