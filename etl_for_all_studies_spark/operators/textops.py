@@ -194,6 +194,39 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def unigram_logprob_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Statistical language-model quality signal: each document's mean
+    log₁₀ unigram probability under the corpus's own empirical unigram
+    distribution. Gibberish/rare-token documents score low, formulaic ones
+    high — the classic cheap LM filter (the shape of CCNet/KenLM perplexity
+    filtering, with the corpus itself as the model).
+
+    Two linear passes, no Python: (1) token explode → word-frequency
+    aggregate (map-side combined; vocabulary is Zipf-bounded, orders of
+    magnitude smaller than the token stream); (2) token→frequency equi-join
+    keyed by word, then a per-document AVG. The corpus-total token count is
+    a 1-row broadcast. Returns (id, n_tokens, mean_log10_prob).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).where(F.col("w") != "")
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    scored = toks.join(freq, "w").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(F.log10(F.col("c").cast("double") / F.col("total"))).alias(
+            "mean_log10_prob"
+        ),
+    )
+
+
 def redact_pii(
     docs: DataFrame,
     *,
@@ -241,4 +274,5 @@ __all__ = [
     "quality_score",
     "stopword_ratio",
     "token_count",
+    "unigram_logprob_scores",
 ]

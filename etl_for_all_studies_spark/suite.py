@@ -2757,6 +2757,40 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 46. unigram LM scoring — corpus-as-model mean log-probability per document
+# --------------------------------------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap LM quality filter (CCNet/KenLM shape): mean log₁₀ unigram
+    probability under the corpus's own distribution. 6-dp rounding absorbs
+    cross-engine AVG summation-order noise."""
+    from .operators.textops import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs).select(
+        "doc_id",
+        "n_tokens",
+        _r6(F.col("mean_log10_prob")).alias("mean_log10_prob"),
+    )
+
+
+_SQL_UNIGRAM = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(TRIM(text)), '\\s+')) AS w
+  FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE w != ''),
+freq AS (SELECT w, COUNT(*) AS c FROM toks_ne GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM freq)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       (FLOOR(AVG(log10(CAST(c AS DOUBLE) / total)) * 1000000.0 + 0.5001)
+         / 1000000.0) + 0.0 AS mean_log10_prob
+FROM toks_ne JOIN freq USING (w) CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2823,6 +2857,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "orders_above_avg": QueryDef(q_orders_above_avg, _SQL_ABOVE_AVG),
     "customer_set_ops": QueryDef(q_customer_set_ops, _SQL_SET_OPS_BODY),
     "regional_revenue": QueryDef(q_regional_revenue, _SQL_REGIONAL),
+    "unigram_logprob": QueryDef(q_unigram_logprob, _SQL_UNIGRAM),
 }
 
 

@@ -339,3 +339,26 @@ def test_bm25_matches_python_oracle(spark):
             assert got[i][1] == pytest.approx(want[i][1])
 
     check()
+
+
+def test_unigram_logprob_ranks_rare_token_docs_lower(spark):
+    import math
+
+    from etl_for_all_studies_spark.operators.textops import unigram_logprob_scores
+
+    # corpus: "common" appears 6x, each zX once → doc 2 (all-rare) must score
+    # lower than doc 1 (all-common); values are exactly computable by hand
+    rows = [
+        (1, "common common common"),
+        (2, "z1 z2 z3"),
+        (3, "common common common z4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    total = 10.0
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_log10_prob"] == pytest.approx(math.log10(6 / total))
+    assert out[2]["mean_log10_prob"] == pytest.approx(math.log10(1 / total))
+    expected3 = (3 * math.log10(6 / total) + math.log10(1 / total)) / 4
+    assert out[3]["mean_log10_prob"] == pytest.approx(expected3)
+    assert out[2]["mean_log10_prob"] < out[3]["mean_log10_prob"] < out[1]["mean_log10_prob"]
