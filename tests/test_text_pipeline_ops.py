@@ -362,3 +362,30 @@ def test_unigram_logprob_ranks_rare_token_docs_lower(spark):
     expected3 = (3 * math.log10(6 / total) + math.log10(1 / total)) / 4
     assert out[3]["mean_log10_prob"] == pytest.approx(expected3)
     assert out[2]["mean_log10_prob"] < out[3]["mean_log10_prob"] < out[1]["mean_log10_prob"]
+
+
+def test_correlated_subquery_decorrelates_to_one_join(spark, tmp_path):
+    """q_orders_above_avg's docstring claims Catalyst decorrelates the
+    scalar subquery into aggregate+join — pin that: exactly one join in the
+    executed plan, and it is broadcast-hash, with no per-row subquery node."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_for_all_studies_spark.suite import q_orders_above_avg
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    table = pa.table(
+        {
+            "o_orderkey": pa.array(range(20), pa.int64()),
+            "o_custkey": pa.array([i % 4 for i in range(20)], pa.int64()),
+            "o_totalprice": pa.array([100.0 + i for i in range(20)], pa.float64()),
+        }
+    )
+    pq.write_table(table, str(d / "orders.parquet"))
+    plan = (
+        q_orders_above_avg(spark, str(d))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert len(joins) == 1 and "BroadcastHashJoin" in joins[0], plan
