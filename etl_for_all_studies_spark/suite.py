@@ -2791,6 +2791,65 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 47. Zipf fit — linear-regression aggregates over the rank/frequency curve
+# --------------------------------------------------------------------------
+
+def q_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail diagnostics for the corpus vocabulary: OLS fit of
+    log₁₀ frequency against log₁₀ rank via the native regression aggregate
+    family (``regr_slope``/``regr_intercept``/``regr_r2``) — a Zipfian
+    corpus has slope ≈ −1. The ranking window totally orders the vocabulary
+    (bounded, Zipf-small vs the token stream); the regression itself is one
+    map-side-combinable aggregate — the moment sums are associative, so this
+    scales exactly like avg/var."""
+    from .functions.hashing import word_tokens as _wt
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(_wt(F.lower(F.col("text")))).alias("w")
+    ).where(F.col("w") != "")
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+    )
+    lr = ranked.select(
+        F.log10(F.col("c").cast("double")).alias("lf"),
+        F.log10(F.col("r").cast("double")).alias("lr"),
+    )
+    return lr.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        _r6(F.expr("regr_slope(lf, lr)")).alias("zipf_slope"),
+        _r6(F.expr("regr_intercept(lf, lr)")).alias("zipf_intercept"),
+        _r6(F.expr("regr_r2(lf, lr)")).alias("r2"),
+    )
+
+
+_SQL_ZIPF = """
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(lower(TRIM(text)), '\\s+')) AS w
+  FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM toks WHERE w != '' GROUP BY 1),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r FROM freq
+),
+lr AS (
+  SELECT log10(CAST(c AS DOUBLE)) AS lf, log10(CAST(r AS DOUBLE)) AS lr
+  FROM ranked
+)
+SELECT COUNT(*) AS vocab_size,
+       (FLOOR(REGR_SLOPE(lf, lr) * 1000000.0 + 0.5001) / 1000000.0) + 0.0
+         AS zipf_slope,
+       (FLOOR(REGR_INTERCEPT(lf, lr) * 1000000.0 + 0.5001) / 1000000.0) + 0.0
+         AS zipf_intercept,
+       (FLOOR(REGR_R2(lf, lr) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS r2
+FROM lr
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2858,6 +2917,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "customer_set_ops": QueryDef(q_customer_set_ops, _SQL_SET_OPS_BODY),
     "regional_revenue": QueryDef(q_regional_revenue, _SQL_REGIONAL),
     "unigram_logprob": QueryDef(q_unigram_logprob, _SQL_UNIGRAM),
+    "vocab_zipf": QueryDef(q_vocab_zipf, _SQL_ZIPF),
 }
 
 

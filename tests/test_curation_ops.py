@@ -310,3 +310,26 @@ def test_canonicalize_text_idempotent_and_edge_cases(spark):
     assert vals[1] == vals[2] == vals[3] == ""  # degenerate → empty canon
     assert vals[4] == "a b c 9"
     assert vals[5] == "tabs and newlines"
+
+
+def test_shard_hash_replayable_in_pure_python(spark):
+    """The sharding decision must be replayable outside any engine (audit
+    contract): reimplement poly/affine hash in 5 lines of Python and check
+    Spark agrees on tricky keys — empty, long, high-codepoint, numeric."""
+    from etl_for_all_studies_spark.functions.hashing import BASE, MOD
+    from etl_for_all_studies_spark.operators.sharding import (
+        SHARD_A,
+        SHARD_B,
+        assign_shards,
+    )
+
+    def py_shard(key: str, n: int) -> int:
+        h = 0
+        for ch in key:
+            h = (h * BASE + ord(ch)) % MOD
+        return ((h * SHARD_A + SHARD_B) % MOD) % n
+
+    keys = ["", "a", "doc-42", "x" * 500, "naïve café", "0", "12345", "Ω≈ç√"]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id string")
+    got = {r["doc_id"]: r["shard"] for r in assign_shards(df, 16).collect()}
+    assert got == {k: py_shard(k, 16) for k in keys}
