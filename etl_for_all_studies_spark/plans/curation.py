@@ -1,0 +1,122 @@
+"""End-to-end corpus curation: the training-data pipeline as ONE plan.
+
+The individual operators (quality rules, near-dup detection, cluster
+keeper selection, decontamination, deterministic sharding) are each
+oracle-checked in the suite; this module is the composition a user actually
+runs over a raw corpus: filter → dedup → decontaminate → shard, with audit
+DataFrames at every stage.
+
+Pipeline shape at 100 TB (each stage is linear; nothing pairwise):
+
+1. **quality filter** — narrow per-row projections + flags, no shuffle;
+2. **decontamination** — broadcast eval-set n-gram probe (train side is
+   never joined pairwise). Runs BEFORE dedup on purpose: a contaminated
+   document must not win a cluster's keeper election and then be removed —
+   that would silently delete the whole cluster's content when a clean
+   duplicate was available to keep;
+3. **near-dup detection** — MinHash-LSH banding (candidates from an
+   equi-join on band hashes, bounded by banding, never n²);
+4. **clustering + keeper policy** — connected components over pair edges
+   (edge-linear label propagation) and ONE ``max_by`` per cluster keyed by
+   the configured score (longest doc by default);
+5. **shard write** — deterministic portable-hash deal, one shard-keyed
+   shuffle into hive partitions + manifest.
+
+Stages communicate only through DataFrames keyed by ``doc_id``; every
+decision is deterministic (hash-based or policy-ordered), so re-running the
+pipeline over the same corpus reproduces byte-identical shard assignment
+and keeper choices — the idempotency contract the genomic pipeline makes
+for its warehouse (SURVEY §7.4.4), carried over to curation.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.contamination import decontaminate
+from ..operators.dedup import minhash_dedup
+from ..operators.dedup_graph import dedup_clusters, select_cluster_keepers
+from ..operators.quality import QualityRules, annotate_quality
+from ..operators.sharding import write_training_shards
+from ..operators.textops import token_count
+
+
+@dataclasses.dataclass
+class CurationResult:
+    """Audit surface of one curation run (all lazily-evaluated DataFrames).
+
+    ``kept`` is the curated corpus; the rest explain every dropped row:
+    a document is absent from ``kept`` iff it failed quality rules, hit the
+    contamination probe, or lost its dup-cluster keeper election (in that
+    stage order — see the module docstring for why decontamination precedes
+    the election).
+    """
+
+    kept: DataFrame
+    quality: DataFrame          # doc_id + rule flags + keep
+    clusters: DataFrame         # doc_id, cluster_id, cluster_size, is_keeper
+    keepers: DataFrame          # cluster_id, cluster_size, keeper_doc_id, score
+    contaminated: DataFrame | None  # doc_id of hits (None if no eval set)
+    shard_manifest: DataFrame | None  # (shard, n_docs) (None if not written)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    rules: QualityRules | None = None,
+    eval_docs: DataFrame | None = None,
+    out_dir: str | None = None,
+    n_shards: int = 16,
+    minhash_bands: int = 2,
+    verify_threshold: float = 0.5,
+) -> CurationResult:
+    """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
+
+    Keeper policy: the longest member (whitespace tokens) of each near-dup
+    cluster survives, ties to the lowest doc_id. Pass ``eval_docs`` to drop
+    training documents sharing 8-gram overlap with an evaluation set;
+    pass ``out_dir`` to also write the kept corpus as deterministic
+    training shards and return the manifest.
+    """
+    quality = annotate_quality(docs, rules=rules)
+    passed = quality.where(F.col("keep") == 1).select(docs.columns)
+
+    contaminated = None
+    clean = passed
+    if eval_docs is not None:
+        decon = decontaminate(passed, eval_docs)
+        contaminated = decon.where(F.col("contaminated") == 1).select("doc_id")
+        clean = passed.join(contaminated, "doc_id", "left_anti")
+
+    pairs = minhash_dedup(
+        clean, bands=minhash_bands, verify_threshold=verify_threshold
+    ).select("doc_a", "doc_b")
+    clusters = dedup_clusters(clean, pairs)
+    scored = clusters.join(
+        clean.select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("__score")
+        ),
+        "doc_id",
+    )
+    keepers = select_cluster_keepers(scored, score_col="__score")
+    kept = clean.join(
+        keepers.select(F.col("keeper_doc_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+    manifest = None
+    if out_dir is not None:
+        manifest = write_training_shards(kept, out_dir, n_shards=n_shards)
+
+    return CurationResult(
+        kept=kept,
+        quality=quality,
+        clusters=clusters,
+        keepers=keepers,
+        contaminated=contaminated,
+        shard_manifest=manifest,
+    )
+
+
+__all__ = ["CurationResult", "curate_corpus"]

@@ -1,0 +1,48 @@
+import pytest
+from pyspark.sql import functions as F
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    from etl_for_all_studies_spark.operators.quality import QualityRules
+    from etl_for_all_studies_spark.plans.curation import curate_corpus
+
+    base = ("the quick brown fox jumps over a lazy dog near the old stone "
+            "bridge while morning light settles on the quiet river town "
+            "and early workers cross toward the open market square")
+    rows = [
+        (1, base + " first"),                  # keeper candidate (longest of cluster)
+        (2, base + " first"),                  # exact dup of 1
+        (3, base),                             # near dup (loses: shorter)
+        (4, "too short"),                      # fails quality min_words
+        (5, base.replace("river", "harbor")),  # near dup of base family
+        (6, "completely different content " +
+            " ".join(f"tok{i} the" for i in range(15))),   # independent keeper
+        (7, "eval leak marker alpha beta gamma delta " + base),  # contaminated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "eval leak marker alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    rules = QualityRules(min_words=5, max_words=100, min_mean_word_len=2.0,
+                         max_mean_word_len=8.0, min_type_token_ratio=0.3,
+                         min_stopword_ratio=0.05)
+    res = curate_corpus(
+        docs, rules=rules, eval_docs=ev,
+        out_dir=str(tmp_path / "shards"), n_shards=4,
+    )
+    kept_ids = sorted(r["doc_id"] for r in res.kept.select("doc_id").collect())
+    # 4 fails quality; 7 is contaminated and removed BEFORE the keeper
+    # election (so it cannot displace a clean duplicate); 1 then wins its
+    # cluster (longest, lowest id among the "+ first" pair), 2/3/5 lose;
+    # 6 is its own cluster
+    assert kept_ids == [1, 6]
+    # audit surfaces agree with the kept set
+    q = {r["doc_id"]: r["keep"] for r in res.quality.collect()}
+    assert q[4] == 0 and q[1] == 1
+    contaminated = {r["doc_id"] for r in res.contaminated.collect()}
+    assert 7 in contaminated
+    m = {r["shard"]: r["n_docs"] for r in res.shard_manifest.collect()}
+    assert sum(m.values()) == len(kept_ids)
+    # deterministic rerun: same kept set, same shard deal
+    res2 = curate_corpus(docs, rules=rules, eval_docs=ev)
+    assert sorted(r["doc_id"] for r in res2.kept.select("doc_id").collect()) == kept_ids
