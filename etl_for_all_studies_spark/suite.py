@@ -683,12 +683,16 @@ _MINHASH_SIG_ITEMS = ",\n    ".join(
     for i in range(16)
 )
 
-_SQL_MINHASH = f"""
-WITH sh AS (
+def _minhash_ctes(src: str) -> str:
+    """MinHash signature → banded candidates → shingle-verified pairs as a
+    reusable CTE chain over source relation ``src`` (ends at ``verified``);
+    the full-pipeline curation oracle re-runs it over the quality-filtered
+    corpus."""
+    return f"""sh AS (
   SELECT doc_id, list_distinct(
     list_transform(range(1, GREATEST(length(text) - 4, 0) + 1), i -> text[i : i + 4])
   ) AS shingles
-  FROM documents
+  FROM {src}
 ),
 hs AS (
   -- shingle-less docs (len < k) carry no MinHash signature (see
@@ -720,7 +724,11 @@ verified AS (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b
-)
+)"""
+
+
+_SQL_MINHASH = f"""
+WITH {_minhash_ctes("documents")}
 SELECT doc_a, doc_b, n_shared_bands, common,
        (FLOOR((common / (size_a + size_b - common)) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS jaccard
 FROM verified
@@ -2850,6 +2858,89 @@ FROM lr
 
 
 # --------------------------------------------------------------------------
+# 48. full curation pipeline — quality → MinHash dedup → keeper election,
+#     one oracle replaying every stage end-to-end
+# --------------------------------------------------------------------------
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ``plans/curation.py::curate_corpus`` plan (default rules,
+    no eval set): quality-rule filter, MinHash-LSH near-dup clustering with
+    exact-dup star edges, longest-member keeper election. The oracle chains
+    the quality, MinHash, connected-components, and election SQL end-to-end
+    — the strongest single correctness statement in the suite: every stage's
+    semantics AND their composition hash-match."""
+    from .plans.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    res = curate_corpus(docs)
+    return res.kept.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
+_SQL_CURATION = f"""
+WITH RECURSIVE q AS (
+  SELECT doc_id,
+    string_split_regex(TRIM(text), '\\s+') AS toks,
+    string_split_regex(lower(TRIM(text)), '\\s+') AS ltoks
+  FROM documents
+),
+qm AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_reduce(list_transform(toks, w -> CAST(length(w) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS type_token_ratio,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(len(list_filter(ltoks, w -> w IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS stopword_ratio
+  FROM q
+),
+clean AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN qm USING (doc_id)
+  WHERE qm.n_words BETWEEN 30 AND 90
+    AND qm.mean_word_len BETWEEN 3.5 AND 5.0
+    AND qm.type_token_ratio >= 0.3
+    AND qm.stopword_ratio >= 0.02
+),
+{_minhash_ctes("clean")},
+near AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  WHERE common / (size_a + size_b - common) >= 0.5
+),
+star0 AS (
+  SELECT doc_id AS u, MIN(doc_id) OVER (PARTITION BY md5(text)) AS v
+  FROM clean
+),
+star AS (SELECT u, v FROM star0 WHERE u != v),
+edges0 AS (SELECT u, v FROM star UNION SELECT u, v FROM near),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+nodes AS (SELECT doc_id AS node FROM clean),
+walk AS (
+  SELECT node, node AS reach FROM nodes
+  UNION
+  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
+),
+comp AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM clean
+),
+ranked AS (
+  SELECT comp.cluster_id, comp.node,
+         ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                            ORDER BY s.n_tokens DESC, comp.node ASC) AS rn
+  FROM comp JOIN scored s ON s.doc_id = comp.node
+),
+keepers AS (SELECT node AS doc_id FROM ranked WHERE rn = 1)
+SELECT c.doc_id, md5(c.text) AS text_md5
+FROM clean c JOIN keepers USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2918,6 +3009,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "regional_revenue": QueryDef(q_regional_revenue, _SQL_REGIONAL),
     "unigram_logprob": QueryDef(q_unigram_logprob, _SQL_UNIGRAM),
     "vocab_zipf": QueryDef(q_vocab_zipf, _SQL_ZIPF),
+    "curation_pipeline": QueryDef(q_curation_pipeline, _SQL_CURATION),
 }
 
 
