@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""CLI entry point #3: LLM-corpus curation (beyond-reference capability).
+
+Runs ``plans/curation.py::curate_corpus`` over a parquet corpus of
+(doc_id, text, ...) rows: quality-rule filter → optional eval-set
+decontamination → MinHash near-dup clustering with longest-member keeper
+election → deterministic training shards. Prints one summary line; audit
+counts come from the returned DataFrames.
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Curate a document corpus (Spark)")
+    parser.add_argument("--input", required=True, help="Parquet corpus (doc_id, text)")
+    parser.add_argument("--out", required=True, help="Output directory for shards")
+    parser.add_argument("--eval", help="Optional parquet eval set to decontaminate against")
+    parser.add_argument("--shards", type=int, default=16, help="Number of output shards")
+    parser.add_argument("--master", default="local[*]")
+    args = parser.parse_args(argv)
+
+    from etl_for_all_studies_spark.plans.curation import curate_corpus
+    from etl_for_all_studies_spark.session import get_spark
+
+    spark = get_spark(app_name="curation", master=args.master)
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.input)
+    eval_docs = spark.read.parquet(args.eval) if args.eval else None
+    res = curate_corpus(
+        docs, eval_docs=eval_docs, out_dir=args.out, n_shards=args.shards
+    )
+    n_in = docs.count()
+    n_kept = res.kept.count()
+    n_contam = res.contaminated.count() if res.contaminated is not None else 0
+    n_shards = res.shard_manifest.count() if res.shard_manifest is not None else 0
+    print(
+        f"docs={n_in} kept={n_kept} dropped={n_in - n_kept} "
+        f"contaminated={n_contam} shards={n_shards} "
+        f"elapsed={time.monotonic() - t0:.1f}s"
+    )
+    return 0 if n_kept > 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
