@@ -200,16 +200,11 @@ def _poly_hash_inline(s):
     return poly_hash(s)
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+def _band_explode(
+    signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: candidate pairs = docs agreeing on at least one band.
-
-    Pairs are produced by an equi-join on (band index, band slice) — the
-    shuffle key is the band content, so complexity tracks the number of
-    colliding docs, never n². Output: (doc_a, doc_b, n_shared_bands).
-    """
-    banded = signatures.select(
+    """(doc_id, band, slice) rows — one per signature band."""
+    return signatures.select(
         "doc_id",
         F.explode(
             F.array(
@@ -225,6 +220,18 @@ def minhash_lsh_candidates(
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: candidate pairs = docs agreeing on at least one band.
+
+    Pairs are produced by an equi-join on (band index, band slice) — the
+    shuffle key is the band content, so complexity tracks the number of
+    colliding docs, never n². Output: (doc_a, doc_b, n_shared_bands).
+    """
+    banded = _band_explode(signatures, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -284,6 +291,98 @@ def minhash_dedup(
         )
         .where(F.col("jaccard") >= verify_threshold)
         .select("doc_a", "doc_b", "n_shared_bands", "common", "jaccard")
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 2,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs touching a NEW batch only: (new×seen) ∪ (new×new) —
+    ``seen×seen`` is never recomputed. This is the fuzzy counterpart of
+    :func:`incremental_new_documents` and the operation a continuously-fed
+    corpus actually performs per crawl batch: at 100 TB you cannot re-dedup
+    the historical corpus on every arrival, and you don't need to — existing
+    keepers are fixed, so only pairs involving new documents can change the
+    kept set.
+
+    Cost model: banded candidates come from TWO equi-joins keyed by band
+    content — new-batch bands against the (stored, in production
+    precomputed) seen-side band table, and the new batch against itself.
+    Both are proportional to band collisions with the batch, independent of
+    |seen|² . Verification intersects shingle sets for candidates only.
+
+    Doc ids must be disjoint across the two inputs (the warehouse contract).
+    Output: (doc_a, doc_b, vs_seen, n_shared_bands, common, jaccard), pairs
+    canonicalized doc_a < doc_b; ``vs_seen`` = 1 iff one side is a seen doc.
+    """
+    rows_per_band = num_hashes // bands
+    sig_new = minhash_signatures(
+        new_docs, text_col=text_col, k=k, num_hashes=num_hashes
+    ).persist()
+    sig_seen = minhash_signatures(
+        seen_docs, text_col=text_col, k=k, num_hashes=num_hashes
+    ).persist()
+    bn = _band_explode(sig_new, bands, rows_per_band)
+    bsn = _band_explode(sig_seen, bands, rows_per_band)
+
+    a, b = bn.alias("a"), bsn.alias("b")
+    ns = (
+        a.join(
+            b,
+            on=[F.col("a.band") == F.col("b.band"), F.col("a.slice") == F.col("b.slice")],
+        )
+        .groupBy(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("other_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .withColumn("vs_seen", F.lit(1).cast("long"))
+    )
+    a2, b2 = bn.alias("a"), bn.alias("b")
+    nn = (
+        a2.join(
+            b2,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.slice") == F.col("b.slice"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("other_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .withColumn("vs_seen", F.lit(0).cast("long"))
+    )
+    cands = (
+        ns.unionByName(nn)
+        .select(
+            F.least("new_id", "other_id").alias("doc_a"),
+            F.greatest("new_id", "other_id").alias("doc_b"),
+            "vs_seen",
+            "n_shared_bands",
+        )
+    )
+    sets = (
+        new_docs.select("doc_id", F.col(text_col).alias("__t"))
+        .unionByName(seen_docs.select("doc_id", F.col(text_col).alias("__t")))
+        .select("doc_id", char_shingles(F.col("__t"), k).alias("shingles"))
+        .persist()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "vs_seen", "n_shared_bands", "common", "jaccard")
     )
 
 
@@ -385,6 +484,7 @@ def simhash_near_pairs(
 __all__ = [
     "MINHASH_SEEDS",
     "exact_duplicates",
+    "incremental_minhash_dedup",
     "incremental_new_documents",
     "minhash_dedup",
     "minhash_lsh_candidates",

@@ -2941,6 +2941,44 @@ FROM clean c JOIN keepers USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# 49. incremental MinHash dedup — new batch vs stored corpus, no seen×seen
+# --------------------------------------------------------------------------
+
+def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy incremental dedup: docs ≥ 250 arrive as the new crawl batch,
+    docs < 250 are the stored corpus. Only (new×seen) and (new×new) pairs
+    are computed — the oracle runs the full-corpus pipeline and drops
+    seen×seen pairs, proving the incremental path finds exactly the pairs
+    the batch could contribute."""
+    from .operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    out = incremental_minhash_dedup(new, seen, bands=2, verify_threshold=0.5)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "vs_seen",
+        "n_shared_bands",
+        F.col("common").cast("long").alias("common"),
+        ((F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("jaccard"),
+    )
+
+
+_SQL_MINHASH_INCR = f"""
+WITH {_minhash_ctes("documents")}
+SELECT doc_a, doc_b,
+       CAST(CASE WHEN doc_a < 250 THEN 1 ELSE 0 END AS BIGINT) AS vs_seen,
+       n_shared_bands, common,
+       (FLOOR((common / (size_a + size_b - common)) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS jaccard
+FROM verified
+WHERE doc_b >= 250
+  AND common / (size_a + size_b - common) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3010,6 +3048,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "unigram_logprob": QueryDef(q_unigram_logprob, _SQL_UNIGRAM),
     "vocab_zipf": QueryDef(q_vocab_zipf, _SQL_ZIPF),
     "curation_pipeline": QueryDef(q_curation_pipeline, _SQL_CURATION),
+    "dedup_minhash_incr": QueryDef(q_dedup_minhash_incr, _SQL_MINHASH_INCR),
 }
 
 

@@ -308,3 +308,39 @@ def test_approx_percentile_within_bound(spark):
     ).first()
     for e, a in zip(row.exact, row.approx):
         assert a == pytest.approx(e, rel=0.02), (row.exact, row.approx)
+
+
+def test_incremental_minhash_matches_full_run_filtered(spark):
+    """The incremental path must find exactly the pairs a full re-dedup
+    would find that touch the new batch — no more (no seen×seen), no less."""
+    from etl_for_all_studies_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),                                  # seen
+        (2, base.replace("dog", "cat")),            # seen near-dup of 1
+        (10, base + " extra"),                      # new ~ near-dup of 1
+        (11, base + " extra"),                      # new exact dup of 10
+        (12, "completely unrelated text with nothing shared at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seen = docs.where(F.col("doc_id") < 10)
+    new = docs.where(F.col("doc_id") >= 10)
+
+    incr = {
+        (r["doc_a"], r["doc_b"]): r["vs_seen"]
+        for r in incremental_minhash_dedup(new, seen, bands=2).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup(docs, bands=2).collect()
+        if r["doc_b"] >= 10  # pairs touching the new batch
+    }
+    assert set(incr) == full
+    assert all(a < 10 and b >= 10 if flag else a >= 10
+               for (a, b), flag in incr.items())
+    assert (10, 11) in incr and incr[(10, 11)] == 0   # new×new exact pair
+    assert any(flag == 1 for flag in incr.values())   # found new×seen pairs
