@@ -20,6 +20,7 @@ can be rebuilt from a plan that reads its own previous version.
 from __future__ import annotations
 
 import logging
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -278,8 +279,6 @@ def write_jdbc_with_retries(
     deployment that must land in SQL Server keeps the reference's
     reliability contract. Untested in this container (no JDBC endpoint).
     """
-    import time as _time
-
     last_exc: Exception | None = None
     for attempt in range(max_retries):
         try:
@@ -292,7 +291,11 @@ def write_jdbc_with_retries(
                 "JDBC write to %s failed (attempt %d/%d): %s — retrying in %.1fs",
                 table, attempt + 1, max_retries, exc, sleep_s,
             )
-            _time.sleep(sleep_s)
+            # module-level ``time`` reference: tests stub the backoff by
+            # patching THIS module's attribute — patching the global
+            # ``time.sleep`` would also neuter Spark's own Python-side
+            # polling threads, which then spin millions of iterations
+            time.sleep(sleep_s)
     raise RuntimeError(f"JDBC write to {table} failed after {max_retries} attempts") from last_exc
 
 

@@ -79,8 +79,17 @@ def test_jdbc_retry_backoff_then_success(spark, monkeypatch):
         if len(attempts) < 3:
             raise RuntimeError("connection refused")
 
+    import types
+
+    import etl_for_all_studies_spark.sources.warehouse as wh_mod
+
     monkeypatch.setattr(DataFrameWriter, "jdbc", fake_jdbc)
-    monkeypatch.setattr("time.sleep", lambda s: sleeps.append(s))
+    # patch the warehouse module's time reference, NOT the global
+    # time.sleep — Spark's own Python-side threads poll via time.sleep and
+    # would spin unbounded with a no-op sleep
+    monkeypatch.setattr(
+        wh_mod, "time", types.SimpleNamespace(sleep=lambda s: sleeps.append(s))
+    )
 
     df = spark.createDataFrame([(1,)], "x long")
     write_jdbc_with_retries(
@@ -101,8 +110,12 @@ def test_jdbc_retry_exhaustion_raises(spark, monkeypatch):
         calls.append(1)
         raise RuntimeError("deadlock victim")
 
+    import types
+
+    import etl_for_all_studies_spark.sources.warehouse as wh_mod
+
     monkeypatch.setattr(DataFrameWriter, "jdbc", always_fail)
-    monkeypatch.setattr("time.sleep", lambda s: None)
+    monkeypatch.setattr(wh_mod, "time", types.SimpleNamespace(sleep=lambda s: None))
 
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(RuntimeError, match="failed after 3 attempts"):
