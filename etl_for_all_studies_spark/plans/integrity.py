@@ -96,4 +96,63 @@ def run_integrity_report(wh: Warehouse) -> IntegrityReport:
     )
 
 
-__all__ = ["IntegrityReport", "integrity_checks", "run_integrity_report"]
+def quarantine_orphan_facts(wh: Warehouse) -> dict[str, int]:
+    """Repair action for dangling FKs: move ``fact_expression`` rows whose
+    ``sample_key``/``gene_key`` resolve to no dim row into
+    ``fact_expression__quarantine``, rewriting ONLY the affected study
+    partitions. The reference's database rejects such rows at insert time
+    (FK constraints); on Parquet the equivalent guarantee is detect + repair
+    — quarantine (never delete: the rows stay auditable/reloadable once the
+    missing dim arrives, the same never-lose-data posture as O-47).
+
+    Scale shape: orphan detection is two broadcast left joins (dim key sets
+    are broadcast-sized by construction); the rewrite is a dynamic partition
+    overwrite scoped to the orphaned studies, with the clean subset
+    localCheckpointed first so the overwrite never reads the files it is
+    replacing (same self-read discipline as the dim tmp-swap). Returns
+    ``{"quarantined", "studies_rewritten"}``.
+    """
+    fact = wh.read("fact_expression")
+    if fact is None:
+        return {"quarantined": 0, "studies_rewritten": 0}
+    s_ok = wh.read_or_empty("dim_sample").select(
+        "sample_key", F.lit(1).alias("__s_ok")
+    )
+    g_ok = wh.read_or_empty("dim_gene").select("gene_key", F.lit(1).alias("__g_ok"))
+    marked = fact.join(F.broadcast(s_ok), "sample_key", "left").join(
+        F.broadcast(g_ok), "gene_key", "left"
+    )
+    orphans = marked.where(
+        F.col("__s_ok").isNull() | F.col("__g_ok").isNull()
+    ).select(*fact.columns)
+
+    studies = [r[0] for r in orphans.select("study_key").distinct().collect()]
+    if not studies:
+        return {"quarantined": 0, "studies_rewritten": 0}
+
+    n_quarantined = wh.append_fact(
+        "fact_expression__quarantine",
+        orphans,
+        dedup_keys=["sample_key", "gene_key", "study_key"],
+    )
+    clean = (
+        marked.where(F.col("__s_ok").isNotNull() & F.col("__g_ok").isNotNull())
+        .where(F.col("study_key").isin(studies))
+        .select(*fact.columns)
+        .localCheckpoint()  # materialize BEFORE overwriting the source files
+    )
+    kept_studies = {r[0] for r in clean.select("study_key").distinct().collect()}
+    wh.overwrite_study_partitions(
+        "fact_expression",
+        clean,
+        empty_studies=[s for s in studies if s not in kept_studies],
+    )
+    return {"quarantined": n_quarantined, "studies_rewritten": len(studies)}
+
+
+__all__ = [
+    "IntegrityReport",
+    "integrity_checks",
+    "quarantine_orphan_facts",
+    "run_integrity_report",
+]
