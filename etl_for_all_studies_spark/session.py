@@ -26,6 +26,12 @@ _ENGINE_DEFAULTS: dict[str, str] = {
     # parquet scans: keep splits big enough to amortize task overhead at scale
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "33554432",
+    # zstd over the snappy default for parquet output: ~2x smaller
+    # warehouse/shard files at comparable CPU — at 100 TB the scan is
+    # IO-bound, so smaller files are directly faster reads (and cheaper
+    # storage). Shuffle compression stays on the lz4 default: local and
+    # well-provisioned clusters are CPU-bound there, not network-bound.
+    "spark.sql.parquet.compression.codec": "zstd",
 }
 
 
