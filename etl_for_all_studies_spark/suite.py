@@ -2979,6 +2979,42 @@ WHERE doc_b >= 250
 
 
 # --------------------------------------------------------------------------
+# 50. cube revenue — full grouping-sets lattice (completes the §2.6 family)
+# --------------------------------------------------------------------------
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one pass —
+    the Expand-based plan computes every lattice level from a single scan
+    with map-side partials, vs four separate aggregations."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    )
+    return agg.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "sum_price",
+        "g_status",
+        "g_priority",
+    )
+
+
+_SQL_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3049,6 +3085,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "vocab_zipf": QueryDef(q_vocab_zipf, _SQL_ZIPF),
     "curation_pipeline": QueryDef(q_curation_pipeline, _SQL_CURATION),
     "dedup_minhash_incr": QueryDef(q_dedup_minhash_incr, _SQL_MINHASH_INCR),
+    "cube_revenue": QueryDef(q_cube_revenue, _SQL_CUBE),
 }
 
 
