@@ -67,6 +67,10 @@ def integrity_checks(wh: Warehouse) -> dict[str, DataFrame]:
             checks["fact_expression_orphan_genes"] = fact.join(
                 F.broadcast(dim_gene.select("gene_key")), "gene_key", "left_anti"
             )
+        if dim_study is not None:
+            checks["fact_expression_orphan_studies"] = fact.join(
+                F.broadcast(dim_study.select("study_key")), "study_key", "left_anti"
+            )
 
     if corr is not None:
         checks["corr_grain_dupes"] = _dupes(
@@ -86,6 +90,17 @@ def integrity_checks(wh: Warehouse) -> dict[str, DataFrame]:
                 F.broadcast(dim_gene.select(F.col("gene_key").alias("gene_a_key"))),
                 "gene_a_key",
                 "left_anti",
+            )
+            checks["corr_orphan_genes_b"] = corr.join(
+                F.broadcast(dim_gene.select(F.col("gene_key").alias("gene_b_key"))),
+                "gene_b_key",
+                "left_anti",
+            )
+        if dim_study is not None:
+            checks["corr_orphan_studies"] = corr.where(
+                F.col("study_key").isNotNull()
+            ).join(
+                F.broadcast(dim_study.select("study_key")), "study_key", "left_anti"
             )
     return checks
 
