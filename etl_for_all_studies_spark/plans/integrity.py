@@ -102,6 +102,16 @@ def integrity_checks(wh: Warehouse) -> dict[str, DataFrame]:
             ).join(
                 F.broadcast(dim_study.select("study_key")), "study_key", "left_anti"
             )
+        if dim_illness is not None:
+            # illness_key is a nullable FK (UNKNOWN→NULL, O-17): only
+            # non-NULL values must resolve
+            checks["corr_orphan_illness"] = corr.where(
+                F.col("illness_key").isNotNull()
+            ).join(
+                F.broadcast(dim_illness.select("illness_key")),
+                "illness_key",
+                "left_anti",
+            )
     return checks
 
 
