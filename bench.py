@@ -53,25 +53,32 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
     for name, qd in QUERY_REGISTRY.items():
-        best = None
-        for _ in range(repeats):
+        times: list[float] = []
+        # best-of-N is the steady-state number: single-shot timings on this
+        # shared container swing 2-3x with unrelated load (measured same
+        # query 14s vs 49s minutes apart; round-2's dedup_embedding read
+        # 19.3s in the driver run vs 0.94s re-measured under the identical
+        # harness), which would bury real regressions in noise. ADAPTIVE
+        # extension: when the N repeats still disagree by >2x, the window
+        # clearly overlapped a load spike — take up to `max_extra` more
+        # samples so the min is a believable steady-state, not the least-bad
+        # of two noisy shots.
+        while len(times) < repeats + max_extra:
             t0 = time.monotonic()
             # noop sink: full distributed execution of every result row
             # without paying py4j driver-side deserialization (which would
             # dominate for large results and measure the client, not the
             # engine)
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            el = time.monotonic() - t0
-            best = el if best is None else min(best, el)
+            times.append(time.monotonic() - t0)
             # sketch operators persist() intermediates; drop them so
             # successive runs/queries start with a clean storage pool
             spark.catalog.clearCache()
-        # best-of-N is the steady-state number: single-shot timings on this
-        # shared container swing 2-3x with unrelated load (measured same
-        # query 14s vs 49s minutes apart), which would bury real round-over-
-        # round regressions in noise
-        timings[name] = round(best, 3)
+            if len(times) >= repeats and max(times) <= 2.0 * min(times):
+                break
+        timings[name] = round(min(times), 3)
 
     # ETL throughput on the reference's own GSE9006-shaped envelope — in the
     # bench JSON so BENCH_r{N}.json carries round-over-round ETL regressions,

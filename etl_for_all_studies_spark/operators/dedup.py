@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, persist
 from ..functions.hashing import MOD, char_shingles, poly_hash, word_tokens
 
 # fixed universal-hash family for MinHash (a, b pairs; deterministic)
@@ -157,7 +158,12 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, *, text_col: str = "text", k: int = 5, num_hashes: int = 16
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures over k-char shingles.
 
@@ -175,13 +181,12 @@ def minhash_signatures(
     # Shingle-less docs (len < k) are excluded: their signature would be all
     # NULL, and Spark's structural array equality would band-match every such
     # doc pairwise (0/0 Jaccard); they can only be exact dups, never fuzzy.
-    hashed = (
+    hashed = persist(
         docs.select(
             "doc_id",
             F.transform(shingles, lambda s: _poly_hash_inline(s)).alias("hh"),
-        )
-        .where(F.size(F.col("hh")) > 0)
-        .persist()
+        ).where(F.size(F.col("hh")) > 0),
+        scope,
     )
     sig = F.array(
         *[
@@ -256,6 +261,7 @@ def minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     verify_threshold: float = 0.5,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact-Jaccard verification of **candidates only**.
@@ -271,13 +277,15 @@ def minhash_dedup(
     # higher-order-function) signature expression into every downstream
     # reference — explode fields, join keys, filters — re-evaluating it tens
     # of times per row (measured 80s vs 1.3s at sf0.1 for the candidate join)
-    sigs = minhash_signatures(
-        docs, text_col=text_col, k=k, num_hashes=num_hashes
-    ).persist()
+    sigs = persist(
+        minhash_signatures(docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope),
+        scope,
+    )
     candidates = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
-    sets = docs.select(
-        "doc_id", char_shingles(F.col(text_col), k).alias("shingles")
-    ).persist()
+    sets = persist(
+        docs.select("doc_id", char_shingles(F.col(text_col), k).alias("shingles")),
+        scope,
+    )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -303,6 +311,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 16,
     bands: int = 2,
     verify_threshold: float = 0.5,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs touching a NEW batch only: (new×seen) ∪ (new×new) —
     ``seen×seen`` is never recomputed. This is the fuzzy counterpart of
@@ -323,12 +332,14 @@ def incremental_minhash_dedup(
     canonicalized doc_a < doc_b; ``vs_seen`` = 1 iff one side is a seen doc.
     """
     rows_per_band = num_hashes // bands
-    sig_new = minhash_signatures(
-        new_docs, text_col=text_col, k=k, num_hashes=num_hashes
-    ).persist()
-    sig_seen = minhash_signatures(
-        seen_docs, text_col=text_col, k=k, num_hashes=num_hashes
-    ).persist()
+    sig_new = persist(
+        minhash_signatures(new_docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope),
+        scope,
+    )
+    sig_seen = persist(
+        minhash_signatures(seen_docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope),
+        scope,
+    )
     bn = _band_explode(sig_new, bands, rows_per_band)
     bsn = _band_explode(sig_seen, bands, rows_per_band)
 
@@ -365,11 +376,11 @@ def incremental_minhash_dedup(
             "n_shared_bands",
         )
     )
-    sets = (
+    sets = persist(
         new_docs.select("doc_id", F.col(text_col).alias("__t"))
         .unionByName(seen_docs.select("doc_id", F.col(text_col).alias("__t")))
-        .select("doc_id", char_shingles(F.col("__t"), k).alias("shingles"))
-        .persist()
+        .select("doc_id", char_shingles(F.col("__t"), k).alias("shingles")),
+        scope,
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -386,7 +397,13 @@ def incremental_minhash_dedup(
     )
 
 
-def simhash(docs: DataFrame, *, text_col: str = "text", bits: int = 32) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    bits: int = 32,
+    scope: CacheScope | None = None,
+) -> DataFrame:
     """(doc_id, simhash) 32-bit SimHash over whitespace tokens.
 
     Each token's portable hash votes ±1 on each bit; the fingerprint's bit i
@@ -396,9 +413,10 @@ def simhash(docs: DataFrame, *, text_col: str = "text", bits: int = 32) -> DataF
     tokens = word_tokens(F.lower(F.col(text_col)))
     # barrier before the vote aggregation — see minhash_signatures: HOFs get
     # no CSE, so the token hash is materialized once per token
-    hashed = docs.select(
-        "doc_id", F.transform(tokens, lambda t: poly_hash(t)).alias("th")
-    ).persist()
+    hashed = persist(
+        docs.select("doc_id", F.transform(tokens, lambda t: poly_hash(t)).alias("th")),
+        scope,
+    )
     # votes as a grouped aggregation over exploded token hashes: all ``bits``
     # SUM(CASE) columns run inside whole-stage codegen with map-side partial
     # aggregation — unlike per-bit array aggregates, which are interpreted
@@ -427,7 +445,12 @@ def simhash(docs: DataFrame, *, text_col: str = "text", bits: int = 32) -> DataF
 
 
 def simhash_near_pairs(
-    fingerprints: DataFrame, *, bits: int = 32, max_hamming: int = 3, bands: int = 4
+    fingerprints: DataFrame,
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -439,7 +462,7 @@ def simhash_near_pairs(
     mask = (1 << width) - 1
     # materialization barrier — see minhash_dedup: the fingerprint expression
     # is interpreted (nested HOFs) and must not be re-inlined per reference
-    fingerprints = fingerprints.persist()
+    fingerprints = persist(fingerprints, scope)
     blocks = fingerprints.select(
         "doc_id",
         "simhash",

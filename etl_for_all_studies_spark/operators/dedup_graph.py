@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, persist
+
 
 def exact_dup_star_edges(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -89,6 +91,7 @@ def connected_components(
     node_col: str = "node",
     max_iter: int = 25,
     local_edge_threshold: int = 2_000_000,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """(node, cluster_id) where ``cluster_id`` is the minimum node id in the
     node's connected component.
@@ -105,10 +108,13 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("eu"), F.col(dst).cast("long").alias("ev")
     ).where(F.col("eu").isNotNull() & F.col("ev").isNotNull())
-    # materialize the distinct edge list ONCE — it is re-used (joined every
-    # round, or collected), and recomputing its lineage (often a full
-    # near-dup detection) per use turns O(rounds) into O(rounds × detector)
-    dedup_e = e.distinct().localCheckpoint()
+    # materialize the distinct edge list ONCE — it is re-used (counted, then
+    # joined every round or collected), and recomputing its lineage (often a
+    # full near-dup detection) per use turns O(rounds) into O(rounds ×
+    # detector). A *persist* barrier (releasable via ``scope``), not a
+    # localCheckpoint: the loop's own per-round checkpoints handle lineage
+    # truncation, and checkpoint blocks have no deterministic release API.
+    dedup_e = persist(e.distinct(), scope)
 
     if nodes is not None:
         base = nodes.select(F.col(node_col).cast("long").alias("node")).distinct()
@@ -218,7 +224,10 @@ def connected_components(
 
 
 def dedup_clusters(
-    docs: DataFrame, pair_edges: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pair_edges: DataFrame,
+    id_col: str = "doc_id",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Cluster every document (singletons included) by exact-dup star edges ∪
     the supplied near-dup ``pair_edges`` (columns ``doc_a``/``doc_b``).
@@ -233,7 +242,7 @@ def dedup_clusters(
         )
     )
     comp = connected_components(
-        edges, nodes=docs.select(F.col(id_col).alias("node"))
+        edges, nodes=docs.select(F.col(id_col).alias("node")), scope=scope
     )
     # sizes has one row per cluster — singleton-heavy corpora make that
     # ~|nodes| rows, so no broadcast hint: the shuffle join is the safe plan
@@ -268,18 +277,20 @@ def select_cluster_keepers(
     row per cluster: ``(cluster_col, cluster_size, keeper_<id>,
     keeper_score)``.
 
-    Scale notes: a single ``max_by`` aggregation keyed by cluster — map-side
+    Scale notes: a single ``min_by`` aggregation keyed by cluster — map-side
     partial aggregation applies (each partition contributes one candidate
     per cluster), so a mega-cluster never funnels its members through one
     partition the way a ``row_number`` window would. The tie-break rides
-    inside the ordering struct ``(score, -id)``: lexicographic struct
+    inside the ordering struct ``(-score, id)``: lexicographic struct
     comparison makes one aggregate both maximize the score and break ties
-    deterministically toward the smallest id.
+    deterministically toward the smallest id. The *score* must be numeric
+    (it is negated for the ordering); the id can be any orderable type —
+    numeric or string doc ids both work.
     """
-    order = F.struct(F.col(score_col), (-F.col(id_col)).alias("tb"))
+    order = F.struct((-F.col(score_col)).alias("s"), F.col(id_col).alias("tb"))
     return clustered.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("cluster_size"),
-        F.max_by(F.col(id_col), order).alias(f"keeper_{id_col}"),
+        F.min_by(F.col(id_col), order).alias(f"keeper_{id_col}"),
         F.max(F.col(score_col)).alias("keeper_score"),
     )
 

@@ -25,6 +25,7 @@ import dataclasses
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, persist
 from ..functions.hashing import word_tokens
 
 #: Function words used for the stopword-presence rule. Deliberately tiny and
@@ -112,6 +113,7 @@ def repetition_metrics(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 2,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Gopher-style within-document repetition metrics:
     (doc_id, n_grams, top_gram_frac, dup_token_frac).
@@ -144,7 +146,8 @@ def repetition_metrics(
         )
         .otherwise(F.array().cast("array<string>"))
         .alias("grams"),
-    ).persist()  # barrier: both the gram explode and the final join read
+    )
+    base = persist(base, scope)  # barrier: both the gram explode and the final join read
     # this, and the interpreted HOF projection gets no CSE — without the
     # barrier every branch re-tokenizes (same discipline as the sketch
     # operators in dedup.py; measured 13.3s -> 5.8s warm at sf0.1)

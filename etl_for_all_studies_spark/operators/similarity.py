@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, persist
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ over two array columns (float64 accumulation)."""
@@ -83,19 +85,26 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, neighbor_id, cos_sim, rank).
 
     Self-matches are excluded; ties break deterministically on neighbor id.
     """
-    q = unit_vectors(
-        queries, id_col=id_col, vec_col=vec_col, id_alias="query_id", vec_alias="qv"
-    ).persist()
-    c = unit_vectors(
-        corpus, id_col=id_col, vec_col=vec_col, id_alias="neighbor_id", vec_alias="cv"
-    ).persist()
+    q = persist(
+        unit_vectors(
+            queries, id_col=id_col, vec_col=vec_col, id_alias="query_id", vec_alias="qv"
+        ),
+        scope,
+    )
+    c = persist(
+        unit_vectors(
+            corpus, id_col=id_col, vec_col=vec_col, id_alias="neighbor_id", vec_alias="cv"
+        ),
+        scope,
+    )
     scored = (
-        q.crossJoin(c)
+        _spread(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -111,6 +120,19 @@ def brute_force_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a (small, usually cached single-block) side across the
+    session's task slots before a pair fan-out. A filtered scan of a small
+    parquet table arrives as ONE partition, so a crossJoin/nested-loop join
+    streaming it scores every pair in a single task — correct, but serial.
+    One cheap shuffle of the *pre-fan-out* rows buys full-core pair scoring;
+    at cluster scale the same spread distributes pair work across executors
+    instead of leaving it on the partition that happened to hold the data.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
 
 
 def _assign_cells_from_units(
@@ -160,13 +182,14 @@ def ivf_topk(
     n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus vectors live in their nearest cell; each query
     scans only its ``n_probes`` nearest cells. Returns
     (query_id, neighbor_id, cos_sim, rank)."""
     ucent = _unit_centroids(centroids, vec_col)
-    uc = unit_vectors(corpus, id_col=id_col, vec_col=vec_col).persist()
-    uq = unit_vectors(queries, id_col=id_col, vec_col=vec_col).persist()
+    uc = persist(unit_vectors(corpus, id_col=id_col, vec_col=vec_col), scope)
+    uq = persist(unit_vectors(queries, id_col=id_col, vec_col=vec_col), scope)
     corpus_cells = _assign_cells_from_units(uc, ucent, n_probes=1).select(
         F.col("vid").alias("neighbor_id"), "cell"
     )
@@ -206,12 +229,13 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold — **brute-force form**,
     O(n²): the correctness oracle for bounded inputs. The scale path is
     :func:`embedding_near_duplicates_ivf` (cell-bucketed candidates)."""
-    u = unit_vectors(vectors, id_col=id_col, vec_col=vec_col).persist()
-    a = u.select(F.col("vid").alias("doc_a"), F.col("uv").alias("va"))
+    u = persist(unit_vectors(vectors, id_col=id_col, vec_col=vec_col), scope)
+    a = _spread(u.select(F.col("vid").alias("doc_a"), F.col("uv").alias("va")))
     b = u.select(F.col("vid").alias("doc_b"), F.col("uv").alias("vb"))
     return (
         a.crossJoin(b)
@@ -228,6 +252,7 @@ def embedding_near_dup_candidates(
     n_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: CacheScope | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidates, unit_vectors) for IVF-bucketed near-dup: every vector is
     multi-probed into its ``n_probes`` nearest cells, candidate pairs are an
@@ -235,7 +260,7 @@ def embedding_near_dup_candidates(
     intersect, so work is Σ|cell|² over cells, never n². Exposed separately
     so callers (and tests) can measure candidate volume vs n²."""
     ucent = _unit_centroids(centroids, vec_col)
-    u = unit_vectors(vectors, id_col=id_col, vec_col=vec_col).persist()
+    u = persist(unit_vectors(vectors, id_col=id_col, vec_col=vec_col), scope)
     cells = _assign_cells_from_units(u, ucent, n_probes=n_probes)
     a = cells.select(F.col("vid").alias("doc_a"), "cell")
     b = cells.select(F.col("vid").alias("doc_b"), "cell")
@@ -256,6 +281,7 @@ def embedding_near_duplicates_ivf(
     n_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Semantic near-dup at scale: IVF-cell candidates → cosine verify —
     the embedding analog of ``minhash_dedup``'s candidates→verify shape
@@ -265,7 +291,7 @@ def embedding_near_duplicates_ivf(
     true near-dups has near-identical vectors, so both probe the same nearest
     cells — multi-probing both sides covers centroid-boundary pairs)."""
     candidates, u = embedding_near_dup_candidates(
-        vectors, centroids, n_probes=n_probes, id_col=id_col, vec_col=vec_col
+        vectors, centroids, n_probes=n_probes, id_col=id_col, vec_col=vec_col, scope=scope
     )
     va = u.select(F.col("vid").alias("doc_a"), F.col("uv").alias("va"))
     vb = u.select(F.col("vid").alias("doc_b"), F.col("uv").alias("vb"))

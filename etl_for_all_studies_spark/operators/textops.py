@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, persist
 from ..functions.hashing import poly_hash, word_tokens
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
@@ -199,6 +200,7 @@ def unigram_logprob_scores(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Statistical language-model quality signal: each document's mean
     log₁₀ unigram probability under the corpus's own empirical unigram
@@ -206,24 +208,35 @@ def unigram_logprob_scores(
     high — the classic cheap LM filter (the shape of CCNet/KenLM perplexity
     filtering, with the corpus itself as the model).
 
-    Two linear passes, no Python: (1) token explode → word-frequency
-    aggregate (map-side combined; vocabulary is Zipf-bounded, orders of
-    magnitude smaller than the token stream); (2) token→frequency equi-join
-    keyed by word, then a per-document AVG. The corpus-total token count is
-    a 1-row broadcast. Returns (id, n_tokens, mean_log10_prob).
+    ONE tokenization pass, no Python: the exploded token stream is reduced to
+    per-document word counts (map-side combined) and **persisted** — both the
+    corpus-wide frequency aggregate and the scoring join read that compact
+    (doc, word, count) table, so the scan+lower+split+explode lineage runs
+    once, not once per consumer (at 100 TB the raw-text scan is the dominant
+    cost; everything after it here is Zipf-bounded). Scoring is a
+    token→frequency equi-join keyed by word with a per-document weighted AVG;
+    the corpus-total token count is a 1-row broadcast.
+    Returns (id, n_tokens, mean_log10_prob).
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(word_tokens(F.lower(F.col(text_col)))).alias("w"),
-    ).where(F.col("w") != "")
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    toks = persist(
+        docs.select(
+            F.col(id_col),
+            F.explode(word_tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n")),
+        scope,
+    )
+    freq = toks.groupBy("w").agg(F.sum("n").alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
     scored = toks.join(freq, "w").crossJoin(F.broadcast(total))
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.avg(F.log10(F.col("c").cast("double") / F.col("total"))).alias(
-            "mean_log10_prob"
-        ),
+        F.sum("n").alias("n_tokens"),
+        (
+            F.sum(F.col("n") * F.log10(F.col("c").cast("double") / F.col("total")))
+            / F.sum("n")
+        ).alias("mean_log10_prob"),
     )
 
 

@@ -35,7 +35,7 @@ from ..functions.stats import (
     average_rank,
     benjamini_hochberg,
     spearman_p_value_expr,
-    spearman_p_value_t_udf,
+    spearman_p_value_t_expr,
 )
 
 MIN_SAMPLES_FOR_CORRELATION = 2  # reference correlation.py:65
@@ -93,6 +93,70 @@ def _split_dense_studies(e: DataFrame) -> tuple[list[int], list[int]]:
     return dense, ragged
 
 
+def _block_pairs(e: DataFrame, n_blocks: int) -> DataFrame:
+    """Bucketed pair enumeration over a pre-ranked long table (``block``
+    mode's core). Every unordered gene pair {g₁, g₂} with blocks p ≤ q is
+    produced by exactly one block pair (p, q):
+
+    * as the LEFT side, a row with block g is replicated to block pairs
+      (g, g), (g, g+1), …, (g, B−1) — a per-row ``sequence`` explode;
+    * as the RIGHT side, to (0, g), …, (g, g).
+
+    The join is then a pure equi-join on (study, sample, block_a, block_b) —
+    the block columns join the shuffle key, so one (study, sample)'s
+    quadratic pair fan-out is spread over B(B+1)/2 independent reducers
+    instead of one. Off-diagonal block pairs contain each unordered pair
+    once with arbitrary side order (blocks differ ⇒ genes differ), so the
+    output is canonicalized with least/greatest + a conditional swap of the
+    value/rank columns; diagonal pairs keep the usual ``gene_a < gene_b``
+    predicate. Block id is ``pmod(hash(gene_key), B)`` — hash, not range, so
+    dense and sparse gene-key spaces both balance.
+    """
+    blk = F.pmod(F.hash(F.col("gene_key")), F.lit(n_blocks)).alias("blk")
+    base = e.select("*", blk)
+    left = base.select(
+        "*",
+        F.explode(
+            F.sequence(F.col("blk"), F.lit(n_blocks - 1))
+        ).alias("blk_b"),
+    ).withColumnRenamed("blk", "blk_a")
+    right = base.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_a"),
+    ).withColumnRenamed("blk", "blk_b")
+    a = left.alias("a")
+    b = right.alias("b")
+    joined = a.join(
+        b,
+        on=[
+            F.col("a.study_key") == F.col("b.study_key"),
+            F.col("a.gsm_accession") == F.col("b.gsm_accession"),
+            F.col("a.blk_a") == F.col("b.blk_a"),
+            F.col("a.blk_b") == F.col("b.blk_b"),
+        ],
+    ).where(
+        # diagonal block: classic ordered-pair predicate; off-diagonal: the
+        # sides are distinct blocks, every unordered pair appears once
+        (F.col("a.blk_a") != F.col("a.blk_b"))
+        | (F.col("a.gene_key") < F.col("b.gene_key"))
+    )
+    swap = F.col("a.gene_key") > F.col("b.gene_key")
+
+    def pick(col: str, flipped: bool) -> F.Column:
+        first, second = ("b", "a") if flipped else ("a", "b")
+        return F.when(swap, F.col(f"{first}.{col}")).otherwise(F.col(f"{second}.{col}"))
+
+    return joined.select(
+        F.col("a.study_key").alias("study_key"),
+        F.least(F.col("a.gene_key"), F.col("b.gene_key")).alias("gene_a_key"),
+        F.greatest(F.col("a.gene_key"), F.col("b.gene_key")).alias("gene_b_key"),
+        pick("expression_value", True).alias("va"),
+        pick("expression_value", False).alias("vb"),
+        pick("rank", True).alias("ra"),
+        pick("rank", False).alias("rb"),
+    )
+
+
 def compute_gene_pair_correlations(
     expression: DataFrame,
     *,
@@ -100,6 +164,7 @@ def compute_gene_pair_correlations(
     mode: str = "exact",
     computed_at: str | None = None,
     pvalue_dist: str = "normal",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Long-form expression → fact_gene_pair_corr rows.
 
@@ -111,11 +176,27 @@ def compute_gene_pair_correlations(
     exact per-pair plan — identical results either way, since the plans only
     diverge on ragged matrices.
 
+    ``mode="block"`` is the beyond-envelope scale path (SURVEY §7.4.7) for
+    studies whose gene count far exceeds the reference's ~hundreds: dense
+    semantics (pre-ranked), but pair enumeration is **bucketed** into
+    ``n_blocks`` gene blocks. The plain dense join keys the shuffle on
+    (study, sample), so ONE task must emit all n_genes²/2 pairs for its
+    sample — at 20k genes that is 2·10⁸ rows from a single task, an
+    unsplittable hot key (AQE splits skewed *partitions*, not single keys).
+    The block plan keys on (study, sample, block_a, block_b): each task emits
+    at most (n_genes/B)² pairs, giving B(B+1)/2-way parallelism per sample at
+    the cost of replicating each input row B+1 times across the two join
+    sides — the classic triangle-enumeration tradeoff (shuffle grows √P-ish,
+    task output shrinks quadratically). Results are hash-identical to
+    ``mode="dense"`` (tests pin this); pick
+    ``n_blocks ≈ n_genes / 2000`` so a block pair's output stays ~4M rows.
+
     ``pvalue_dist`` pins the SURVEY §7.4.2 fork: ``"normal"`` (default) is
     the reference's no-SciPy fallback — a closed-form JVM-side expression;
-    ``"t"`` is SciPy's primary Student-t semantics, computed by a vectorized
-    pandas UDF over the aggregated pair rows (incomplete-beta continued
-    fraction, ~1e-14 relative error).
+    ``"t"`` is SciPy's primary Student-t semantics — ALSO a pure JVM
+    expression (incomplete-beta continued fraction as a ``sequence`` fold,
+    ``functions/stats.py::spearman_p_value_t_expr``; < 1e-12 vs SciPy), so
+    neither p-value path has Python in the row path.
     """
     ts = computed_at or _utc_now_iso()
     e = expression.select("study_key", "gene_key", "gsm_accession", "expression_value")
@@ -171,6 +252,11 @@ def compute_gene_pair_correlations(
             F.col("a.rank").alias("ra"),
             F.col("b.rank").alias("rb"),
         )
+    elif mode == "block":
+        e = e.withColumn(
+            "rank", average_rank(["study_key", "gene_key"], "expression_value")
+        )
+        paired = _block_pairs(e, n_blocks)
     else:
         a = e.alias("a")
         b = e.alias("b")
@@ -234,10 +320,9 @@ def compute_gene_pair_correlations(
             "p_value",
             spearman_p_value_expr(F.col("rho_spearman"), F.col("n_samples"))
             if pvalue_dist == "normal"
-            else spearman_p_value_t_udf()(F.col("rho_spearman"), F.col("n_samples")),
+            else spearman_p_value_t_expr(F.col("rho_spearman"), F.col("n_samples")),
         )
-        # the t-path UDF surfaces NaN (numpy) where the closed form yields
-        # NULL; normalize so BH's valid-p accounting treats both alike
+        # normalize any NaN to NULL so BH's valid-p accounting is uniform
         .withColumn(
             "p_value",
             F.when(F.isnan("p_value"), F.lit(None).cast("double")).otherwise(

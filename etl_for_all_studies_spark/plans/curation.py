@@ -35,6 +35,7 @@ import dataclasses
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope
 from ..operators.contamination import decontaminate
 from ..operators.dedup import minhash_dedup
 from ..operators.dedup_graph import dedup_clusters, select_cluster_keepers
@@ -71,14 +72,20 @@ def curate_corpus(
     n_shards: int = 16,
     minhash_bands: int = 2,
     verify_threshold: float = 0.5,
+    decontaminate_n: int = 3,
+    scope: CacheScope | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
     Keeper policy: the longest member (whitespace tokens) of each near-dup
     cluster survives, ties to the lowest doc_id. Pass ``eval_docs`` to drop
-    training documents sharing 8-gram overlap with an evaluation set;
-    pass ``out_dir`` to also write the kept corpus as deterministic
-    training shards and return the manifest.
+    training documents sharing word-``decontaminate_n``-gram overlap with an
+    evaluation set (default 3 — raise to 8-13 for production-size corpora,
+    where longer grams cut false positives; the suite's small fixture needs
+    3 to have any overlap at all). Pass ``out_dir`` to also write the kept
+    corpus as deterministic training shards and return the manifest. Pass a
+    ``scope`` (``caching.CacheScope``) to release the dedup sketch barriers
+    after materializing the results.
     """
     quality = annotate_quality(docs, rules=rules)
     passed = quality.where(F.col("keep") == 1).select(docs.columns)
@@ -86,14 +93,14 @@ def curate_corpus(
     contaminated = None
     clean = passed
     if eval_docs is not None:
-        decon = decontaminate(passed, eval_docs)
+        decon = decontaminate(passed, eval_docs, n=decontaminate_n)
         contaminated = decon.where(F.col("contaminated") == 1).select("doc_id")
         clean = passed.join(contaminated, "doc_id", "left_anti")
 
     pairs = minhash_dedup(
-        clean, bands=minhash_bands, verify_threshold=verify_threshold
+        clean, bands=minhash_bands, verify_threshold=verify_threshold, scope=scope
     ).select("doc_a", "doc_b")
-    clusters = dedup_clusters(clean, pairs)
+    clusters = dedup_clusters(clean, pairs, scope=scope)
     scored = clusters.join(
         clean.select(
             "doc_id", token_count(F.col("text")).cast("long").alias("__score")
@@ -107,6 +114,11 @@ def curate_corpus(
 
     manifest = None
     if out_dir is not None:
+        if scope is not None:
+            # barrier before the shard write: the write materializes the full
+            # curation DAG; caching `kept` here lets every subsequent audit
+            # count read the cached rows instead of re-running the pipeline
+            kept = scope.persist(kept)
         manifest = write_training_shards(kept, out_dir, n_shards=n_shards)
 
     return CurationResult(

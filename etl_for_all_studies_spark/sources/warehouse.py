@@ -277,7 +277,10 @@ def write_jdbc_with_retries(
     domain is the write call itself — individual task retries are already
     Spark's job. Parquet remains the primary warehouse; this exists so a
     deployment that must land in SQL Server keeps the reference's
-    reliability contract. Untested in this container (no JDBC endpoint).
+    reliability contract. Exercised against a REAL endpoint in
+    ``tests/test_warehouse.py::test_jdbc_real_roundtrip`` (embedded Derby —
+    the JDBC database on every Spark classpath); retry/backoff behavior is
+    pinned by the two patched-writer tests above it.
     """
     last_exc: Exception | None = None
     for attempt in range(max_retries):

@@ -555,6 +555,50 @@ _SQL_SPEARMAN_DENSE = _spearman_sql(
 
 
 # --------------------------------------------------------------------------
+# 10c. BLOCK-route Spearman (SURVEY §7.4.7 beyond-envelope): 250-gene dense
+#      matrix (part-bucket × order-priority) through mode="block" — pair
+#      enumeration bucketed into gene blocks so one (study, sample) key's
+#      quadratic fan-out is spread over B(B+1)/2 reducers (an unsplittable
+#      hot key under the plain dense join; AQE splits partitions, not keys).
+#      The oracle is the SAME Spearman skeleton — block mode must be
+#      value-identical to dense, only the physical bucketing differs.
+# --------------------------------------------------------------------------
+
+def q_spearman_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy((F.col("l_partkey") % 250).alias("gene"), F.col("o_orderpriority"))
+        .agg(F.sum("l_quantity").cast("double").alias("expression_value"))
+    )
+    expr = base.select(
+        F.lit(1).cast("long").alias("study_key"),
+        F.col("gene").cast("long").alias("gene_key"),
+        F.col("o_orderpriority").cast("string").alias("gsm_accession"),
+        "expression_value",
+    ).persist()
+    corr = compute_gene_pair_correlations(
+        expr, min_samples=2, mode="block", n_blocks=4, computed_at="fixed"
+    )
+    return corr.select(
+        "gene_a_key",
+        "gene_b_key",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        ((F.floor(F.col("rho_spearman") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("rho"),
+        ((F.floor(F.col("p_value") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("p"),
+        ((F.floor(F.col("q_value") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("q"),
+    )
+
+
+_SQL_SPEARMAN_BLOCK = _spearman_sql(
+    "SELECT l_partkey % 250 AS g, CAST(o_orderpriority AS VARCHAR) AS s, "
+    "CAST(SUM(l_quantity) AS DOUBLE) AS v FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2"
+)
+
+
+# --------------------------------------------------------------------------
 # 11. exact dedup (hash-groupBy)
 # --------------------------------------------------------------------------
 
@@ -2659,19 +2703,13 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery through ``spark.sql`` on purpose: Catalyst must
     decorrelate it into an aggregate + join (no per-row re-execution), which
     is the rewrite that makes this shape viable at scale. The oracle runs the
-    *identical* SQL text."""
+    *identical* SQL text. The AVG threshold is quantized to the suite's 1e-6
+    grid before the comparison: an unrounded double-AVG boundary depends on
+    partial-aggregation order, so at larger SFs a knife-edge row could flip
+    between engines/partitionings — the grid makes the boundary decision
+    order-independent (same discipline as kmeans centroid quantization)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey,
-               ROUND(o_totalprice, 2) AS totalprice
-        FROM orders o
-        WHERE o_totalprice > (
-          SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
-          WHERE o2.o_custkey = o.o_custkey
-        )
-        """
-    )
+    return spark.sql(_SQL_ABOVE_AVG)
 
 
 _SQL_ABOVE_AVG = """
@@ -2679,7 +2717,8 @@ SELECT o_orderkey, o_custkey,
        ROUND(o_totalprice, 2) AS totalprice
 FROM orders o
 WHERE o_totalprice > (
-  SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+  SELECT (FLOOR(1.5 * AVG(o2.o_totalprice) * 1000000.0 + 0.5001) / 1000000.0)
+  FROM orders o2
   WHERE o2.o_custkey = o.o_custkey
 )
 """
@@ -3086,6 +3125,9 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "curation_pipeline": QueryDef(q_curation_pipeline, _SQL_CURATION),
     "dedup_minhash_incr": QueryDef(q_dedup_minhash_incr, _SQL_MINHASH_INCR),
     "cube_revenue": QueryDef(q_cube_revenue, _SQL_CUBE),
+    # round-3 additions stay at the END: the driver snapshot keys rows by
+    # name, and appending keeps every pre-existing row's identity stable
+    "spearman_block": QueryDef(q_spearman_block, _SQL_SPEARMAN_BLOCK),
 }
 
 

@@ -26,20 +26,27 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
 
+    from etl_for_all_studies_spark.caching import CacheScope
     from etl_for_all_studies_spark.plans.curation import curate_corpus
     from etl_for_all_studies_spark.session import get_spark
 
     spark = get_spark(app_name="curation", master=args.master)
     t0 = time.monotonic()
-    docs = spark.read.parquet(args.input)
-    eval_docs = spark.read.parquet(args.eval) if args.eval else None
-    res = curate_corpus(
-        docs, eval_docs=eval_docs, out_dir=args.out, n_shards=args.shards
-    )
-    n_in = docs.count()
-    n_kept = res.kept.count()
-    n_contam = res.contaminated.count() if res.contaminated is not None else 0
-    n_shards = res.shard_manifest.count() if res.shard_manifest is not None else 0
+    # one CacheScope around the whole run: the corpus scan, the kept set, and
+    # every dedup sketch barrier inside curate_corpus are computed ONCE,
+    # shared by the shard write and all audit counts, then released together
+    # (without the barriers each count would re-run the MinHash/clustering DAG)
+    with CacheScope() as scope:
+        docs = scope.persist(spark.read.parquet(args.input))
+        eval_docs = spark.read.parquet(args.eval) if args.eval else None
+        res = curate_corpus(
+            docs, eval_docs=eval_docs, out_dir=args.out, n_shards=args.shards,
+            scope=scope,
+        )
+        n_in = docs.count()
+        n_kept = res.kept.count()
+        n_contam = res.contaminated.count() if res.contaminated is not None else 0
+        n_shards = res.shard_manifest.count() if res.shard_manifest is not None else 0
     print(
         f"docs={n_in} kept={n_kept} dropped={n_in - n_kept} "
         f"contaminated={n_contam} shards={n_shards} "

@@ -35,7 +35,7 @@ def _run(spark, matrix, mode="exact", min_samples=2):
     }
 
 
-@pytest.mark.parametrize("mode", ["exact", "dense"])
+@pytest.mark.parametrize("mode", ["exact", "dense", "block"])
 def test_canonical_three_gene_study(spark, mode):
     got = _run(spark, CANONICAL, mode=mode)
     expected = {(s["gene_a_key"], s["gene_b_key"]): s for s in all_pairs(CANONICAL)}
@@ -205,3 +205,49 @@ def test_multi_study_families_independent(spark):
             assert r["q_value"] is None
         else:
             assert r["q_value"] == pytest.approx(exp["q"], abs=1e-6)
+
+
+# ---- block (bucketed) pair enumeration — SURVEY §7.4.7 beyond-envelope ----
+
+def test_block_mode_identical_to_dense(spark):
+    """mode="block" must be row-identical to mode="dense" on the same dense
+    matrix — block enumeration only re-buckets the pair fan-out. 40 genes /
+    4 blocks forces multi-gene blocks, diagonal pairs, and off-diagonal
+    side-swaps (hash block of the smaller gene can exceed the larger's)."""
+    rng_vals = [
+        ((i * 37 + j * 11) % 29) + 0.25 * ((i + j) % 5) for i in range(40) for j in range(12)
+    ]
+    matrix = {
+        g: {f"S{j:02d}": rng_vals[g * 12 + j] for j in range(12)}
+        for g in range(40)
+    }
+    df = _to_df(spark, matrix)
+    dense = compute_gene_pair_correlations(df, mode="dense", computed_at="x")
+    block = compute_gene_pair_correlations(df, mode="block", n_blocks=4, computed_at="x")
+    key = ["study_key", "gene_a_key", "gene_b_key"]
+    d = {tuple(r[k] for k in key): r.asDict() for r in dense.collect()}
+    b = {tuple(r[k] for k in key): r.asDict() for r in block.collect()}
+    assert set(d) == set(b) and len(d) == 40 * 39 // 2
+    for k in d:
+        for col in ("n_samples", "rho_spearman", "p_value", "q_value"):
+            assert d[k][col] == pytest.approx(b[k][col], abs=1e-12), (k, col)
+
+
+def test_block_mode_single_block_degenerates_to_dense(spark):
+    got_block = _run(spark, CANONICAL, mode="block")
+    got_dense = _run(spark, CANONICAL, mode="dense")
+    assert set(got_block) == set(got_dense)
+    for k in got_dense:
+        assert got_block[k]["rho_spearman"] == pytest.approx(
+            got_dense[k]["rho_spearman"], abs=1e-12
+        )
+
+
+def test_block_join_is_keyed_by_block_columns(spark):
+    """Plan shape: the block-mode join's equi-keys must include the block
+    columns — that is the whole point (one (study, sample) hot key is spread
+    over B(B+1)/2 reducers). Asserted on the optimized plan text."""
+    df = _to_df(spark, CANONICAL)
+    block = compute_gene_pair_correlations(df, mode="block", n_blocks=4, computed_at="x")
+    plan = block._jdf.queryExecution().optimizedPlan().toString()
+    assert "blk_a" in plan and "blk_b" in plan

@@ -226,6 +226,28 @@ def test_select_cluster_keepers_policy_and_ties(spark):
     assert out[7]["keeper_doc_id"] == 7 and out[7]["cluster_size"] == 1
 
 
+def test_select_cluster_keepers_string_ids(spark):
+    """The policy operator is generic over id type: string doc ids (crawl
+    URLs, UUIDs) order lexicographically in the tie-break — the ordering
+    struct negates the (numeric) score, never the id (ADVICE r2)."""
+    from etl_for_all_studies_spark.operators.dedup_graph import (
+        select_cluster_keepers,
+    )
+
+    rows = [  # (doc_id, cluster_id, score)
+        ("url/b", "c1", 9), ("url/a", "c1", 9), ("url/z", "c1", 5),
+        ("solo", "c2", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, cluster_id string, score long")
+    out = {
+        r["cluster_id"]: r
+        for r in select_cluster_keepers(df, score_col="score").collect()
+    }
+    assert out["c1"]["keeper_doc_id"] == "url/a"  # tie at 9 → lexicographic min
+    assert out["c1"]["keeper_score"] == 9 and out["c1"]["cluster_size"] == 3
+    assert out["c2"]["keeper_doc_id"] == "solo"
+
+
 # --------------------------------------------------------------------------
 # canonical-form dedup
 # --------------------------------------------------------------------------
@@ -289,10 +311,11 @@ def test_select_cluster_keepers_aggregates_with_partial_max_by(spark):
         select_cluster_keepers(df, score_col="score")
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # keeper choice must be a two-phase aggregate (partial max_by before the
+    # keeper choice must be a two-phase aggregate (partial min_by before the
     # exchange), never a per-cluster window sort — that's what keeps a
-    # mega-cluster from funnelling through one task
-    assert "max_by" in plan and "Window" not in plan, plan
+    # mega-cluster from funnelling through one task (min_by since the
+    # string-id-safe ordering negates the score, ADVICE r2)
+    assert "min_by" in plan and "Window" not in plan, plan
 
 
 def test_canonicalize_text_idempotent_and_edge_cases(spark):

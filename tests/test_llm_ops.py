@@ -344,3 +344,67 @@ def test_incremental_minhash_matches_full_run_filtered(spark):
                for (a, b), flag in incr.items())
     assert (10, 11) in incr and incr[(10, 11)] == 0   # new×new exact pair
     assert any(flag == 1 for flag in incr.values())   # found new×seen pairs
+
+
+def test_ivf_near_dup_recall_on_boundary_planted_pairs(spark):
+    """Adversarial recall contract (VERDICT r2 item 8): near-dup pairs
+    planted ON centroid boundaries — each member nudged toward a *different*
+    centroid, so with n_probes=1 the two sides of a pair land in different
+    cells and the pair is unreachable. Multi-probing (n_probes=2) must
+    recover them: both members' probe sets become {cell_a, cell_b}, which
+    intersect. Asserts the recall curve the operator's docstring claims:
+    recall@1 < 1 on this fixture (the failure mode is real, the test would
+    catch a silent fix-by-accident) and recall@2 = 1.0 ≥ the 0.95 target."""
+    import random
+
+    dim, n_cent = 8, 4
+    eps = 0.01
+    rng = random.Random(11)
+    rows = []
+    planted = []
+    nid = 1000
+    for c in range(n_cent):
+        c2 = (c + 1) % n_cent
+        for _ in range(5):  # 20 boundary pairs
+            base = [0.0] * dim
+            base[c] = 1.0 / math.sqrt(2.0)
+            base[c2] = 1.0 / math.sqrt(2.0)
+            jitter = [rng.uniform(-1e-4, 1e-4) for _ in range(dim)]
+            va = [b + j for b, j in zip(base, jitter)]
+            vb = [b + j for b, j in zip(base, jitter)]
+            va[c] += eps     # member A leans to centroid c
+            vb[c2] += eps    # member B leans to centroid c2
+            rows += [(nid, va), (nid + 1, vb)]
+            planted.append((nid, nid + 1))
+            nid += 2
+    # ballast: clean cluster members (never near-dup with the boundary pairs)
+    for c in range(n_cent):
+        for j in range(10):
+            v = [rng.uniform(-0.02, 0.02) for _ in range(dim)]
+            v[c] += 1.0
+            rows.append((c * 10 + j, v))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = spark.createDataFrame(
+        [(c, [1.0 if i == c else 0.0 for i in range(dim)]) for c in range(n_cent)],
+        "cell long, embedding array<float>",
+    )
+
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_near_duplicates(vecs, threshold=0.95).collect()
+    }
+    assert set(planted) <= brute  # the planted pairs really are near-dups
+
+    def recall(n_probes: int) -> float:
+        ivf = {
+            (r["doc_a"], r["doc_b"])
+            for r in embedding_near_duplicates_ivf(
+                vecs, centroids, threshold=0.95, n_probes=n_probes
+            ).collect()
+        }
+        assert ivf <= brute  # candidates are verified — no false positives
+        return len(ivf & brute) / len(brute)
+
+    r1, r2 = recall(1), recall(2)
+    assert r1 < 1.0, "boundary fixture failed to defeat single-probe"
+    assert r2 == 1.0  # ≥ 0.95 target; exact on this fixture

@@ -1,0 +1,89 @@
+"""Plan-shape evidence for the scale claims SCALE.md makes (VERDICT r2
+item 9): AQE's skew-join splitting actually fires on the correlation path's
+pair self-join when one study dwarfs the rest."""
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    saved = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        saved[key] = spark.conf.get(key, None)
+        spark.conf.set(key, str(v))
+    try:
+        yield
+    finally:
+        for key, v in saved.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+def test_aqe_skew_join_splits_giant_study(spark):
+    """One giant study next to tiny ones: the (study, sample) shuffle key
+    distribution is dominated by the giant study's partitions. With the
+    skew thresholds scaled to test-size data (the *ratios* are what a
+    cluster deployment tunes; defaults assume 256 MB partitions), AQE must
+    mark the pair self-join's sort-merge join ``skew=true`` — the runtime
+    split SCALE.md credits for handling skewed studies without manual
+    salting on the correlation path."""
+    rows = []
+    # the hot key: study 1 measured 1500 genes on sample S0 — all its rows
+    # hash to ONE shuffle partition of the (study, sample)-keyed exchange,
+    # the shape a wide-gene study creates in production
+    for g in range(1500):
+        rows.append((1, g, "S0", float((g * 7) % 23)))
+    # many small keys around it so the median partition stays tiny
+    for study in range(2, 40):
+        for g in range(3):
+            for s in range(3):
+                rows.append((study, g, f"S{s}", float(g + s)))
+    e = spark.createDataFrame(
+        rows, "study_key long, gene_key long, gsm_accession string, expression_value double"
+    )
+
+    with _conf(
+        spark,
+        **{
+            "spark__sql__adaptive__enabled": "true",
+            "spark__sql__adaptive__skewJoin__enabled": "true",
+            # scale the byte thresholds down to fixture size so the default
+            # 256 MB/64 MB knobs translate: factor-5 size ratio + absolute
+            # floor small enough that the giant study's partitions qualify
+            "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "4k",
+            "spark__sql__adaptive__advisoryPartitionSizeInBytes": "2k",
+            "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "2",
+            # keep the join sort-merge: broadcast would bypass the skew path
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__adaptive__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__adaptive__coalescePartitions__enabled": "false",
+            "spark__sql__shuffle__partitions": "8",
+        },
+    ):
+        a = e.alias("a")
+        b = e.alias("b")
+        paired = a.join(
+            b,
+            on=[
+                F.col("a.study_key") == F.col("b.study_key"),
+                F.col("a.gsm_accession") == F.col("b.gsm_accession"),
+                F.col("a.gene_key") < F.col("b.gene_key"),
+            ],
+        ).select(
+            F.col("a.study_key").alias("study_key"),
+            F.col("a.gene_key").alias("gene_a_key"),
+            F.col("b.gene_key").alias("gene_b_key"),
+        )
+        # collect() executes the DataFrame's OWN QueryExecution (count()
+        # would spawn a fresh one and leave this plan un-finalized), so the
+        # AQE final plan is readable afterwards
+        n = len(paired.collect())
+        assert n == 1500 * 1499 // 2 + 38 * 3 * 3  # hot-key + minnow pair rows
+        plan = paired._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan

@@ -203,3 +203,72 @@ def test_spark_t_pvalue_path(spark):
         for k in out
         if 0.0 < out[k]["p_value"] < 1.0
     )
+
+
+# ---- exact-t as a pure JVM expression (no UDF) ---------------------------
+
+def test_t_pvalue_expr_matches_scalar_grid(spark):
+    """spearman_p_value_t_expr (incomplete-beta continued fraction as a
+    ``sequence`` fold) vs the scalar lgamma/Lentz oracle across the whole
+    (rho, n) envelope — small and large n, both CF symmetric branches,
+    knife-edge rhos. Contract: < 1e-12 absolute."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.functions.stats import spearman_p_value_t_expr
+
+    rhos = [0.0, 1e-8, 0.05, 0.3, -0.3, 0.7, -0.9, 0.99, -0.999, 0.9999, 1.0, -1.0]
+    ns = [3, 4, 5, 10, 30, 100, 1000, 100000]
+    rows = [(float(r), int(n)) for r, n in itertools.product(rhos, ns)]
+    rows += [(0.5, 2), (0.5, 1)]  # n < 3 → NULL
+    df = spark.createDataFrame(rows, "rho double, n long")
+    got = df.select(
+        "rho", "n", spearman_p_value_t_expr(F.col("rho"), F.col("n")).alias("p")
+    ).collect()
+    assert len(got) == len(rows)
+    for row in got:
+        rho, n, p = row["rho"], row["n"], row["p"]
+        if n < 3:
+            assert p is None, (rho, n)
+            continue
+        if abs(rho) >= 1.0:
+            assert p == 0.0, (rho, n)
+            continue
+        t_abs = abs(rho) * math.sqrt((n - 2) / (1.0 - rho * rho))
+        want = t_two_sided_p(t_abs, n - 2)
+        assert p == pytest.approx(want, abs=1e-12), (rho, n, p, want)
+
+
+def test_t_pvalue_expr_matches_udf_oracle(spark):
+    """The retired-from-production pandas UDF stays as the cross-check: both
+    paths produce identical p-values over a random-ish grid."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.functions.stats import (
+        spearman_p_value_t_expr,
+        spearman_p_value_t_udf,
+    )
+
+    rows = [
+        (math.sin(i * 1.7) * 0.999, 3 + (i * 37) % 500) for i in range(200)
+    ]
+    df = spark.createDataFrame([(float(r), int(n)) for r, n in rows], "rho double, n long")
+    got = df.select(
+        spearman_p_value_t_expr(F.col("rho"), F.col("n")).alias("p_expr"),
+        spearman_p_value_t_udf()(F.col("rho"), F.col("n")).alias("p_udf"),
+    ).collect()
+    for row in got:
+        assert row["p_expr"] == pytest.approx(row["p_udf"], abs=1e-12)
+
+
+def test_lgamma_expr_matches_math(spark):
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.functions.stats import lgamma_expr
+
+    zs = [0.5, 1.0, 1.5, 2.0, 3.7, 10.0, 50.5, 500.0, 50000.5]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {r["z"]: r["lg"] for r in df.select("z", lgamma_expr(F.col("z")).alias("lg")).collect()}
+    for z in zs:
+        assert got[z] == pytest.approx(math.lgamma(z), rel=1e-12, abs=1e-12)
