@@ -45,10 +45,14 @@ Scale notes:
 """
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
+
+logger = logging.getLogger(__name__)
 
 
 def exact_dup_star_edges(
@@ -180,7 +184,7 @@ def connected_components(
             .select("node", F.col("node").alias("comp"))
             .localCheckpoint()
         )
-        for _ in range(max_iter):
+        for round_no in range(1, max_iter + 1):
             nbr_min = (
                 sym.join(labels, sym.ev == labels.node)
                 .groupBy(F.col("eu").alias("node"))
@@ -213,6 +217,10 @@ def connected_components(
             changed = jumped.where(F.col("moved")).limit(1).count()
             labels = jumped.select("node", "comp")
             if changed == 0:
+                logger.info(
+                    "connected_components: converged after %d rounds "
+                    "(%d edges, %d nodes)", round_no, n_edges, n_nodes,
+                )
                 return labels.select("node", F.col("comp").alias("cluster_id"))
     finally:
         for k, v in saved.items():
