@@ -240,6 +240,90 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Interpolated bigram-LM quality signal: each document's mean log₁₀
+    bigram probability under the corpus's own empirical model,
+    ``P(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N`` — one step up the
+    n-gram ladder from :func:`unigram_logprob_scores` (the CCNet/KenLM
+    filtering shape): boilerplate and well-formed text scores high, shuffled
+    or template-glitch text with plausible words but implausible *sequences*
+    scores low, which the unigram model cannot see.
+
+    Scale shape: ONE scan of the corpus (the token-array projection is a
+    persisted barrier), bigrams built per-row with ``transform`` over a
+    ``sequence`` of positions (no explode of unigrams first, no
+    self-join on position), then reduced straight to per-document
+    (w₁, w₂) counts — the compact table every downstream join reads.
+    Corpus bigram/prefix/unigram tables are Zipf-bounded aggregates of it.
+    Interpolation (vs backoff) keeps the score a pure expression: no
+    zero-count branch, every observed bigram has λ·c12/c1 > 0.
+
+    Returns ``(id, n_bigrams, mean_log10_bigram_prob)`` — docs with < 2
+    tokens keep ``n_bigrams = 0`` and a NULL score.
+    """
+    tk = word_tokens(F.lower(F.col(text_col)))
+    base = persist(
+        docs.select(F.col(id_col), tk.alias("tk"), F.size(tk).alias("nt")), scope
+    )
+    uni = base.select(F.explode("tk").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    total = uni.agg(F.sum("cu").cast("double").alias("ntot"))
+    pairs = base.where(F.col("nt") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.col("nt")),
+                lambda i: F.struct(
+                    F.element_at(F.col("tk"), i - 1).alias("w1"),
+                    F.element_at(F.col("tk"), i).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pc = persist(
+        pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n")), scope
+    )
+    cb = pc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    cp = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        pc.join(cb, ["w1", "w2"])
+        .join(cp, "w1")
+        .join(uni.select(F.col("w").alias("w2"), "cu"), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.col("n")
+                    * F.log10(
+                        F.lit(lam) * F.col("c12") / F.col("c1")
+                        + F.lit(1.0 - lam) * F.col("cu") / F.col("ntot")
+                    )
+                )
+                / F.sum("n")
+            ).alias("mean_log10_bigram_prob"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "mean_log10_bigram_prob",
+        )
+    )
+
+
 def redact_pii(
     docs: DataFrame,
     *,
@@ -277,6 +361,7 @@ __all__ = [
     "LANG_MARKERS",
     "PII_PATTERNS",
     "annotate_documents",
+    "bigram_logprob_scores",
     "canonicalize_text",
     "redact_pii",
     "bpeish_token_count",

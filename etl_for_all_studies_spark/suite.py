@@ -3054,6 +3054,106 @@ GROUP BY CUBE(o_orderstatus, o_orderpriority)
 
 
 # --------------------------------------------------------------------------
+# 55. bucketed interval (range) join — events inside per-user error windows.
+#     Spark plans a raw range predicate as BroadcastNestedLoopJoin/cartesian
+#     (O(|L|·|R|)); the operator quantizes time into buckets, replicates
+#     each interval across its covered buckets, and equi-joins on
+#     (user, bucket) + exact post-filter — a keyed, AQE-managed shuffle.
+#     The oracle runs the naive range join (DuckDB has a real IEJoin).
+# --------------------------------------------------------------------------
+
+def q_events_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rangejoin import bucketed_interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    windows = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = bucketed_interval_join(
+        ev, windows,
+        ts_col="ts", start_col="w_start", end_col="w_end",
+        on=["user_id"], bucket_width_seconds=600,
+    )
+    return joined.groupBy("err_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r6(F.sum("value")).alias("sum_value"),
+    )
+
+
+_SQL_ERROR_WINDOW = """
+WITH err AS (
+  SELECT event_id AS err_id, user_id, ts AS w_start,
+         ts + INTERVAL 10 MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT err_id, err.user_id AS user_id, COUNT(*) AS n_events,
+       (FLOOR(SUM(e.value) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS sum_value
+FROM err JOIN events e
+  ON e.user_id = err.user_id AND e.ts >= err.w_start AND e.ts < err.w_end
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 56. interpolated bigram LM scoring — sequence-aware text quality (catches
+#     implausible word ORDER, which the unigram model cannot); one corpus
+#     scan, per-row bigram assembly, Zipf-bounded count tables.
+# --------------------------------------------------------------------------
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import bigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_logprob_scores(docs, lam=0.75)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        _r6(F.col("mean_log10_bigram_prob")).alias("mean_log10_bigram_prob"),
+    )
+
+
+_SQL_BIGRAM = r"""
+WITH lst AS (
+  SELECT doc_id, string_split_regex(lower(TRIM(text)), '\s+') AS tk FROM documents
+),
+-- empty text: Spark's word_tokens yields [], DuckDB's split yields [''] —
+-- drop the empty token so both corpora count identically
+toks AS (SELECT doc_id, UNNEST(tk) AS w FROM lst WHERE len(tk) > 0),
+uni AS (SELECT w, COUNT(*) AS cu FROM toks WHERE w != '' GROUP BY 1),
+tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS ntot FROM uni),
+big AS (
+  SELECT doc_id, tk[i - 1] AS w1, tk[i] AS w2
+  FROM lst, UNNEST(generate_series(2, len(tk))) AS u(i)
+),
+pc AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, SUM(n) AS c12 FROM pc GROUP BY 1, 2),
+cp AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY 1),
+scored AS (
+  SELECT pc.doc_id, SUM(pc.n) AS n_bigrams,
+         SUM(pc.n * log10(0.75 * cb.c12 / cp.c1 + 0.25 * uni.cu / tot.ntot))
+           / SUM(pc.n) AS mlp
+  FROM pc
+  JOIN cb USING (w1, w2)
+  JOIN cp USING (w1)
+  JOIN uni ON uni.w = pc.w2
+  CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       (FLOOR(s.mlp * 1000000.0 + 0.5001) / 1000000.0) + 0.0
+         AS mean_log10_bigram_prob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3128,6 +3228,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     # round-3 additions stay at the END: the driver snapshot keys rows by
     # name, and appending keeps every pre-existing row's identity stable
     "spearman_block": QueryDef(q_spearman_block, _SQL_SPEARMAN_BLOCK),
+    "events_error_window": QueryDef(q_events_error_window, _SQL_ERROR_WINDOW),
+    "bigram_logprob": QueryDef(q_bigram_logprob, _SQL_BIGRAM),
 }
 
 

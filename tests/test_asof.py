@@ -57,3 +57,101 @@ def test_asof_plan_is_single_window(spark):
     # (no BroadcastNestedLoopJoin / CartesianProduct in the plan)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert plan.count("Window") == 1
+
+
+# ---- bucketed interval (range) join --------------------------------------
+
+def test_bucketed_interval_join_matches_naive(spark):
+    """The bucketed plan must produce exactly the naive range-join's pairs,
+    across bucket widths (narrower/wider than the intervals) and boundary
+    timestamps (start inclusive, end exclusive, bucket-edge events)."""
+    import datetime as dt
+
+    from etl_for_all_studies_spark.operators.rangejoin import bucketed_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    events = spark.createDataFrame(
+        [
+            (1, 1, ts(0)),      # == interval start: IN (half-open start)
+            (2, 1, ts(599)),    # just inside
+            (3, 1, ts(600)),    # == interval end: OUT (half-open end)
+            (4, 1, ts(1200)),   # exact bucket boundary inside wide interval
+            (5, 2, ts(100)),    # other user — key mismatch
+            (6, 1, ts(3600)),   # no interval
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, 1, ts(0), ts(600)),
+            (11, 1, ts(550), ts(1500)),   # overlapping interval, spans buckets
+            (12, 2, ts(0), ts(50)),       # user 2, misses event 5
+        ],
+        "iv_id long, user_id long, start timestamp, end timestamp",
+    )
+    expected = {
+        (1, 10), (2, 10),          # [0, 600)
+        (2, 11), (3, 11), (4, 11),  # [550, 1500)
+    }
+    for width in (60, 600, 7 * 3600):
+        got = {
+            (r["event_id"], r["iv_id"])
+            for r in bucketed_interval_join(
+                events, intervals,
+                ts_col="ts", start_col="start", end_col="end",
+                on=["user_id"], bucket_width_seconds=width,
+            ).collect()
+        }
+        assert got == expected, width
+
+
+def test_bucketed_interval_join_left_keeps_unmatched(spark):
+    import datetime as dt
+
+    from etl_for_all_studies_spark.operators.rangejoin import bucketed_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, 1, t0), (2, 1, t0 + dt.timedelta(hours=5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 1, t0, t0 + dt.timedelta(seconds=60))],
+        "iv_id long, user_id long, start timestamp, end timestamp",
+    )
+    rows = {
+        r["event_id"]: r
+        for r in bucketed_interval_join(
+            events, intervals, ts_col="ts", start_col="start", end_col="end",
+            on=["user_id"], how="left",
+        ).collect()
+    }
+    assert rows[1]["iv_id"] == 10
+    assert rows[2]["iv_id"] is None  # unmatched event kept, NULL interval
+
+
+def test_bucketed_interval_join_plan_has_no_nested_loop(spark):
+    """The whole point: the physical plan is an equi-join (sort-merge or
+    hash) keyed on (user, bucket) — never BroadcastNestedLoopJoin or
+    CartesianProduct, which is what a raw range predicate compiles to."""
+    import datetime as dt
+
+    from etl_for_all_studies_spark.operators.rangejoin import bucketed_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, 1, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 1, t0, t0 + dt.timedelta(seconds=60))],
+        "iv_id long, user_id long, start timestamp, end timestamp",
+    )
+    plan = bucketed_interval_join(
+        events, intervals, ts_col="ts", start_col="start", end_col="end",
+        on=["user_id"],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -389,3 +389,54 @@ def test_correlated_subquery_decorrelates_to_one_join(spark, tmp_path):
     )
     joins = [l for l in plan.splitlines() if "Join" in l]
     assert len(joins) == 1 and "BroadcastHashJoin" in joins[0], plan
+
+
+# ---- interpolated bigram LM ----------------------------------------------
+
+def test_bigram_logprob_scores_small_corpus(spark):
+    """Hand-checkable corpus: P(w2|w1) = 0.75·c12/c1 + 0.25·c(w2)/N, score =
+    weighted mean log10 over a doc's bigram occurrences; <2-token docs get
+    n_bigrams=0 and NULL score."""
+    import math
+
+    from etl_for_all_studies_spark.operators.textops import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "cat"),          # 1 token -> no bigrams
+            (4, "  "),           # whitespace-only -> no tokens at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in bigram_logprob_scores(docs).collect()}
+    # corpus: tokens = the,cat,sat,the,cat,ran,cat -> N=7
+    # c(the)=2 c(cat)=3 c(sat)=1 c(ran)=1
+    # bigrams: (the,cat)x2 (cat,sat) (cat,ran); prefixes: c1(the)=2 c1(cat)=2
+    N = 7.0
+    p_the_cat = 0.75 * 2 / 2 + 0.25 * 3 / N
+    p_cat_sat = 0.75 * 1 / 2 + 0.25 * 1 / N
+    p_cat_ran = 0.75 * 1 / 2 + 0.25 * 1 / N
+    exp1 = (math.log10(p_the_cat) + math.log10(p_cat_sat)) / 2
+    exp2 = (math.log10(p_the_cat) + math.log10(p_cat_ran)) / 2
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["mean_log10_bigram_prob"] == pytest.approx(exp1, abs=1e-12)
+    assert got[2]["mean_log10_bigram_prob"] == pytest.approx(exp2, abs=1e-12)
+    assert got[3]["n_bigrams"] == 0 and got[3]["mean_log10_bigram_prob"] is None
+    assert got[4]["n_bigrams"] == 0 and got[4]["mean_log10_bigram_prob"] is None
+
+
+def test_bigram_model_ranks_shuffled_text_below_natural(spark):
+    """The sequence-awareness claim: a document whose words are globally
+    plausible but locally shuffled must score below its natural counterpart
+    under the bigram model."""
+    from etl_for_all_studies_spark.operators.textops import bigram_logprob_scores
+
+    natural = "the quick brown fox jumps over the lazy dog " * 5
+    shuffled = "fox the over dog quick lazy the brown jumps " * 5
+    corpus = [(i, natural) for i in range(8)] + [(100, shuffled)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_log10_bigram_prob"]
+           for r in bigram_logprob_scores(docs).collect()}
+    assert got[100] < got[0]
