@@ -124,6 +124,17 @@ def _block_pairs(e: DataFrame, n_blocks: int) -> DataFrame:
         "*",
         F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("blk_a"),
     ).withColumnRenamed("blk", "blk_b")
+    # PIN the join parallelism: AQE's coalescing sizes partitions by shuffle
+    # INPUT bytes, but this join amplifies output ~n_genes/B× per input row —
+    # on a wide-gene study the tiny replicated input coalesces into one
+    # partition and the whole quadratic fan-out lands on a single reducer,
+    # recreating exactly the hot-spot block mode exists to remove. An
+    # explicit numbered repartition on the join keys is non-coalescible, so
+    # the B(B+1)/2 × samples key groups keep their full reducer spread.
+    n_part = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    left = left.repartition(
+        n_part, "study_key", "gsm_accession", "blk_a", "blk_b"
+    )
     a = left.alias("a")
     b = right.alias("b")
     joined = a.join(
