@@ -3154,6 +3154,88 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# 57. embedding scalar quantization (SQ8) — float32 → int8 codes with a
+#     corpus-fitted per-dimension codebook; encode + decode both pinned:
+#     the query returns each vector's code checksum AND its worst
+#     reconstruction error, so the oracle verifies the full round trip.
+# --------------------------------------------------------------------------
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quantization import (
+        dequantize_embeddings,
+        fit_scalar_quantizer,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    quantizer = fit_scalar_quantizer(emb)
+    codes = quantize_embeddings(emb, quantizer)
+    recon = dequantize_embeddings(codes, quantizer).select(
+        "vec_id", F.col("embedding").alias("recon")
+    )
+    err = (
+        emb.select("vec_id", "embedding")
+        .join(recon, "vec_id")
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "recon",
+                    lambda x, r: F.abs(x.cast("double") - r),
+                ),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, v),
+            ).alias("max_abs_err"),
+        )
+    )
+    return (
+        codes.select(
+            "vec_id",
+            F.size("codes").alias("n_dims"),
+            F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+                "sum_codes"
+            ),
+        )
+        .join(err, "vec_id")
+        .select("vec_id", "n_dims", "sum_codes", _r6(F.col("max_abs_err")).alias("max_abs_err"))
+    )
+
+
+_SQL_QUANTIZE = """
+WITH pos AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+cb AS (
+  SELECT i,
+         (FLOOR(MIN(x) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS lo,
+         (FLOOR(MAX(x) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS hi
+  FROM pos GROUP BY 1
+),
+coded AS (
+  SELECT pos.vec_id, pos.i, cb.lo, cb.hi,
+         CASE WHEN cb.hi = cb.lo THEN 0
+              ELSE CAST(LEAST(GREATEST(FLOOR(
+                (FLOOR((pos.x - cb.lo) / (cb.hi - cb.lo) * 255.0 * 1000000.0
+                       + 0.5001) / 1000000.0 + 0.0)
+                + 0.5001), 0), 255) AS BIGINT)
+         END AS code,
+         pos.x AS x
+  FROM pos JOIN cb USING (i)
+),
+recon AS (
+  SELECT vec_id, i, x,
+         lo + code * (hi - lo) / 255.0 AS r, code
+  FROM coded
+)
+SELECT vec_id, CAST(COUNT(*) AS INT) AS n_dims,
+       CAST(SUM(code) AS BIGINT) AS sum_codes,
+       (FLOOR(MAX(ABS(x - r)) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS max_abs_err
+FROM recon GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3230,6 +3312,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "spearman_block": QueryDef(q_spearman_block, _SQL_SPEARMAN_BLOCK),
     "events_error_window": QueryDef(q_events_error_window, _SQL_ERROR_WINDOW),
     "bigram_logprob": QueryDef(q_bigram_logprob, _SQL_BIGRAM),
+    "embedding_quantize": QueryDef(q_embedding_quantize, _SQL_QUANTIZE),
 }
 
 

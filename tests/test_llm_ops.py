@@ -408,3 +408,84 @@ def test_ivf_near_dup_recall_on_boundary_planted_pairs(spark):
     r1, r2 = recall(1), recall(2)
     assert r1 < 1.0, "boundary fixture failed to defeat single-probe"
     assert r2 == 1.0  # ≥ 0.95 target; exact on this fixture
+
+
+# ---- scalar quantization (SQ8) -------------------------------------------
+
+def test_scalar_quantization_roundtrip_error_bounded(spark):
+    """Reconstruction error is bounded by half a quantization step per
+    dimension: |x − decode(encode(x))| ≤ (hi−lo)/255/2 + grid epsilon."""
+    import random
+
+    from etl_for_all_studies_spark.operators.quantization import (
+        dequantize_embeddings,
+        fit_scalar_quantizer,
+        quantize_embeddings,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-2.0, 3.0) for _ in range(16)]) for i in range(100)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = fit_scalar_quantizer(vecs)
+    bounds = {r["pos"]: (r["lo"], r["hi"]) for r in q.collect()}
+    codes = quantize_embeddings(vecs, q)
+    recon = {
+        r["vec_id"]: r["embedding"]
+        for r in dequantize_embeddings(codes, q).collect()
+    }
+    orig = dict(rows)
+    step = max((hi - lo) / 255.0 for lo, hi in bounds.values())
+    for vid, xs in orig.items():
+        for x, r in zip(xs, recon[vid]):
+            assert abs(x - r) <= step / 2 + 1e-5, (vid, x, r)
+
+
+def test_scalar_quantization_codes_in_range_and_deterministic(spark):
+    from etl_for_all_studies_spark.operators.quantization import (
+        fit_scalar_quantizer,
+        quantize_embeddings,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 5.0, 7.5]), (2, [1.0, 5.0, 2.5]), (3, [2.0, 5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = fit_scalar_quantizer(vecs)
+    got = {r["vec_id"]: r["codes"] for r in quantize_embeddings(vecs, q).collect()}
+    # dim 1: lo=0 hi=2 -> codes 0, 128 (round .5 up), 255
+    # dim 2: degenerate (hi == lo) -> 0
+    # dim 3: lo=0 hi=7.5 -> 255, 85, 0
+    assert got[1] == [0, 0, 255]
+    assert got[2] == [128, 0, 85]
+    assert got[3] == [255, 0, 0]
+    rerun = {r["vec_id"]: r["codes"] for r in quantize_embeddings(vecs, q).collect()}
+    assert rerun == got
+
+
+def test_quantized_cosine_preserves_neighbor_ranking(spark):
+    """The ANN-candidate use case: top-1 neighbor by quantized-reconstructed
+    cosine matches the full-precision top-1 on well-separated clusters."""
+    from etl_for_all_studies_spark.operators.quantization import (
+        dequantize_embeddings,
+        fit_scalar_quantizer,
+        quantize_embeddings,
+    )
+    from etl_for_all_studies_spark.operators.similarity import brute_force_topk
+
+    vecs = _clustered_vectors(spark, n_clusters=3, per_cluster=10, dim=8)
+    q = fit_scalar_quantizer(vecs)
+    recon = dequantize_embeddings(quantize_embeddings(vecs, q), q)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(vecs.limit(5), vecs, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(recon.limit(5), recon, k=1).collect()
+    }
+    # same cluster (id // 10) even if the exact neighbor id differs by ties
+    assert {k: v // 10 for k, v in exact.items()} == {
+        k: v // 10 for k, v in approx.items()
+    }
