@@ -3236,6 +3236,48 @@ FROM recon GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# 58. heavy hitters — exact top-k tokens via per-partition Misra–Gries
+#     candidates + exact recount: shuffle ∝ partitions × m, never the full
+#     vocabulary. The oracle is the plain exact top-k — the sketch path must
+#     land on the identical answer (its contract, verifiable via
+#     support_bound in the output).
+# --------------------------------------------------------------------------
+
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import word_tokens as _wt
+    from .operators.heavyhitters import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_wt(F.lower(F.col("text")))).alias("item")).where(
+        F.col("item") != ""
+    )
+    out = heavy_hitters(toks, item_col="item", k=20, m=4096)
+    return out.select(
+        "item", "cnt", "rank", _r6(F.col("support_bound")).alias("support_bound")
+    )
+
+
+_SQL_HEAVY_HITTERS = r"""
+WITH lst AS (
+  SELECT string_split_regex(lower(TRIM(text)), '\s+') AS tk FROM documents
+),
+toks AS (SELECT UNNEST(tk) AS w FROM lst WHERE len(tk) > 0),
+toks_ne AS (SELECT w FROM toks WHERE w != ''),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks_ne),
+counted AS (
+  SELECT w AS item, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) AS rank
+  FROM toks_ne GROUP BY 1
+)
+SELECT item, cnt, rank,
+       (FLOOR(tot.n / 4097.0 * 1000000.0 + 0.5001) / 1000000.0) + 0.0
+         AS support_bound
+FROM counted CROSS JOIN tot
+WHERE rank <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3313,6 +3355,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_error_window": QueryDef(q_events_error_window, _SQL_ERROR_WINDOW),
     "bigram_logprob": QueryDef(q_bigram_logprob, _SQL_BIGRAM),
     "embedding_quantize": QueryDef(q_embedding_quantize, _SQL_QUANTIZE),
+    "token_heavy_hitters": QueryDef(q_token_heavy_hitters, _SQL_HEAVY_HITTERS),
 }
 
 

@@ -489,3 +489,47 @@ def test_quantized_cosine_preserves_neighbor_ranking(spark):
     assert {k: v // 10 for k, v in exact.items()} == {
         k: v // 10 for k, v in approx.items()
     }
+
+
+# ---- heavy hitters (Misra–Gries + exact recount) --------------------------
+
+def test_misra_gries_decrement_logic_keeps_heavy_items(spark):
+    """m smaller than the vocabulary forces the decrement-all step: the
+    guaranteed-heavy item (freq > n/(m+1)) must survive every partition."""
+    from etl_for_all_studies_spark.operators.heavyhitters import (
+        misra_gries_candidates,
+    )
+
+    # one partition: 60× "hot" interleaved with 120 distinct cold items
+    rows = []
+    for i in range(60):
+        rows.append(("hot",))
+        rows.append((f"cold_{2 * i}",))
+        rows.append((f"cold_{2 * i + 1}",))
+    items = spark.createDataFrame(rows, "item string").coalesce(1)
+    cands = {
+        r["item"]
+        for r in misra_gries_candidates(items, m=4).collect()
+    }
+    assert "hot" in cands  # freq 60 > 180/5 = 36 → MG must keep it
+    assert len(cands) <= 4
+
+
+def test_heavy_hitters_exact_topk_with_small_m(spark):
+    """End-to-end: skewed stream, m far below vocabulary, result must equal
+    the exact top-k (the recount repairs MG's under-estimates) and the k-th
+    count must clear the reported support bound."""
+    from etl_for_all_studies_spark.operators.heavyhitters import heavy_hitters
+
+    rows = []
+    for rank, freq in enumerate((500, 300, 200, 100)):
+        rows += [(f"heavy_{rank}",)] * freq
+    rows += [(f"tail_{i}",) for i in range(400)]  # 400 singletons
+    items = spark.createDataFrame(rows, "item string").repartition(8)
+    got = heavy_hitters(items, k=4, m=32).collect()
+    by_rank = {r["rank"]: r for r in got}
+    assert [by_rank[i]["item"] for i in (1, 2, 3, 4)] == [
+        "heavy_0", "heavy_1", "heavy_2", "heavy_3",
+    ]
+    assert [by_rank[i]["cnt"] for i in (1, 2, 3, 4)] == [500, 300, 200, 100]
+    assert by_rank[4]["cnt"] > by_rank[4]["support_bound"]  # contract holds
