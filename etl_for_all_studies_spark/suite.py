@@ -1113,8 +1113,10 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_DEDUP_EMBED_IVF = f"""
-WITH unit AS ({_SQL_UNIT_CTE}),
+# shared CTE fragment: IVF cell assignment → candidate pairs → verified
+# near-dup pairs at threshold 0.35 (used by dedup_embedding_ivf AND the
+# composed embedding_pipeline oracle)
+_EMBED_IVF_CTES = f"""unit AS ({_SQL_UNIT_CTE}),
 cent AS (SELECT vec_id AS cell, uv AS ucv FROM unit WHERE vec_id < 32),
 scored AS (
   SELECT u.vec_id AS vid, c.cell, {_SQL_DOT.format(a="u.uv", b="c.ucv")} AS sim
@@ -1130,14 +1132,18 @@ cand AS (
   SELECT DISTINCT a.vid AS doc_a, b.vid AS doc_b
   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vid < b.vid
 ),
-pairs AS (
+allpairs AS (
   SELECT doc_a, doc_b, {_SQL_DOT.format(a="ua.uv", b="ub.uv")} AS cos_sim
   FROM cand
   JOIN unit ua ON ua.vec_id = cand.doc_a
   JOIN unit ub ON ub.vec_id = cand.doc_b
-)
+),
+ivf_pairs AS (SELECT doc_a, doc_b, cos_sim FROM allpairs WHERE cos_sim >= 0.35)"""
+
+_SQL_DEDUP_EMBED_IVF = f"""
+WITH {_EMBED_IVF_CTES}
 SELECT doc_a, doc_b, ROUND(cos_sim, 6) + 0.0 AS cos_sim
-FROM pairs WHERE cos_sim >= 0.35
+FROM ivf_pairs
 """
 
 
@@ -3201,8 +3207,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_QUANTIZE = """
-WITH pos AS (
+# shared CTE fragment: SQ8 codebook fit + per-dimension codes over the full
+# embeddings table (reused by embedding_quantize and embedding_pipeline)
+_SQ8_CTES = """pos AS (
   SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
 ),
@@ -3222,7 +3229,10 @@ coded AS (
          END AS code,
          pos.x AS x
   FROM pos JOIN cb USING (i)
-),
+)"""
+
+_SQL_QUANTIZE = f"""
+WITH {_SQ8_CTES},
 recon AS (
   SELECT vec_id, i, x,
          lo + code * (hi - lo) / 255.0 AS r, code
@@ -3274,6 +3284,55 @@ SELECT item, cnt, rank,
          AS support_bound
 FROM counted CROSS JOIN tot
 WHERE rank <= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# 59. end-to-end embedding curation — IVF near-dup → connected components →
+#     keeper election → SQ8 quantization of keepers, oracle-checked as ONE
+#     chained SQL statement (the embedding analog of curation_pipeline, the
+#     strongest single correctness statement for the vector stack).
+# --------------------------------------------------------------------------
+
+def q_embedding_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.embedding_curation import curate_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cell"), F.col("embedding")
+    )
+    res = curate_embeddings(emb, centroids, threshold=0.35, n_probes=2)
+    return res.kept_codes.select(
+        "vec_id",
+        "cluster_size",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "sum_codes"
+        ),
+    )
+
+
+_SQL_EMBED_PIPELINE = f"""
+WITH RECURSIVE {_EMBED_IVF_CTES},
+edges0 AS (SELECT doc_a AS u, doc_b AS v FROM ivf_pairs),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+enodes AS (SELECT vec_id AS node FROM embeddings),
+walk AS (
+  SELECT node, node AS reach FROM enodes
+  UNION
+  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
+),
+comp AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY 1),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
+keep AS (
+  SELECT comp.node, csize.cluster_size
+  FROM comp JOIN csize USING (cluster_id)
+  WHERE comp.node = comp.cluster_id
+),
+{_SQ8_CTES}
+SELECT keep.node AS vec_id, keep.cluster_size,
+       CAST(SUM(coded.code) AS BIGINT) AS sum_codes
+FROM keep JOIN coded ON coded.vec_id = keep.node
+GROUP BY 1, 2
 """
 
 
@@ -3356,6 +3415,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "bigram_logprob": QueryDef(q_bigram_logprob, _SQL_BIGRAM),
     "embedding_quantize": QueryDef(q_embedding_quantize, _SQL_QUANTIZE),
     "token_heavy_hitters": QueryDef(q_token_heavy_hitters, _SQL_HEAVY_HITTERS),
+    "embedding_pipeline": QueryDef(q_embedding_pipeline, _SQL_EMBED_PIPELINE),
 }
 
 

@@ -533,3 +533,34 @@ def test_heavy_hitters_exact_topk_with_small_m(spark):
     ]
     assert [by_rank[i]["cnt"] for i in (1, 2, 3, 4)] == [500, 300, 200, 100]
     assert by_rank[4]["cnt"] > by_rank[4]["support_bound"]  # contract holds
+
+
+# ---- composed embedding curation plan ------------------------------------
+
+def test_curate_embeddings_composition(spark):
+    """The composed plan's audit surface is self-consistent: every vector is
+    clustered, keepers are cluster minima, kept codes cover exactly the
+    keepers, and a planted near-dup pair collapses to one keeper."""
+    from etl_for_all_studies_spark.caching import CacheScope
+    from etl_for_all_studies_spark.plans.embedding_curation import curate_embeddings
+
+    vecs = _clustered_vectors(spark, n_clusters=4, per_cluster=10, dim=8, noise=0.001)
+    cents = vecs.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") / 10).cast("long").alias("cell"), "embedding"
+    )
+    spark.catalog.clearCache()
+    with CacheScope() as scope:
+        res = curate_embeddings(vecs, cents, threshold=0.95, n_probes=2, scope=scope)
+        clusters = {r["vec_id"]: r.asDict() for r in res.clusters.collect()}
+        kept = {r["vec_id"]: r.asDict() for r in res.kept_codes.collect()}
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert len(clusters) == 40  # every vector clustered (singletons included)
+    # tight clusters at threshold 0.95: each 10-vector basis cluster is one
+    # component with keeper = min id
+    keepers = {v["cluster_id"] for v in clusters.values()}
+    assert keepers == {0, 10, 20, 30}
+    assert set(kept) == keepers
+    for vid, row in kept.items():
+        assert row["cluster_size"] == 10
+    for vid, row in clusters.items():
+        assert row["is_keeper"] == (1 if vid in keepers else 0)
