@@ -45,9 +45,12 @@ def _utc_now_iso() -> str:
     return dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds")
 
 
-def _split_dense_studies(e: DataFrame) -> tuple[list[int], list[int]]:
+def _split_dense_studies(
+    e: DataFrame, wide_gene_threshold: int | None = None
+) -> tuple[list[int], list[int], list[int]]:
     """Classify studies as dense (every gene covers every sample exactly
-    once) vs ragged.
+    once), WIDE dense (dense with ``n_genes > wide_gene_threshold`` — the
+    beyond-envelope shape that needs block pair enumeration), or ragged.
 
     A study is dense iff (a) no (gene, sample) cell repeats and (b) the
     distinct cells fill the full gene × sample grid. Two-phase screen so the
@@ -89,8 +92,15 @@ def _split_dense_studies(e: DataFrame) -> tuple[list[int], list[int]]:
             .collect()
         )
         dense = [r["study_key"] for r in cells if r["cells"] == expected[r["study_key"]]]
-    ragged = [r["study_key"] for r in rows if r["study_key"] not in set(dense)]
-    return dense, ragged
+    genes = {r["study_key"]: r["n_genes"] for r in rows}
+    wide = (
+        [k for k in dense if genes[k] > wide_gene_threshold]
+        if wide_gene_threshold is not None
+        else []
+    )
+    dense = [k for k in dense if k not in set(wide)]
+    ragged = [r["study_key"] for r in rows if r["study_key"] not in set(dense) | set(wide)]
+    return dense, wide, ragged
 
 
 def _block_pairs(e: DataFrame, n_blocks: int) -> DataFrame:
@@ -176,6 +186,7 @@ def compute_gene_pair_correlations(
     computed_at: str | None = None,
     pvalue_dist: str = "normal",
     n_blocks: int = 8,
+    wide_gene_threshold: int = 1024,
 ) -> DataFrame:
     """Long-form expression → fact_gene_pair_corr rows.
 
@@ -183,9 +194,11 @@ def compute_gene_pair_correlations(
     expression_value); output matches ``schemas.FACT_GENE_PAIR_CORR``.
 
     ``mode="auto"`` classifies each study (one cheap aggregation) and routes
-    dense studies through the pre-ranked plan and ragged ones through the
-    exact per-pair plan — identical results either way, since the plans only
-    diverge on ragged matrices.
+    dense studies through the pre-ranked plan, WIDE dense studies
+    (``n_genes > wide_gene_threshold``) through the block-bucketed plan,
+    and ragged ones through the exact per-pair plan — identical results
+    every way, since the physical plans only diverge on ragged matrices
+    and block ≡ dense is pinned by tests.
 
     ``mode="block"`` is the beyond-envelope scale path (SURVEY §7.4.7) for
     studies whose gene count far exceeds the reference's ~hundreds: dense
@@ -213,7 +226,9 @@ def compute_gene_pair_correlations(
     e = expression.select("study_key", "gene_key", "gsm_accession", "expression_value")
 
     if mode == "auto":
-        dense_keys, ragged_keys = _split_dense_studies(e)
+        dense_keys, wide_keys, ragged_keys = _split_dense_studies(
+            e, wide_gene_threshold=wide_gene_threshold
+        )
         parts = []
         if dense_keys:
             parts.append(
@@ -221,6 +236,14 @@ def compute_gene_pair_correlations(
                     e.where(F.col("study_key").isin(dense_keys)),
                     min_samples=min_samples, mode="dense", computed_at=ts,
                     pvalue_dist=pvalue_dist,
+                )
+            )
+        if wide_keys:
+            parts.append(
+                compute_gene_pair_correlations(
+                    e.where(F.col("study_key").isin(wide_keys)),
+                    min_samples=min_samples, mode="block", computed_at=ts,
+                    pvalue_dist=pvalue_dist, n_blocks=n_blocks,
                 )
             )
         if ragged_keys:

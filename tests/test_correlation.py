@@ -251,3 +251,31 @@ def test_block_join_is_keyed_by_block_columns(spark):
     block = compute_gene_pair_correlations(df, mode="block", n_blocks=4, computed_at="x")
     plan = block._jdf.queryExecution().optimizedPlan().toString()
     assert "blk_a" in plan and "blk_b" in plan
+
+
+def test_auto_mode_routes_wide_dense_to_block(spark):
+    """auto with a low wide_gene_threshold must route a dense study through
+    the block plan and still equal exact-mode results; the dense-sized study
+    keeps the dense route (threshold respected per study)."""
+    wide = {g: {f"S{i}": float((g * 7 + i * 3) % 11) for i in range(4)} for g in range(12)}
+    narrow = {g: {f"S{i}": float((g * 5 + i) % 7) for i in range(4)} for g in (1, 2, 3)}
+    df = _to_df(spark, wide, study_key=1).unionByName(_to_df(spark, narrow, study_key=2))
+    exact = {
+        (r["study_key"], r["gene_a_key"], r["gene_b_key"]): r.asDict()
+        for r in compute_gene_pair_correlations(
+            df, mode="exact", computed_at="x"
+        ).collect()
+    }
+    auto = {
+        (r["study_key"], r["gene_a_key"], r["gene_b_key"]): r.asDict()
+        for r in compute_gene_pair_correlations(
+            df, mode="auto", computed_at="x",
+            wide_gene_threshold=8, n_blocks=3,
+        ).collect()
+    }
+    assert set(exact) == set(auto)
+    for k in exact:
+        assert auto[k]["rho_spearman"] == pytest.approx(
+            exact[k]["rho_spearman"], abs=1e-12
+        ), k
+        assert auto[k]["n_samples"] == exact[k]["n_samples"]
