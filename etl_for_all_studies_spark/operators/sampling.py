@@ -20,7 +20,7 @@ the rate table never forces a wide shuffle.
 """
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import affine_hash, poly_hash
@@ -112,4 +112,48 @@ def mix_to_budget(
     )
 
 
-__all__ = ["SALT_A", "SALT_B", "hash_sample", "mix_to_budget", "sample_bucket"]
+def sample_fixed_per_group(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic FIXED-SIZE sample: exactly ``min(n, |group|)`` rows per
+    group — the reproducible analog of reservoir sampling.
+
+    Rate-based sampling (:func:`hash_sample`) cannot promise a per-group
+    row count; eval-set construction, per-domain spot-check exports, and
+    debugging slices need "give me exactly n per source". Ordering rows by
+    the portable hash of their key (ties → key) IS a uniform-at-random
+    permutation in expectation, but a *fixed* one: re-runs, retries, and
+    incremental appends agree on which rows are in the sample (a new row
+    enters only by displacing the highest-hash member, exactly like a
+    reservoir with a frozen random tape).
+
+    Scale notes: one shuffle keyed by the group columns + an in-partition
+    TOP-N sort — Spark's window TOP-N is rank-limit-pushed (a bounded heap
+    per group in the sort, not a full group sort at rest). Groups are
+    domains/sources (bounded cardinality, far coarser than doc ids), and n
+    is small; skew in group sizes is absorbed by the partial top-n.
+    """
+    order = F.struct(
+        sample_bucket(F.col(key_col), denom=1_000_000_000).alias("h"),
+        F.col(key_col).alias("k"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(order.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+__all__ = [
+    "SALT_A",
+    "SALT_B",
+    "hash_sample",
+    "mix_to_budget",
+    "sample_bucket",
+    "sample_fixed_per_group",
+]

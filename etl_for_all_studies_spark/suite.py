@@ -3337,6 +3337,38 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# 60. fixed-size per-group sampling — exactly n docs per source by portable
+#     hash order (frozen-tape reservoir): eval-set construction and
+#     per-domain exports need a COUNT guarantee, which rate-based sampling
+#     cannot give. The oracle replays the hash permutation bit-for-bit.
+# --------------------------------------------------------------------------
+
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import sample_fixed_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_fixed_per_group(
+        docs, group_cols=["source"], key_col="doc_id", n=20
+    )
+
+
+_SQL_SAMPLE_FIXED = f"""
+WITH b AS (
+  SELECT doc_id, source,
+    (({_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}) * 7919 + 104729)
+      % 1000000007 % 1000000000 AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rn
+  FROM b
+)
+SELECT doc_id, source FROM r WHERE rn <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3416,6 +3448,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "embedding_quantize": QueryDef(q_embedding_quantize, _SQL_QUANTIZE),
     "token_heavy_hitters": QueryDef(q_token_heavy_hitters, _SQL_HEAVY_HITTERS),
     "embedding_pipeline": QueryDef(q_embedding_pipeline, _SQL_EMBED_PIPELINE),
+    "sample_per_source": QueryDef(q_sample_per_source, _SQL_SAMPLE_FIXED),
 }
 
 

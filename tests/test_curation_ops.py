@@ -356,3 +356,37 @@ def test_shard_hash_replayable_in_pure_python(spark):
     df = spark.createDataFrame([(k,) for k in keys], "doc_id string")
     got = {r["doc_id"]: r["shard"] for r in assign_shards(df, 16).collect()}
     assert got == {k: py_shard(k, 16) for k in keys}
+
+
+def test_sample_fixed_per_group_counts_and_stability(spark):
+    from etl_for_all_studies_spark.operators.sampling import sample_fixed_per_group
+
+    rows = [(i, f"src{i % 3}") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sample_fixed_per_group(
+        df, group_cols=["source"], key_col="doc_id", n=5
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "src0": 5, "src1": 5, "src2": 5, "tiny": 1,  # min(n, |group|)
+    }
+    # frozen tape: rerun identical; appending rows never reshuffles
+    # survivors except by displacement
+    again = sample_fixed_per_group(
+        df, group_cols=["source"], key_col="doc_id", n=5
+    ).collect()
+    assert {(r["doc_id"], r["source"]) for r in again} == {
+        (r["doc_id"], r["source"]) for r in got
+    }
+    bigger = sample_fixed_per_group(
+        df.unionByName(
+            spark.createDataFrame([(5000, "src0")], "doc_id long, source string")
+        ),
+        group_cols=["source"], key_col="doc_id", n=5,
+    ).collect()
+    new_src0 = {r["doc_id"] for r in bigger if r["source"] == "src0"}
+    # at most ONE member changes (the new row either displaces the highest-
+    # hash member or is itself rejected)
+    assert len(by_src["src0"] - new_src0) <= 1
