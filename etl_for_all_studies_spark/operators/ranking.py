@@ -103,4 +103,106 @@ def bm25_topk(
     )
 
 
-__all__ = ["bm25_scores", "bm25_topk"]
+def tfidf_doc_scores(
+    docs: DataFrame,
+    probe_ids: Sequence[int],
+    *,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical query-by-example: score corpus documents by TF-IDF cosine
+    against each probe document — "more like this" without embeddings
+    (the lexical complement to ``similarity.brute_force_topk``; in a
+    curation pipeline it pulls training docs resembling a seed set).
+
+    Returns (probe_id, doc_id, cos_sim), self-matches excluded.
+
+    Spark-native shape: per-doc term weights ``w = tf·ln(N/df)`` from two
+    Zipf-bounded aggregations; the probe×corpus dot product is a sparse
+    **co-occurrence join on term** (the word-level analog of the shingle
+    join in ``dedup.ngram_jaccard_pairs``) — documents sharing no terms
+    with a probe never meet, so work tracks shared-term hits, not
+    |probes|·|corpus|. ``max_df`` drops stopword-like terms above a
+    document-frequency cap, bounding the join at Σdf² over the kept
+    vocabulary exactly like the shingle df-cap; terms at df = N also have
+    idf = 0, so the default already zero-weights full-corpus terms.
+    Norms include every term of each document (computed before the cap so
+    cosine stays a true cosine over the full vector).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    if max_df is not None:
+        w = w.where(F.col("df") <= max_df)
+    probes = [int(p) for p in probe_ids]
+    pw = w.where(F.col(id_col).isin(probes)).select(
+        F.col(id_col).alias("probe_id"), "term", F.col("w").alias("wp")
+    )
+    dots = (
+        pw.join(w.select(F.col(id_col), "term", F.col("w").alias("wd")), "term")
+        .where(F.col("probe_id") != F.col(id_col))
+        .groupBy("probe_id", id_col)
+        .agg(F.sum(F.col("wp") * F.col("wd")).alias("dot"))
+    )
+    pn = norms.where(F.col(id_col).isin(probes)).select(
+        F.col(id_col).alias("probe_id"), F.col("norm").alias("pnorm")
+    )
+    return (
+        dots.join(F.broadcast(pn), "probe_id")
+        .join(norms, id_col)
+        .select(
+            "probe_id",
+            id_col,
+            (F.col("dot") / (F.col("pnorm") * F.col("norm"))).alias("cos_sim"),
+        )
+    )
+
+
+def tfidf_doc_similarity(
+    docs: DataFrame,
+    probe_ids: Sequence[int],
+    *,
+    k: int = 10,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` per probe by TF-IDF cosine (see :func:`tfidf_doc_scores`).
+
+    Ranking uses the cosine quantized to a 1e-6 grid (ties → lowest doc
+    id): the cosine is a SUM aggregate, so its last bits depend on
+    partition order — near-tied documents would otherwise swap ranks
+    between runs/partitionings. Returns (probe_id, doc_id, cos_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    scored = tfidf_doc_scores(
+        docs, probe_ids, max_df=max_df, id_col=id_col, text_col=text_col
+    )
+    q6 = (F.floor(F.col("cos_sim") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+    rw = Window.partitionBy("probe_id").orderBy(
+        q6.desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select("probe_id", id_col, "cos_sim", "rank")
+    )
+
+
+__all__ = ["bm25_scores", "bm25_topk", "tfidf_doc_scores", "tfidf_doc_similarity"]

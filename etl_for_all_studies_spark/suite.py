@@ -3369,6 +3369,65 @@ SELECT doc_id, source FROM r WHERE rn <= 20
 
 
 # --------------------------------------------------------------------------
+# 61. TF-IDF query-by-example — lexical "more like this" via a sparse
+#     co-occurrence join on term (docs sharing no terms with a probe never
+#     meet; word-level analog of the shingle join).
+# --------------------------------------------------------------------------
+
+def q_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import tfidf_doc_similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_doc_similarity(docs, probe_ids=[0, 1, 2], k=10)
+    return out.select(
+        "probe_id", "doc_id", _r6(F.col("cos_sim")).alias("cos_sim"), "rank"
+    )
+
+
+_SQL_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(TRIM(text)), '\s+')) AS term
+  FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE term != ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks_ne GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(nd.n_docs / dfreq.df) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+dots AS (
+  SELECT p.doc_id AS probe_id, d.doc_id AS doc_id, SUM(p.w * d.w) AS dot
+  FROM w p JOIN w d ON p.term = d.term AND p.doc_id != d.doc_id
+  WHERE p.doc_id IN (0, 1, 2)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dots.probe_id, dots.doc_id,
+         dots.dot / (pn.nrm * dn.nrm) AS cos_sim
+  FROM dots
+  JOIN norms pn ON pn.doc_id = dots.probe_id
+  JOIN norms dn ON dn.doc_id = dots.doc_id
+),
+ranked AS (
+  -- rank on the QUANTIZED cosine (ties -> doc id): the raw SUM-aggregated
+  -- cosine differs at fp-noise level across engines/partitionings
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY probe_id
+    ORDER BY (FLOOR(cos_sim * 1000000.0 + 0.5001) / 1000000.0) DESC, doc_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT probe_id, doc_id,
+       (FLOOR(cos_sim * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS cos_sim,
+       rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3449,6 +3508,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "token_heavy_hitters": QueryDef(q_token_heavy_hitters, _SQL_HEAVY_HITTERS),
     "embedding_pipeline": QueryDef(q_embedding_pipeline, _SQL_EMBED_PIPELINE),
     "sample_per_source": QueryDef(q_sample_per_source, _SQL_SAMPLE_FIXED),
+    "tfidf_similar": QueryDef(q_tfidf_similar, _SQL_TFIDF),
 }
 
 

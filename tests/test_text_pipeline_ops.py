@@ -440,3 +440,53 @@ def test_bigram_model_ranks_shuffled_text_below_natural(spark):
     got = {r["doc_id"]: r["mean_log10_bigram_prob"]
            for r in bigram_logprob_scores(docs).collect()}
     assert got[100] < got[0]
+
+
+# ---- TF-IDF query-by-example ---------------------------------------------
+
+def test_tfidf_doc_similarity_ranks_lexical_neighbors(spark):
+    from etl_for_all_studies_spark.operators.ranking import tfidf_doc_similarity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry apple"),
+            (1, "apple banana cherry"),        # near-clone of probe 0
+            (2, "apple dog elephant"),          # shares one term
+            (3, "zebra yak xylophone"),         # disjoint — must not appear
+            (4, "banana cherry apple apple"),   # same bag as 0
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_doc_similarity(docs, probe_ids=[0], k=3).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 4          # identical bag → cos 1
+    assert ranked[1] == 1          # near-clone next
+    assert 3 not in ranked         # disjoint doc never meets the probe
+    by_id = {r["doc_id"]: r["cos_sim"] for r in out}
+    assert by_id[4] == pytest.approx(1.0, abs=1e-12)
+    assert by_id[1] > by_id.get(2, -1.0)
+
+
+def test_tfidf_max_df_caps_join_but_keeps_norms(spark):
+    """max_df drops stopword-like terms from the JOIN, but norms still
+    cover the full vector — similarity can only shrink, never grow."""
+    from etl_for_all_studies_spark.operators.ranking import tfidf_doc_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the the common rare_a"),
+            (1, "the common rare_a"),
+            (2, "the common other"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["probe_id"], r["doc_id"]): r["cos_sim"]
+        for r in tfidf_doc_scores(docs, [0]).collect()
+    }
+    capped = {
+        (r["probe_id"], r["doc_id"]): r["cos_sim"]
+        for r in tfidf_doc_scores(docs, [0], max_df=2).collect()
+    }
+    for k in capped:
+        assert capped[k] <= full[k] + 1e-12
