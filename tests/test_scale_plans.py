@@ -87,3 +87,38 @@ def test_aqe_skew_join_splits_giant_study(spark):
         plan = paired._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan
+
+
+def test_parquet_scans_push_filters_and_prune_columns(spark):
+    """Pushdown/pruning audit over representative suite queries: the vec_id
+    cap must reach the parquet scan as a pushed filter (not a post-scan
+    Filter over full rows), and text queries must never read columns they
+    don't use — at 100 TB a scan that reads all columns for a 2-column
+    projection is the whole game."""
+    import re
+
+    from etl_for_all_studies_spark import suite
+
+    sf = "/root/testdata/sf0.001"
+
+    def scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+    # bounded-oracle embedding query: vec_id < 500 pushed into the scan
+    emb_scans = scans(suite.q_dedup_embedding(spark, sf))
+    assert any("PushedFilters" in s and "LessThan(vec_id,500)" in s for s in emb_scans), emb_scans
+
+    # text quality reads documents: the scan schema must exclude unused
+    # columns (source, n_chars) — column pruning reached the reader
+    tq_scans = scans(suite.q_text_quality(spark, sf))
+    doc_scans = [s for s in tq_scans if "documents.parquet" in s]
+    assert doc_scans
+    for s in doc_scans:
+        cols = re.search(r"FileScan parquet \[([^\]]*)\]", s).group(1)
+        assert "n_chars" not in cols and "source" not in cols, s
+
+    # lineitem star query: date-range predicate pushed down
+    rev_scans = scans(suite.q_regional_revenue(spark, sf))
+    order_scans = [s for s in rev_scans if "orders.parquet" in s]
+    assert any("PushedFilters" in s and "GreaterThanOrEqual(o_orderdate" in s for s in order_scans), order_scans
