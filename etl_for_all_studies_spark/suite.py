@@ -3428,6 +3428,83 @@ FROM ranked WHERE rank <= 10
 
 
 # --------------------------------------------------------------------------
+# 62. keyed snapshot diff — the warehouse regression-audit primitive: one
+#     full-outer join classifies every key as added/removed/changed with
+#     the column-level change mask. Fixture: orders vs a deterministically
+#     perturbed rerun (drops, price bumps, priority rewrites, new keys).
+# --------------------------------------------------------------------------
+
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.diff import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders")
+    base = old.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X-DIFF"))
+        .otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+    ).where(F.col("o_orderkey") % 7 != 0)
+    added = old.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    new = base.unionByName(added)
+    out = snapshot_diff(old, new, keys=["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        "change",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+        "n_changed_cols",
+    )
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X-DIFF'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 != 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         list_sort(list_filter([
+           CASE WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey) THEN 'o_custkey' END,
+           CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) THEN 'o_orderstatus' END,
+           CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) THEN 'o_totalprice' END,
+           CASE WHEN NOT (o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate) THEN 'o_orderdate' END,
+           CASE WHEN NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) THEN 'o_orderpriority' END
+         ], x -> x IS NOT NULL)) AS cc
+  FROM orders o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS change,
+       CASE WHEN in_old AND in_new THEN array_to_string(cc, ',') ELSE '' END
+         AS changed_cols,
+       CASE WHEN in_old AND in_new THEN CAST(len(cc) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS n_changed_cols
+FROM j
+WHERE NOT (in_old AND in_new AND len(cc) = 0)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3509,6 +3586,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "embedding_pipeline": QueryDef(q_embedding_pipeline, _SQL_EMBED_PIPELINE),
     "sample_per_source": QueryDef(q_sample_per_source, _SQL_SAMPLE_FIXED),
     "tfidf_similar": QueryDef(q_tfidf_similar, _SQL_TFIDF),
+    "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SQL_SNAPSHOT_DIFF),
 }
 
 

@@ -390,3 +390,41 @@ def test_sample_fixed_per_group_counts_and_stability(spark):
     # at most ONE member changes (the new row either displaces the highest-
     # hash member or is itself rejected)
     assert len(by_src["src0"] - new_src0) <= 1
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    from etl_for_all_studies_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", None),   # NULL value — NULL->NULL must be 'same'
+            (3, "c", 30.0),   # will be removed
+            (4, None, 40.0),  # NULL -> value must be 'changed'
+        ],
+        "id long, name string, price double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 11.0),    # price changed
+            (2, "b", None),    # identical incl. NULL
+            (4, "d", 40.0),    # name NULL->d
+            (5, "e", 50.0),    # added
+        ],
+        "id long, name string, price double",
+    )
+    got = {r["id"]: r.asDict() for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got[1]["change"] == "changed" and got[1]["changed_cols"] == ["price"]
+    assert 2 not in got  # same rows filtered by default
+    assert got[3]["change"] == "removed" and got[3]["changed_cols"] == []
+    assert got[4]["change"] == "changed" and got[4]["changed_cols"] == ["name"]
+    assert got[5]["change"] == "added"
+    with_same = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(old, new, ["id"], include_same=True).collect()
+    }
+    assert with_same[2] == "same"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new.drop("price"), ["id"])
