@@ -272,3 +272,70 @@ def test_lgamma_expr_matches_math(spark):
     got = {r["z"]: r["lg"] for r in df.select("z", lgamma_expr(F.col("z")).alias("lg")).collect()}
     for z in zs:
         assert got[z] == pytest.approx(math.lgamma(z), rel=1e-12, abs=1e-12)
+
+
+# ---- hypothesis property sweeps (the env ships hypothesis) ----------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rho=st.floats(min_value=-0.999999, max_value=0.999999),
+        n=st.integers(min_value=3, max_value=10000),
+    )
+    def test_t_pvalue_scalar_properties(rho, n):
+        """Scalar exact-t oracle: p ∈ [0,1]; symmetric in ±rho; monotone
+        non-increasing in |rho| at fixed n."""
+        t_abs = abs(rho) * math.sqrt((n - 2) / (1.0 - rho * rho))
+        p = t_two_sided_p(t_abs, n - 2)
+        assert 0.0 <= p <= 1.0
+        t_neg = abs(-rho) * math.sqrt((n - 2) / (1.0 - rho * rho))
+        assert t_two_sided_p(t_neg, n - 2) == p
+        bigger = min(abs(rho) + 0.0005, 0.9999995)
+        t_big = bigger * math.sqrt((n - 2) / (1.0 - bigger * bigger))
+        assert t_two_sided_p(t_big, n - 2) <= p + 1e-12
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        ps=st.lists(
+            st.one_of(
+                st.floats(min_value=0.0, max_value=1.0),
+                st.none(),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_bh_python_reference_properties(ps):
+        """BH invariants against a direct sequential implementation:
+        q ∈ [p, 1]; q monotone with p-order; NULLs stay NULL. (Pure-Python
+        replica of the window formulation — the Spark plan is pinned to it
+        elsewhere; hypothesis hammers the edge cases: all-NULL, ties,
+        single element, p=0/1.)"""
+        valid = sorted(
+            [(p, i) for i, p in enumerate(ps) if p is not None]
+        )
+        m = len(valid)
+        q_by_idx = {}
+        run_min = 1.0
+        for rank in range(m, 0, -1):
+            p, idx = valid[rank - 1]
+            run_min = min(run_min, min(p * m / rank, 1.0))
+            q_by_idx[idx] = run_min
+        for i, p in enumerate(ps):
+            if p is None:
+                assert i not in q_by_idx
+                continue
+            q = q_by_idx[i]
+            assert p - 1e-12 <= q <= 1.0 + 1e-12
+        # q respects the p-order (monotone non-decreasing in p)
+        qs_sorted = [q_by_idx[i] for _, i in valid]
+        assert all(a <= b + 1e-12 for a, b in zip(qs_sorted, qs_sorted[1:]))
