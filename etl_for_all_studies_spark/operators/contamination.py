@@ -91,4 +91,57 @@ def decontaminate(
     )
 
 
-__all__ = ["decontaminate", "word_ngrams"]
+def semantic_decontaminate(
+    train_vectors: DataFrame,
+    eval_vectors: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag every train vector whose cosine
+    similarity to *any* eval vector reaches ``threshold``.
+
+    The n-gram recipe above misses paraphrases; modern curation additionally
+    screens against eval-set *embeddings* (semantic dedup between train and
+    eval). Same scale shape as the n-gram variant: the eval side is small by
+    construction, so its unit vectors are **broadcast** and the train side is
+    ONE scan — scored against every eval vector via a codegen'd dot product
+    (`F.aggregate`), then reduced with a map-side-combined ``max`` per train
+    id. Cost is O(|train| · |eval| · dim) flops with no shuffle of the train
+    side beyond the per-id max; no pairwise train×train term ever appears.
+    If the eval set outgrows broadcast range, route through
+    ``similarity.embedding_near_duplicates_ivf`` instead (cell-bucketed).
+
+    Output: (id, max_eval_sim DOUBLE — NULL if the train vector has zero
+    norm or the eval set is empty → never contaminated, max_eval_sim −1.0
+    sentinel, matching "no evidence"), contaminated ∈ {0, 1}.
+    """
+    from .similarity import dot, unit_vectors
+
+    t = unit_vectors(
+        train_vectors, id_col=id_col, vec_col=vec_col, id_alias="_tid", vec_alias="tv"
+    )
+    e = unit_vectors(
+        eval_vectors, id_col=id_col, vec_col=vec_col, id_alias="_eid", vec_alias="ev"
+    )
+    scored = (
+        t.crossJoin(F.broadcast(e.select("ev")))
+        .select("_tid", dot(F.col("tv"), F.col("ev")).alias("sim"))
+        .groupBy("_tid")
+        .agg(F.max("sim").alias("max_eval_sim"))
+    )
+    return (
+        train_vectors.select(F.col(id_col).alias("_tid"))
+        .join(scored, "_tid", "left")
+        .select(
+            F.col("_tid").alias(id_col),
+            F.coalesce("max_eval_sim", F.lit(-1.0)).alias("max_eval_sim"),
+            (F.coalesce("max_eval_sim", F.lit(-1.0)) >= threshold)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+__all__ = ["decontaminate", "semantic_decontaminate", "word_ngrams"]

@@ -3505,6 +3505,73 @@ WHERE NOT (in_old AND in_new AND len(cc) = 0)
 
 
 # --------------------------------------------------------------------------
+# edit-distance near-dup join — PassJoin pigeonhole segment blocking
+# --------------------------------------------------------------------------
+
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dups: all pairs within Levenshtein distance 4,
+    found via PassJoin segment blocking (``operators/editdist.py``) — an
+    *exact* join (pigeonhole-complete candidates + thresholded verify), so
+    the brute-force oracle must agree pair-for-pair. The Spark plan is an
+    equi-join on segment content (never all-pairs); the oracle brute-forces
+    the length-banded cross product, which is only viable at oracle scale."""
+    from .operators.editdist import editdist_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return editdist_near_pairs(docs, max_dist=4)
+
+
+_SQL_EDITDIST = """
+WITH d AS (SELECT doc_id, text, LENGTH(text) AS l FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text) AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id AND ABS(a.l - b.l) <= 4
+WHERE levenshtein(a.text, b.text) <= 4
+"""
+
+
+# --------------------------------------------------------------------------
+# semantic (embedding-space) train/eval decontamination
+# --------------------------------------------------------------------------
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every 7th vector plays the held-out
+    eval set; each remaining train vector reports its max cosine to the eval
+    set and a ≥0.95 contamination flag. The eval side is broadcast (eval
+    sets are small by construction) — the train side is one scan with a
+    map-side-combined per-id max, no train×train term. The dot product is
+    the same sequential fold in both engines, so the unrounded threshold
+    comparison sees bit-identical doubles."""
+    from .operators.contamination import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 7 != 0)
+    evals = emb.where(F.col("vec_id") % 7 == 0)
+    out = semantic_decontaminate(train, evals, threshold=0.95)
+    return out.select(
+        "vec_id",
+        (F.round("max_eval_sim", 6) + F.lit(0.0)).alias("max_eval_sim"),
+        "contaminated",
+    )
+
+
+_SQL_SEMANTIC_DECONTAM = f"""
+WITH unit AS ({_SQL_UNIT_CTE}),
+t AS (SELECT vec_id, uv AS tv FROM unit WHERE vec_id % 7 != 0),
+e AS (SELECT uv AS ev FROM unit WHERE vec_id % 7 = 0),
+scored AS (
+  SELECT vec_id, MAX({_SQL_DOT.format(a="tv", b="ev")}) AS max_eval_sim
+  FROM t, e
+  GROUP BY vec_id
+)
+SELECT vec_id,
+       ROUND(COALESCE(max_eval_sim, -1.0), 6) + 0.0 AS max_eval_sim,
+       CAST(COALESCE(max_eval_sim, -1.0) >= 0.95 AS BIGINT) AS contaminated
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3587,6 +3654,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "sample_per_source": QueryDef(q_sample_per_source, _SQL_SAMPLE_FIXED),
     "tfidf_similar": QueryDef(q_tfidf_similar, _SQL_TFIDF),
     "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SQL_SNAPSHOT_DIFF),
+    "dedup_editdist": QueryDef(q_dedup_editdist, _SQL_EDITDIST),
+    "semantic_decontam": QueryDef(q_semantic_decontam, _SQL_SEMANTIC_DECONTAM),
 }
 
 

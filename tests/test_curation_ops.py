@@ -428,3 +428,43 @@ def test_snapshot_diff_classification_and_null_safety(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         snapshot_diff(old, new.drop("price"), ["id"])
+
+
+def test_semantic_decontaminate_flags_and_sentinels(spark):
+    """Planted geometry: an exact eval copy is contaminated, a near-copy
+    above threshold too, an orthogonal vector is not; zero-norm train
+    vectors and (separately) an empty eval set yield the -1.0 sentinel."""
+    from etl_for_all_studies_spark.operators.contamination import (
+        semantic_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),     # exact eval copy
+            (2, [0.99, 0.14, 0.0]),   # cos ~0.990 vs e1 — above 0.95
+            (3, [0.0, 0.0, 1.0]),     # orthogonal to both evals
+            (4, [0.0, 0.0, 0.0]),     # zero norm → NULL sims → sentinel
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_decontaminate(train, evals, threshold=0.95).collect()
+    }
+    assert got[1]["contaminated"] == 1 and abs(got[1]["max_eval_sim"] - 1.0) < 1e-9
+    assert got[2]["contaminated"] == 1
+    assert got[3]["contaminated"] == 0 and got[3]["max_eval_sim"] == 0.0
+    assert got[4]["contaminated"] == 0 and got[4]["max_eval_sim"] == -1.0
+
+    empty_eval = evals.where("vec_id < 0")
+    got_empty = {
+        r["vec_id"]: r.asDict()
+        for r in semantic_decontaminate(train, empty_eval).collect()
+    }
+    assert len(got_empty) == 4
+    assert all(v["max_eval_sim"] == -1.0 and v["contaminated"] == 0
+               for v in got_empty.values())

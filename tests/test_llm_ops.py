@@ -549,11 +549,23 @@ def test_curate_embeddings_composition(spark):
         (F.col("vec_id") / 10).cast("long").alias("cell"), "embedding"
     )
     spark.catalog.clearCache()
+    # localCheckpoint RDDs from earlier tests (connected components) are not
+    # SQL-cache entries: clearCache() ignores them and they linger until the
+    # ContextCleaner GCs them — so assert "no NEW persisted RDDs leak" rather
+    # than a global zero, which is flaky under full-suite ordering.
+    before = {
+        rid
+        for rid in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
     with CacheScope() as scope:
         res = curate_embeddings(vecs, cents, threshold=0.95, n_probes=2, scope=scope)
         clusters = {r["vec_id"]: r.asDict() for r in res.clusters.collect()}
         kept = {r["vec_id"]: r.asDict() for r in res.kept_codes.collect()}
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    after = {
+        rid
+        for rid in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert after - before == set()
     assert len(clusters) == 40  # every vector clustered (singletons included)
     # tight clusters at threshold 0.95: each 10-vector basis cluster is one
     # component with keeper = min id
