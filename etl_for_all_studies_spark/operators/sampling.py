@@ -149,11 +149,69 @@ def sample_fixed_per_group(
     )
 
 
+def es_key(key: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis selection key with a frozen random tape.
+
+    E-S weighted sampling without replacement (Efraimidis & Spirakis, IPL
+    97(5), 2006): draw ``u_i ~ U(0,1)``, rank items by ``u_i^(1/w_i)`` and
+    keep the top k — equivalently (log-transformed, monotone) rank by
+    ``-ln(u_i)/w_i`` ascending, the exponential-clocks form used here. Each
+    item competes independently, so the top-k can be taken with a
+    distributed partial top-k — no sequential reservoir state.
+
+    Determinism: ``u_i`` comes from the portable hash of the item's key
+    (``(h + 0.5) / 10^9`` — strictly inside (0,1)), not ``rand()``, so
+    retries, re-runs, and the DuckDB oracle reproduce the same sample.
+    """
+    h = sample_bucket(key, denom=1_000_000_000)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(1_000_000_000.0)
+    return -F.log(u) / weight
+
+
+def sample_weighted_per_group(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group, drawn *without replacement
+    with probability proportional to weight* — deterministic (frozen tape).
+
+    The fixed-size uniform sampler above treats every row equally; curation
+    mixes usually want token-weighted draws (long docs proportionally more
+    likely) — this is the standard one-pass distributed answer. Rows with
+    non-positive or NULL weight can never be drawn (E-S keys are undefined
+    there) and are filtered out.
+
+    Scale notes: identical shape to :func:`sample_fixed_per_group` — one
+    narrow projection computing the key, one shuffle on the group columns,
+    rank-limited window top-n (bounded heap per group). Appends compose: a
+    new row enters a group's sample only by displacing the current largest
+    key, exactly like a weighted reservoir with a frozen tape.
+
+    Output: input columns + ``es_key`` (audit) + ``sample_rank``.
+    """
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("es_key", es_key(F.col(key_col), F.col(weight_col)))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("es_key").asc(), F.col(key_col).asc()
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )
+
+
 __all__ = [
     "SALT_A",
     "SALT_B",
+    "es_key",
     "hash_sample",
     "mix_to_budget",
     "sample_bucket",
     "sample_fixed_per_group",
+    "sample_weighted_per_group",
 ]

@@ -3572,6 +3572,110 @@ FROM scored
 
 
 # --------------------------------------------------------------------------
+# time-spine gap fill with LOCF (regularized per-user hourly series)
+# --------------------------------------------------------------------------
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular per-user hourly series: latest 'view' observation per hour,
+    dense spine over each user's observed span, empty hours filled by LOCF
+    (``operators/timeseries.py``). The spine explode fans out per *user*
+    (post-aggregation), never per event, and the LOCF window's cumulative
+    ROWS frame is single-pass. ``(ts_us, event_id)`` totalizes "latest" so
+    both engines pick the same observation on timestamp ties."""
+    from .operators.timeseries import gap_fill_locf
+
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "view")
+    out = gap_fill_locf(ev, bucket_width=3_600_000_000)
+    return out.select(
+        F.col("key").alias("user_id"),
+        "bucket",
+        _r6(F.col("value")).alias("value"),
+        "n_events",
+        "gap_filled",
+    )
+
+
+_SQL_GAPFILL = """
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE event_type = 'view'
+),
+agg AS (
+  -- DuckDB's arg_max has no composite-key overload: emulate
+  -- max_by(value, (ts_us, event_id)) with a windowed row_number
+  SELECT user_id, bucket, last_value, n_events FROM (
+    SELECT user_id,
+           CAST(FLOOR(ts_us / 3600000000) AS BIGINT) AS bucket,
+           value AS last_value,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, FLOOR(ts_us / 3600000000)
+             ORDER BY ts_us DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (
+             PARTITION BY user_id, FLOOR(ts_us / 3600000000)) AS n_events
+    FROM ev) WHERE rn = 1
+),
+spine AS (
+  SELECT user_id, UNNEST(range(b0, b1 + 1)) AS bucket
+  FROM (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        FROM agg GROUP BY user_id)
+),
+j AS (
+  SELECT s.user_id, s.bucket, a.last_value, a.n_events
+  FROM spine s LEFT JOIN agg a USING (user_id, bucket)
+)
+SELECT user_id, bucket,
+       ROUND(LAST_VALUE(last_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS value,
+       COALESCE(n_events, 0) AS n_events,
+       CAST(last_value IS NULL AS BIGINT) AS gap_filled
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis, frozen tape)
+# --------------------------------------------------------------------------
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-weighted sample of 8 docs: E-S exponential-clock
+    keys from the portable hash (``operators/sampling.py``) — longer docs
+    proportionally likelier, yet the draw is deterministic and the oracle
+    replays the identical arithmetic (same hash, same ``(h+0.5)/10^9``
+    uniform, same ``-ln(u)/w`` key), so both engines elect the same rows."""
+    from .operators.sampling import sample_weighted_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_weighted_per_group(
+        docs, group_cols=["source"], key_col="doc_id", weight_col="n_chars", n=8
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", _r6(F.col("es_key")).alias("es_key"),
+        "sample_rank",
+    )
+
+
+_SQL_SAMPLE_WEIGHTED = f"""
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+    -LN(((({_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}) * 7919 + 104729)
+         % 1000000007 % 1000000000 + 0.5) / 1000000000.0) / n_chars AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (
+  SELECT doc_id, source, n_chars, es_key,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY es_key ASC, doc_id ASC) AS sample_rank
+  FROM b
+)
+SELECT doc_id, source, n_chars, ROUND(es_key, 6) + 0.0 AS es_key, sample_rank
+FROM r WHERE sample_rank <= 8
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3656,6 +3760,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SQL_SNAPSHOT_DIFF),
     "dedup_editdist": QueryDef(q_dedup_editdist, _SQL_EDITDIST),
     "semantic_decontam": QueryDef(q_semantic_decontam, _SQL_SEMANTIC_DECONTAM),
+    "events_gapfill": QueryDef(q_events_gapfill, _SQL_GAPFILL),
+    "sample_weighted": QueryDef(q_sample_weighted, _SQL_SAMPLE_WEIGHTED),
 }
 
 

@@ -468,3 +468,44 @@ def test_semantic_decontaminate_flags_and_sentinels(spark):
     assert len(got_empty) == 4
     assert all(v["max_eval_sim"] == -1.0 and v["contaminated"] == 0
                for v in got_empty.values())
+
+
+def test_sample_weighted_replayable_and_biased(spark):
+    """E-S weighted sampling: (a) the whole draw replays in pure Python
+    (frozen-tape audit contract); (b) a dominant weight is elected first;
+    (c) non-positive / NULL weights can never be drawn."""
+    import math
+
+    from etl_for_all_studies_spark.functions.hashing import BASE, MOD
+    from etl_for_all_studies_spark.operators.sampling import (
+        SALT_A,
+        SALT_B,
+        sample_weighted_per_group,
+    )
+
+    def py_es_key(key: str, w: float) -> float:
+        h = 0
+        for ch in key:
+            h = (h * BASE + ord(ch)) % MOD
+        b = ((h * SALT_A + SALT_B) % MOD) % 1_000_000_000
+        return -math.log((b + 0.5) / 1_000_000_000.0) / w
+
+    rows = [(i, "g", float(1 + (i % 7))) for i in range(50)]
+    rows += [(100, "g", 1e9)]            # dominant weight
+    rows += [(101, "g", 0.0), (102, "g", -3.0), (103, "g", None)]  # undrawable
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = [
+        (r["doc_id"], r["sample_rank"])
+        for r in sample_weighted_per_group(
+            df, group_cols=["grp"], key_col="doc_id", weight_col="w", n=10
+        ).collect()
+    ]
+    drawable = [(i, g, w) for i, g, w in rows if w is not None and w > 0]
+    expected = sorted(
+        drawable, key=lambda r: (py_es_key(str(r[0]), r[2]), r[0])
+    )[:10]
+    assert sorted(got, key=lambda t: t[1]) == [
+        (r[0], rank) for rank, r in enumerate(expected, 1)
+    ]
+    assert got and min(got, key=lambda t: t[1])[0] == 100  # dominant first
+    assert all(i not in {101, 102, 103} for i, _ in got)
