@@ -3535,7 +3535,7 @@ WHERE levenshtein(a.text, b.text) <= 4
 # --------------------------------------------------------------------------
 
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space decontamination: every 7th vector plays the held-out
+    """Embedding-space decontamination: every 29th vector plays the held-out
     eval set; each remaining train vector reports its max cosine to the eval
     set and a ≥0.95 contamination flag. The eval side is broadcast (eval
     sets are small by construction) — the train side is one scan with a
@@ -3545,8 +3545,8 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.contamination import semantic_decontaminate
 
     emb = _t(spark, sf_dir, "embeddings")
-    train = emb.where(F.col("vec_id") % 7 != 0)
-    evals = emb.where(F.col("vec_id") % 7 == 0)
+    train = emb.where(F.col("vec_id") % 29 != 0)
+    evals = emb.where(F.col("vec_id") % 29 == 0)
     out = semantic_decontaminate(train, evals, threshold=0.95)
     return out.select(
         "vec_id",
@@ -3557,8 +3557,8 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SEMANTIC_DECONTAM = f"""
 WITH unit AS ({_SQL_UNIT_CTE}),
-t AS (SELECT vec_id, uv AS tv FROM unit WHERE vec_id % 7 != 0),
-e AS (SELECT uv AS ev FROM unit WHERE vec_id % 7 = 0),
+t AS (SELECT vec_id, uv AS tv FROM unit WHERE vec_id % 29 != 0),
+e AS (SELECT uv AS ev FROM unit WHERE vec_id % 29 = 0),
 scored AS (
   SELECT vec_id, MAX({_SQL_DOT.format(a="tv", b="ev")}) AS max_eval_sim
   FROM t, e
