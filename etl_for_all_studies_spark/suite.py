@@ -3676,6 +3676,56 @@ FROM r WHERE sample_rank <= 8
 
 
 # --------------------------------------------------------------------------
+# single-pass column profiler (data-quality intake audit)
+# --------------------------------------------------------------------------
+
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table column profile of ``customer`` in ONE aggregation pass
+    (``operators/profiling.py``): null counts, exact distinct counts,
+    typed min/max/mean — the intake audit a warehouse runs before trusting
+    a table. The exact-distinct form (Expand) is oracle-checked here; the
+    production default at scale is the HLL++ ``approx=True`` twin of the
+    same plan."""
+    from .operators.profiling import profile_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    out = profile_columns(cust)
+    return out.select(
+        "column", "n_rows", "n_nulls", _r6(F.col("null_frac")).alias("null_frac"),
+        "n_distinct",
+        _r6(F.col("min_num")).alias("min_num"),
+        _r6(F.col("max_num")).alias("max_num"),
+        _r6(F.col("mean")).alias("mean"),
+        "min_str", "max_str",
+    )
+
+
+def _sql_profile_col(name: str, kind: str) -> str:
+    num = kind == "num"
+    return f"""
+SELECT '{name}' AS column, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  ROUND(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+    + 0.0 AS null_frac,
+  COUNT(DISTINCT {name}) AS n_distinct,
+  {f"ROUND(CAST(MIN({name}) AS DOUBLE), 6) + 0.0" if num else "CAST(NULL AS DOUBLE)"} AS min_num,
+  {f"ROUND(CAST(MAX({name}) AS DOUBLE), 6) + 0.0" if num else "CAST(NULL AS DOUBLE)"} AS max_num,
+  {f"ROUND(AVG({name}), 6) + 0.0" if num else "CAST(NULL AS DOUBLE)"} AS mean,
+  {f"MIN({name})" if not num else "CAST(NULL AS VARCHAR)"} AS min_str,
+  {f"MAX({name})" if not num else "CAST(NULL AS VARCHAR)"} AS max_str
+FROM customer"""
+
+
+_SQL_PROFILE = " UNION ALL ".join(
+    _sql_profile_col(n, k)
+    for n, k in [
+        ("c_custkey", "num"), ("c_name", "str"), ("c_nationkey", "num"),
+        ("c_acctbal", "num"), ("c_mktsegment", "str"),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3762,6 +3812,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "semantic_decontam": QueryDef(q_semantic_decontam, _SQL_SEMANTIC_DECONTAM),
     "events_gapfill": QueryDef(q_events_gapfill, _SQL_GAPFILL),
     "sample_weighted": QueryDef(q_sample_weighted, _SQL_SAMPLE_WEIGHTED),
+    "profile_customer": QueryDef(q_profile_customer, _SQL_PROFILE),
 }
 
 
