@@ -3726,6 +3726,62 @@ _SQL_PROFILE = " UNION ALL ".join(
 
 
 # --------------------------------------------------------------------------
+# co-visitation / market-basket related items
+# --------------------------------------------------------------------------
+
+def q_events_covisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related items from co-visitation: baskets are (user, day), items are
+    the ``props.k`` id; per-item top-5 partners by shared-basket count
+    (``operators/cooccurrence.py``). The pair join is per-basket (never
+    corpus-wide) and the 64-item basket gate bounds the quadratic fan-out
+    against bot-like outlier users — the guard that keeps this shape alive
+    at log scale."""
+    from .operators.cooccurrence import related_items_topk
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_us") / 86_400_000_000)
+    )
+    item = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    out = related_items_topk(
+        ev, item=item, key_cols=["user_id", "day"], k=5, max_basket=64
+    )
+    return out.select("item", "partner", "n_baskets", F.col("rank").cast("long").alias("rank"))
+
+
+_SQL_COVISIT = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+),
+b0 AS (SELECT DISTINCT user_id, day, item FROM ev WHERE item IS NOT NULL),
+b AS (
+  SELECT user_id, day, item FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY user_id, day) AS bsz FROM b0
+  ) WHERE bsz <= 64
+),
+pairs AS (
+  SELECT l.item AS item_a, r.item AS item_b, COUNT(*) AS n_baskets
+  FROM b l JOIN b r ON l.user_id = r.user_id AND l.day = r.day
+  WHERE l.item < r.item
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT item_a AS item, item_b AS partner, n_baskets FROM pairs
+  UNION ALL
+  SELECT item_b AS item, item_a AS partner, n_baskets FROM pairs
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY item ORDER BY n_baskets DESC, partner ASC) AS rank
+  FROM sym
+)
+SELECT item, partner, n_baskets, rank FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3813,6 +3869,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_gapfill": QueryDef(q_events_gapfill, _SQL_GAPFILL),
     "sample_weighted": QueryDef(q_sample_weighted, _SQL_SAMPLE_WEIGHTED),
     "profile_customer": QueryDef(q_profile_customer, _SQL_PROFILE),
+    "events_covisit": QueryDef(q_events_covisit, _SQL_COVISIT),
 }
 
 
