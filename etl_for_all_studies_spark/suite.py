@@ -3782,6 +3782,131 @@ SELECT item, partner, n_baskets, rank FROM r WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# distribution-position windows: percent_rank / cume_dist
+# --------------------------------------------------------------------------
+
+def q_acctbal_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's position within their market segment's balance
+    distribution — ``percent_rank`` and ``cume_dist`` complete the §2.6
+    ranking-window surface (row_number/rank/ntile live in other queries).
+    Ties share positions by definition, so the result is order-independent
+    without a tiebreak column; one shuffle on segment serves both windows."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        _r6(F.col("c_acctbal")).alias("acctbal"),
+        _r6(F.percent_rank().over(w)).alias("pct_rank"),
+        _r6(F.cume_dist().over(w)).alias("cume_dist"),
+    )
+
+
+_SQL_ACCTBAL_POSITION = """
+SELECT c_custkey, c_mktsegment,
+       ROUND(c_acctbal, 6) + 0.0 AS acctbal,
+       ROUND(PERCENT_RANK() OVER (
+         PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) + 0.0 AS pct_rank,
+       ROUND(CUME_DIST() OVER (
+         PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) + 0.0 AS cume_dist
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# PageRank over the co-visitation item graph (iterative, unrolled oracle)
+# --------------------------------------------------------------------------
+
+def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped weighted PageRank (5 iterations) over the symmetric item
+    co-visitation graph (``operators/graphrank.py``). Per-iteration ranks
+    are snapped to the 1e-6 grid (kmeans discipline) so the DuckDB oracle —
+    the identical iterations unrolled as CTEs — lands on the same doubles
+    despite engine-specific summation order."""
+    from .operators.cooccurrence import cooccurrence_counts
+    from .operators.graphrank import pagerank
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.floor(F.col("ts_us") / 86_400_000_000)
+    )
+    item = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    pairs = cooccurrence_counts(
+        ev, item=item, key_cols=["user_id", "day"], max_basket=64
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst"),
+        F.col("n_baskets").cast("double").alias("w"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"), F.col("item_a").alias("dst"),
+            F.col("n_baskets").cast("double").alias("w"),
+        )
+    )
+    ranks = pagerank(edges, weight_col="w", damping=0.85, n_iter=5)
+    return ranks.select(
+        F.col("node").alias("item"), (F.col("rank") + F.lit(0.0)).alias("pr")
+    )
+
+
+def _pagerank_sql(n_iter: int) -> str:
+    """Unrolled PageRank iterations mirroring ``graphrank.pagerank``
+    term-for-term: same share normalization, same teleport arithmetic, same
+    biased-floor 1e-6 quantization per iteration."""
+    q = "FLOOR(({x}) * 1000000.0 + 0.5001) / 1000000.0"
+    sql = f"""WITH ev AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+),
+b0 AS (SELECT DISTINCT user_id, day, item FROM ev WHERE item IS NOT NULL),
+b AS (
+  SELECT user_id, day, item FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY user_id, day) AS bsz FROM b0
+  ) WHERE bsz <= 64
+),
+pairs AS (
+  SELECT l.item AS item_a, r.item AS item_b, COUNT(*) AS n_baskets
+  FROM b l JOIN b r ON l.user_id = r.user_id AND l.day = r.day
+  WHERE l.item < r.item
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT item_a AS src, item_b AS dst, CAST(n_baskets AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT item_b AS src, item_a AS dst, CAST(n_baskets AS DOUBLE) AS w FROM pairs
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+cnt AS (SELECT COUNT(*) AS c FROM nodes),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+ew AS (
+  SELECT e.src, e.dst, e.w / o.ow AS share FROM edges e JOIN outw o USING (src)
+),
+r0 AS (SELECT node, {q.format(x="1.0 / c")} AS rank FROM nodes, cnt)"""
+    for i in range(n_iter):
+        sql += f""",
+r{i + 1} AS (
+  SELECT n.node,
+         {q.format(x=f"(1.0 - 0.85) / cnt.c + 0.85 * COALESCE(s.m, 0.0)")} AS rank
+  FROM nodes n CROSS JOIN cnt
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank * e.share) AS m
+    FROM ew e JOIN r{i} r ON e.src = r.node
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+    sql += f"\nSELECT node AS item, rank + 0.0 AS pr FROM r{n_iter}"
+    return sql
+
+
+_SQL_PAGERANK = _pagerank_sql(5)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3870,6 +3995,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "sample_weighted": QueryDef(q_sample_weighted, _SQL_SAMPLE_WEIGHTED),
     "profile_customer": QueryDef(q_profile_customer, _SQL_PROFILE),
     "events_covisit": QueryDef(q_events_covisit, _SQL_COVISIT),
+    "acctbal_position": QueryDef(q_acctbal_position, _SQL_ACCTBAL_POSITION),
+    "item_pagerank": QueryDef(q_item_pagerank, _SQL_PAGERANK),
 }
 
 
