@@ -58,10 +58,17 @@ def pagerank(
     legal (their weights add). Ranks are 1e-6-grid quantized each iteration
     (see module docstring).
     """
-    e = edges.select(
-        F.col(src_col).alias("src"),
-        F.col(dst_col).alias("dst"),
-        (F.col(weight_col) if weight_col else F.lit(1.0)).cast("double").alias("w"),
+    # the edge list is the root of THREE derivations (node set, out-weights,
+    # normalized shares) and often arrives with an expensive lineage (e.g.
+    # the co-visitation pair join) — persist it once so nodes/out_w/ew share
+    # a single materialization instead of re-running the upstream DAG
+    e = persist(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            (F.col(weight_col) if weight_col else F.lit(1.0)).cast("double").alias("w"),
+        ),
+        scope,
     )
     nodes = persist(
         e.select(F.col("src").alias("node"))
