@@ -3907,6 +3907,50 @@ _SQL_PAGERANK = _pagerank_sql(5)
 
 
 # --------------------------------------------------------------------------
+# month-over-month revenue growth (calendar lag on aggregated series)
+# --------------------------------------------------------------------------
+
+def q_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month growth: one aggregation to
+    calendar months, then ``lag`` over the (bounded-by-calendar) month
+    series — the unpartitioned window runs AFTER reduction to ~one row per
+    month, so the single-partition sort is over decades of months, never
+    order rows. Growth is NULL for the first month and quantized to the
+    1e-6 grid in both engines (ratio of two rounded sums)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "ym",
+        "revenue",
+        "n_orders",
+        _r6((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+_SQL_REVENUE_MOM = """
+WITH m AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS ym,
+         ROUND(SUM(o_totalprice), 2) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT ym, revenue, n_orders,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY ym))
+             / LAG(revenue) OVER (ORDER BY ym), 6) + 0.0 AS mom_growth
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3997,6 +4041,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_covisit": QueryDef(q_events_covisit, _SQL_COVISIT),
     "acctbal_position": QueryDef(q_acctbal_position, _SQL_ACCTBAL_POSITION),
     "item_pagerank": QueryDef(q_item_pagerank, _SQL_PAGERANK),
+    "revenue_mom": QueryDef(q_revenue_mom, _SQL_REVENUE_MOM),
 }
 
 
