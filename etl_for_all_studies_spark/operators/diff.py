@@ -91,4 +91,60 @@ def snapshot_diff(
     return out
 
 
-__all__ = ["snapshot_diff"]
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Materialize the current state of a table from a base snapshot plus a
+    CDC changelog — the MERGE/upsert primitive for a parquet warehouse.
+
+    ``changes`` carries the base's value columns plus ``op_col``
+    (``'U'`` = upsert, ``'D'`` = delete) and ``seq_col`` (a monotonically
+    increasing change sequence — commit LSN, kafka offset, batch id).
+    Semantics: for every key, the highest-``seq`` change wins; a winning
+    upsert replaces the base row (or inserts), a winning delete removes the
+    key; keys untouched by the changelog pass through. Value columns on
+    delete rows are ignored. ``seq`` must be unique per key (the CDC-source
+    contract — LSNs/offsets are); ties would make the winner undefined.
+
+    Scale shape: the changelog is reduced FIRST — one ``max_by`` aggregation
+    per key (map-side combined, no per-key window sort over the raw
+    changelog) — and only then joined to the base with ONE full-outer join
+    on the keys. Base rows never shuffle more than once, and a
+    partition-pruned base (only the partitions a batch touches, like the
+    engine's fact append) keeps the join sides proportional to the batch,
+    not the warehouse.
+    """
+    value_cols = [c for c in base.columns if c not in keys]
+    missing = [c for c in value_cols + keys if c not in changes.columns]
+    if missing:
+        raise ValueError(f"apply_changelog: changes missing columns {missing}")
+
+    order = F.struct(F.col(seq_col).alias("s"))
+    latest = changes.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("__op"), *[F.col(c) for c in value_cols]),
+            order,
+        ).alias("__w")
+    ).select(*keys, "__w.*")
+
+    joined = base.alias("b").join(latest.alias("c"), keys, "full_outer")
+    kept = joined.where(
+        F.col("__op").isNull() | (F.col("__op") != "D")
+    )
+    return kept.select(
+        *keys,
+        *[
+            F.when(F.col("__op").isNotNull(), F.col(f"c.{c}"))
+            .otherwise(F.col(f"b.{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+
+
+__all__ = ["apply_changelog", "snapshot_diff"]

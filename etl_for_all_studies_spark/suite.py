@@ -3951,6 +3951,104 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# CDC changelog application (MERGE/upsert-delete against a snapshot)
+# --------------------------------------------------------------------------
+
+def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state materialization from base + changelog
+    (``operators/diff.py::apply_changelog``): a late upsert (seq 2) beats an
+    early one (seq 1) for conflicting keys, deletes remove keys, inserts
+    appear, untouched rows pass through. The changelog reduces to one
+    winner per key FIRST (map-side-combined ``max_by``), then ONE
+    full-outer join against the base — the raw changelog never windows."""
+    from .operators.diff import apply_changelog
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    k = F.col("o_orderkey")
+
+    def _chg(cond, price, prio, op, seq):
+        return base.where(cond).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            price.alias("o_totalprice"), prio.alias("o_orderpriority"),
+            F.lit(op).alias("op"), F.lit(seq).cast("long").alias("seq"),
+        )
+
+    changes = (
+        _chg(k % 10 == 3, F.col("o_totalprice") * 2, F.lit("X-EARLY"), "U", 1)
+        .unionByName(
+            _chg(k % 100 == 3, F.col("o_totalprice") * 1.05, F.lit("X-LATE"), "U", 2)
+        )
+        .unionByName(
+            _chg(k % 10 == 7, F.col("o_totalprice"), F.col("o_orderpriority"), "D", 1)
+        )
+        .unionByName(
+            base.where(k % 97 == 0).select(
+                (k + 5000000).alias("o_orderkey"), "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority",
+                F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+            )
+        )
+    )
+    out = apply_changelog(base, changes, ["o_orderkey"])
+    # *1.05 lands on exact half-cents where the engines' ROUND disagree —
+    # biased-floor grid (kmeans discipline) instead
+    price2 = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5001)) / 100.0
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (price2 + F.lit(0.0)).alias("totalprice"), "o_orderpriority",
+    )
+
+
+_SQL_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 2 AS o_totalprice, 'X-EARLY' AS o_orderpriority,
+         'U' AS op, 1 AS seq
+  FROM base WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 1.05, 'X-LATE', 'U', 2
+  FROM base WHERE o_orderkey % 100 = 3
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderpriority, 'D', 1
+  FROM base WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey + 5000000, o_custkey, o_orderstatus,
+         o_totalprice, o_orderpriority, 'U', 1
+  FROM base WHERE o_orderkey % 97 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         c.op,
+         CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+         CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN c.op IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+         CASE WHEN c.op IS NOT NULL THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+  FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       FLOOR(o_totalprice * 100.0 + 0.5001) / 100.0 + 0.0 AS totalprice,
+       o_orderpriority
+FROM merged
+WHERE op IS NULL OR op != 'D'
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4042,6 +4140,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "acctbal_position": QueryDef(q_acctbal_position, _SQL_ACCTBAL_POSITION),
     "item_pagerank": QueryDef(q_item_pagerank, _SQL_PAGERANK),
     "revenue_mom": QueryDef(q_revenue_mom, _SQL_REVENUE_MOM),
+    "orders_cdc_apply": QueryDef(q_orders_cdc_apply, _SQL_CDC_APPLY),
 }
 
 

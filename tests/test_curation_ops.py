@@ -509,3 +509,41 @@ def test_sample_weighted_replayable_and_biased(spark):
     ]
     assert got and min(got, key=lambda t: t[1])[0] == 100  # dominant first
     assert all(i not in {101, 102, 103} for i, _ in got)
+
+
+def test_apply_changelog_upsert_delete_insert_passthrough(spark):
+    """CDC merge semantics: highest-seq wins, deletes remove, inserts
+    appear, untouched rows pass through, upserted NULLs replace values."""
+    import pytest as _pytest
+
+    from etl_for_all_studies_spark.operators.diff import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, price double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 11.0, "U", 1),
+            (1, "a2", 12.0, "U", 2),      # later seq wins
+            (2, None, None, "D", 1),      # delete
+            (3, "c", None, "U", 5),       # upsert with NULL value replaces
+            (5, "e", 50.0, "U", 1),       # insert
+            (6, "f", 60.0, "U", 1),
+            (6, None, None, "D", 2),      # inserted then deleted → absent
+        ],
+        "id long, name string, price double, op string, seq long",
+    )
+    got = {
+        r["id"]: (r["name"], r["price"])
+        for r in apply_changelog(base, changes, ["id"]).collect()
+    }
+    assert got == {
+        1: ("a2", 12.0),
+        3: ("c", None),
+        4: ("d", 40.0),
+        5: ("e", 50.0),
+    }
+
+    with _pytest.raises(ValueError):
+        apply_changelog(base, changes.drop("price"), ["id"])
