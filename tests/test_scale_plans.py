@@ -122,3 +122,49 @@ def test_parquet_scans_push_filters_and_prune_columns(spark):
     rev_scans = scans(suite.q_regional_revenue(spark, sf))
     order_scans = [s for s in rev_scans if "orders.parquet" in s]
     assert any("PushedFilters" in s and "GreaterThanOrEqual(o_orderdate" in s for s in order_scans), order_scans
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """Runtime row-level filtering: a selective filter on the dim side of a
+    shuffle join must inject a bloom filter onto the fact scan (Catalyst's
+    InjectRuntimeFilter), so fact rows that cannot join are dropped at the
+    scan instead of riding the shuffle — the cluster-scale complement to
+    broadcast pruning when the filtered dim is still too big to broadcast.
+    Byte thresholds are scaled to fixture size (clusters tune the same
+    knobs); results must equal the uninjected join."""
+    fact = spark.range(0, 20_000).select(
+        (F.col("id") % 2_000).alias("fk"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 2_000).select(
+        F.col("id").alias("dk"), (F.col("id") % 97).alias("attr")
+    )
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).where(F.col("attr") == 3)
+
+    with _conf(
+        spark,
+        **{
+            "spark__sql__optimizer__runtime__bloomFilter__enabled": "true",
+            "spark__sql__optimizer__runtime__bloomFilter__creationSideThreshold": "10GB",
+            "spark__sql__optimizer__runtime__bloomFilter__applicationSideScanSizeThreshold": "0",
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__adaptive__autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        j = f.join(d, f.fk == d.dk).groupBy("attr").agg(F.count(F.lit(1)).alias("n"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        got = {(r["attr"], r["n"]) for r in j.collect()}
+
+    with _conf(
+        spark,
+        **{"spark__sql__optimizer__runtime__bloomFilter__enabled": "false"},
+    ):
+        plain = (
+            f.join(d, f.fk == d.dk)
+            .groupBy("attr").agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "bloom_filter_agg" not in plain._jdf.queryExecution().optimizedPlan().toString()
+        assert {(r["attr"], r["n"]) for r in plain.collect()} == got
