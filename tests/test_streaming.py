@@ -462,3 +462,66 @@ def test_stream_shard_and_canonical_annotation_matches_batch(spark, tmp_path):
         for r in annotate(spark.read.schema(schema).parquet(str(d))).collect()
     }
     assert got == want and len(got) == 8
+
+
+def test_stream_apply_changelog_versions_and_exactly_once(spark, tmp_path):
+    """CDC stream → versioned table snapshots: draining a changelog, adding
+    more changes, and draining again (restart) must produce the same state
+    as one batch apply of the full log — and the first batch must NOT be
+    re-applied (checkpointed source progress)."""
+    import json as _json
+
+    from etl_for_all_studies_spark.operators.diff import apply_changelog
+    from etl_for_all_studies_spark.streaming.cdc import (
+        read_table_state,
+        stream_apply_changelog,
+    )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, name string, price double, op string, seq long"
+
+    def shard(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps(dict(zip(["id", "name", "price", "op", "seq"], r)))
+                for r in rows
+            )
+        )
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).json(str(src))
+
+    batch1 = [(1, "a", 10.0, "U", 1), (2, "b", 20.0, "U", 2), (3, "c", 30.0, "U", 3)]
+    shard("c1.jsonl", batch1)
+    stream_apply_changelog(stream(), table, ckpt, keys=["id"])
+    s1 = {r["id"]: (r["name"], r["price"])
+          for r in read_table_state(spark, table).collect()}
+    assert s1 == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+    # restart with new changes: update 1, delete 2, insert 4
+    batch2 = [(1, "a2", 11.0, "U", 4), (2, None, None, "D", 5), (4, "d", 40.0, "U", 6)]
+    shard("c2.jsonl", batch2)
+    stream_apply_changelog(stream(), table, ckpt, keys=["id"])
+    s2 = {r["id"]: (r["name"], r["price"])
+          for r in read_table_state(spark, table).collect()}
+    assert s2 == {1: ("a2", 11.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # parity with ONE batch apply of the concatenated log
+    all_changes = spark.createDataFrame(batch1 + batch2, schema)
+    base = all_changes.select("id", "name", "price").limit(0)
+    twin = {r["id"]: (r["name"], r["price"])
+            for r in apply_changelog(base, all_changes, ["id"]).collect()}
+    assert twin == s2
+
+    # replay algebra: re-merging an applied batch is a no-op
+    replay = apply_changelog(
+        read_table_state(spark, table),
+        spark.createDataFrame(batch2, schema),
+        ["id"],
+    )
+    assert {r["id"]: (r["name"], r["price"]) for r in replay.collect()} == s2
