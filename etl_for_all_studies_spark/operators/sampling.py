@@ -205,9 +205,45 @@ def sample_weighted_per_group(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    *,
+    key_col: str,
+    fractions: dict[str, float],
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) disjoint splits.
+
+    Every row gets a ``split`` label by carving the portable-hash bucket
+    space [0, denom) into contiguous ranges proportional to ``fractions``
+    (which must sum to ≤ 1; any remainder is labeled NULL — an explicit
+    "held out of all splits" band). The assignment is a pure function of
+    the key: retries, re-runs, appends, and other engines (the DuckDB
+    oracle, a pure-Python audit) place the same row in the same split
+    forever — the property that keeps eval sets uncontaminated as the
+    corpus grows. A narrow projection; no shuffle.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = sample_bucket(F.col(key_col), denom)
+    expr = F.lit(None).cast("string")
+    upper = 0
+    # build the CASE from the top down so the first band wins at boundaries
+    bands = []
+    for name, frac in fractions.items():
+        lower = upper
+        upper = lower + int(round(frac * denom))
+        bands.append((name, lower, upper))
+    for name, lower, up in reversed(bands):
+        expr = F.when((bucket >= lower) & (bucket < up), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 __all__ = [
     "SALT_A",
     "SALT_B",
+    "assign_splits",
     "es_key",
     "hash_sample",
     "mix_to_budget",

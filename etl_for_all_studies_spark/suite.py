@@ -4049,6 +4049,41 @@ WHERE op IS NULL OR op != 'D'
 
 
 # --------------------------------------------------------------------------
+# deterministic train/val/test splits
+# --------------------------------------------------------------------------
+
+def q_corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint 90/5/5 train/val/test assignment by portable-hash band
+    (``operators/sampling.py::assign_splits``) — a pure per-row projection
+    whose placement is reproducible across engines and corpus growth (the
+    property that keeps eval sets stable). Output is per-doc so the oracle
+    pins every single placement, not just the counts."""
+    from .operators.sampling import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_splits(
+        docs, key_col="doc_id",
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return out.select("doc_id", "source", "split")
+
+
+_SQL_SPLITS = f"""
+WITH b AS (
+  SELECT doc_id, source,
+    (({_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}) * 7919 + 104729)
+      % 1000000007 % 1000000 AS h
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN h < 900000 THEN 'train'
+            WHEN h < 950000 THEN 'val'
+            WHEN h < 1000000 THEN 'test' END AS split
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4141,6 +4176,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "item_pagerank": QueryDef(q_item_pagerank, _SQL_PAGERANK),
     "revenue_mom": QueryDef(q_revenue_mom, _SQL_REVENUE_MOM),
     "orders_cdc_apply": QueryDef(q_orders_cdc_apply, _SQL_CDC_APPLY),
+    "corpus_splits": QueryDef(q_corpus_splits, _SQL_SPLITS),
 }
 
 

@@ -547,3 +547,40 @@ def test_apply_changelog_upsert_delete_insert_passthrough(spark):
 
     with _pytest.raises(ValueError):
         apply_changelog(base, changes.drop("price"), ["id"])
+
+
+def test_assign_splits_disjoint_stable_and_banded(spark):
+    """Splits are a pure function of the key (append-stable), bands are
+    disjoint and exhaustive at sum=1, remainder band labels NULL, and
+    invalid fractions raise."""
+    import pytest as _pytest
+
+    from etl_for_all_studies_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = assign_splits(
+        df, key_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    counts = {}
+    for v in got.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "val", "test"}  # no NULLs at sum=1
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05  # hash-uniformity sanity
+
+    # append stability: a subset re-run assigns identically
+    sub = assign_splits(
+        df.where("doc_id < 500"), key_col="doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    assert all(got[r["doc_id"]] == r["split"] for r in sub.collect())
+
+    # holdout remainder: fractions sum < 1 → NULL band appears
+    part = assign_splits(df, key_col="doc_id", fractions={"train": 0.5})
+    labels = {r["split"] for r in part.collect()}
+    assert labels == {"train", None}
+
+    with _pytest.raises(ValueError):
+        assign_splits(df, key_col="doc_id", fractions={"a": 0.9, "b": 0.2})
