@@ -98,3 +98,37 @@ def test_partitioned_table_prunes_partitions(spark, pq_corpus):
         assert rows and all(r["source"] == "src1" for r in rows)
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_part")
+
+
+def test_corpus_schema_evolution_reads(spark, tmp_path):
+    """Corpus directories evolve: early shards predate columns, late shards
+    add extras. The canonical read (explicit schema) must project both shard
+    generations onto the contract — absent columns as NULL, extras ignored —
+    and a mergeSchema read must surface the union for audits."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.sources.corpus import read_documents
+
+    d = str(tmp_path / "corpus")
+    # generation 1: no lang column yet
+    spark.createDataFrame(
+        [(1, "alpha text", "s1", 10)],
+        "doc_id long, text string, source string, n_chars long",
+    ).write.parquet(d + "/gen=1")
+    # generation 2: adds a quality column beyond the contract
+    spark.createDataFrame(
+        [(2, "beta text", "en", "s2", 9, 0.8)],
+        "doc_id long, text string, lang string, source string, n_chars long,"
+        " quality double",
+    ).write.parquet(d + "/gen=2")
+
+    docs = read_documents(spark, d + "/*")
+    rows = {r["doc_id"]: r.asDict() for r in docs.collect()}
+    assert set(docs.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert rows[1]["lang"] is None and rows[1]["source"] == "s1"
+    assert rows[2]["lang"] == "en"
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d + "/*")
+    assert "quality" in merged.columns
+    audit = {r["doc_id"]: r["quality"] for r in merged.select("doc_id", "quality").collect()}
+    assert audit == {1: None, 2: 0.8}
