@@ -4084,6 +4084,52 @@ FROM b
 
 
 # --------------------------------------------------------------------------
+# per-dimension embedding standardization (feature scaling)
+# --------------------------------------------------------------------------
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dim z-scores for the first 50 vectors: stats are ONE
+    dim-bounded posexplode aggregation (same driver contract as k-means
+    centroids), the scaling a shuffle-free indexed-``transform`` projection
+    (``operators/scaling.py``). Long output so the oracle pins every
+    element; 1e-6 rounding absorbs engine aggregation-order noise in
+    μ/σ."""
+    from .operators.scaling import standardize_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    z = standardize_vectors(emb)
+    return (
+        z.where(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode("z").alias("dim", "zval"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            # biased-floor grid, not ROUND: z values land on half-boundaries
+            # where 1e-12 aggregation-order noise in mu/sigma flips ROUND
+            ((F.floor(F.col("zval") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+             + F.lit(0.0)).alias("zval"),
+        )
+    )
+
+
+_SQL_STANDARDIZE = """
+WITH dims AS (SELECT CAST(i AS BIGINT) AS i FROM range(1, 65) t(i)),
+vals AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, dims
+),
+stats AS (
+  SELECT i, AVG(v) AS mu, STDDEV_POP(v) AS sigma FROM vals GROUP BY i
+)
+SELECT v.vec_id, v.i - 1 AS dim,
+       FLOOR((v.v - s.mu) / NULLIF(s.sigma, 0.0) * 1000000.0 + 0.5001)
+         / 1000000.0 + 0.0 AS zval
+FROM vals v JOIN stats s USING (i)
+WHERE v.vec_id < 50
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4177,6 +4223,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "revenue_mom": QueryDef(q_revenue_mom, _SQL_REVENUE_MOM),
     "orders_cdc_apply": QueryDef(q_orders_cdc_apply, _SQL_CDC_APPLY),
     "corpus_splits": QueryDef(q_corpus_splits, _SQL_SPLITS),
+    "embedding_standardize": QueryDef(q_embedding_standardize, _SQL_STANDARDIZE),
 }
 
 

@@ -576,3 +576,34 @@ def test_curate_embeddings_composition(spark):
         assert row["cluster_size"] == 10
     for vid, row in clusters.items():
         assert row["is_keeper"] == (1 if vid in keepers else 0)
+
+
+def test_standardize_vectors_stats_and_frozen_serving(spark):
+    """Standardization: per-dim z-scores have mean~0/std~1, zero-variance
+    dims surface as NULL, and a new batch standardized against FROZEN stats
+    uses the training distribution, not its own."""
+    import math
+
+    from etl_for_all_studies_spark.operators.scaling import (
+        dimension_stats,
+        standardize_vectors,
+    )
+
+    rows = [(i, [float(i), 5.0, 10.0 * i]) for i in range(10)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = dimension_stats(vecs)
+    assert stats[0][0] == 4.5 and abs(stats[0][1] - math.sqrt(8.25)) < 1e-12
+    assert stats[1] == (5.0, 0.0)  # constant dim
+
+    z = {r["vec_id"]: r["z"] for r in standardize_vectors(vecs).collect()}
+    col0 = [z[i][0] for i in range(10)]
+    assert abs(sum(col0)) < 1e-9
+    assert all(z[i][1] is None for i in range(10))  # dead dim → NULL
+    # dims 0 and 2 are perfectly correlated → identical z
+    assert all(abs(z[i][0] - z[i][2]) < 1e-9 for i in range(10))
+
+    new_batch = spark.createDataFrame(
+        [(100, [4.5, 5.0, 45.0])], "vec_id long, embedding array<double>"
+    )
+    served = standardize_vectors(new_batch, stats=stats).collect()[0]["z"]
+    assert served[0] == 0.0 and served[2] == 0.0  # frozen mean maps to 0
