@@ -212,3 +212,30 @@ def test_sorted_layout_enables_row_group_skipping(spark, tmp_path):
     scanned_clustered = rows_scanned(clustered)
     assert scanned_scattered >= 1_000_000  # stats prune nothing
     assert scanned_clustered * 10 <= scanned_scattered  # row groups skipped
+
+
+def test_suite_plans_free_of_cartesian_and_row_python_udfs(spark):
+    """Anti-pattern lint over EVERY registered suite query's physical plan:
+
+    * no ``CartesianProduct`` — a non-broadcast cross join is the one plan
+      shape that cannot survive a scale-up (BroadcastNestedLoopJoin with a
+      bounded broadcast side is legitimate and allowed);
+    * no ``BatchEvalPython`` — row-at-a-time Python UDFs in any query
+      (Arrow-vectorized ``mapInPandas``/``ArrowEvalPython`` are the
+      sanctioned Python escape hatch and remain allowed).
+
+    Planning only (no execution), so this lints all queries cheaply and
+    future queries are linted automatically on registration."""
+    from etl_for_all_studies_spark import suite
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, qd in suite.QUERY_REGISTRY.items():
+        plan = qd.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            pat for pat in ("CartesianProduct", "BatchEvalPython")
+            if pat in plan
+        ]
+        if hits:
+            offenders[name] = hits
+    assert offenders == {}, f"scale anti-patterns in plans: {offenders}"
