@@ -303,6 +303,76 @@ def embedding_near_duplicates_ivf(
     )
 
 
+def embedding_near_duplicates_ivf_incremental(
+    new_vectors: DataFrame,
+    seen_vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Near-dup pairs touching a NEW batch only: (new×seen) ∪ (new×new) —
+    ``seen×seen`` is never recomputed. The embedding twin of
+    ``dedup.incremental_minhash_dedup`` and the per-crawl-batch shape for
+    semantic dedup at 100 TB: existing keepers are fixed, so only pairs
+    involving new vectors can change the kept set, and the seen side's cell
+    assignments are precomputed/stored in production (recomputed here from
+    the same frozen centroids — bit-identical either way).
+
+    Candidate cost: cell equi-joins proportional to the NEW batch's cell
+    collisions — new×seen is Σ_cell |new_cell|·|seen_cell| and new×new is
+    Σ_cell |new_cell|², both independent of |seen|². Verification is one
+    dot product per candidate over the persisted unit vectors.
+
+    Vector ids must be disjoint across the two inputs (warehouse contract).
+    Output: (doc_a, doc_b, vs_seen, cos_sim) with doc_a < doc_b; ``vs_seen``
+    = 1 iff one side is a seen vector.
+    """
+    ucent = _unit_centroids(centroids, vec_col)
+    un = persist(unit_vectors(new_vectors, id_col=id_col, vec_col=vec_col), scope)
+    us = persist(unit_vectors(seen_vectors, id_col=id_col, vec_col=vec_col), scope)
+    cn = _assign_cells_from_units(un, ucent, n_probes=n_probes)
+    cs = _assign_cells_from_units(us, ucent, n_probes=n_probes)
+
+    na = cn.select(F.col("vid").alias("id_n"), "cell")
+    sa = cs.select(F.col("vid").alias("id_s"), "cell")
+    new_seen = (
+        na.join(sa, on="cell")
+        .select(
+            F.least("id_n", "id_s").alias("doc_a"),
+            F.greatest("id_n", "id_s").alias("doc_b"),
+            F.lit(1).alias("vs_seen"),
+        )
+    )
+    nb = cn.select(F.col("vid").alias("id_b"), "cell")
+    new_new = (
+        na.join(nb, on="cell")
+        .where(F.col("id_n") < F.col("id_b"))
+        .select(
+            F.col("id_n").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.lit(0).alias("vs_seen"),
+        )
+    )
+    candidates = new_seen.unionByName(new_new).dropDuplicates(["doc_a", "doc_b"])
+
+    alls = un.unionByName(us)
+    va = alls.select(F.col("vid").alias("doc_a"), F.col("uv").alias("va"))
+    vb = alls.select(F.col("vid").alias("doc_b"), F.col("uv").alias("vb"))
+    return (
+        candidates.join(va, on="doc_a")
+        .join(vb, on="doc_b")
+        .select(
+            "doc_a", "doc_b", "vs_seen",
+            dot(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def _sq_dist(a: Column, b: Column) -> Column:
     """Σ (aᵢ−bᵢ)² — sequential left-to-right fold, same evaluation order as
     the oracle's ``list_reduce``, so distances from identical inputs are
@@ -420,6 +490,7 @@ __all__ = [
     "embedding_near_dup_candidates",
     "embedding_near_duplicates",
     "embedding_near_duplicates_ivf",
+    "embedding_near_duplicates_ivf_incremental",
     "ivf_topk",
     "kmeans_fit",
     "kmeans_predict",

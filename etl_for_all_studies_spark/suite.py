@@ -4130,6 +4130,57 @@ WHERE v.vec_id < 50
 
 
 # --------------------------------------------------------------------------
+# incremental embedding near-dup (new batch vs seen corpus, IVF-bucketed)
+# --------------------------------------------------------------------------
+
+def q_dedup_embedding_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-crawl-batch semantic dedup: every 5th vector is the NEW batch,
+    the rest the stored corpus; candidates are (new×seen) ∪ (new×new) cell
+    joins — seen×seen never recomputed
+    (``similarity.embedding_near_duplicates_ivf_incremental``). Same frozen
+    centroids and 0.35/2-probe settings as ``dedup_embedding_ivf`` so the
+    two oracles share the cell CTEs."""
+    from .operators.similarity import embedding_near_duplicates_ivf_incremental
+
+    emb = _t(spark, sf_dir, "embeddings")
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    seen = emb.where(F.col("vec_id") % 5 != 0)
+    centroids = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cell"), F.col("embedding")
+    )
+    out = embedding_near_duplicates_ivf_incremental(
+        new, seen, centroids, threshold=0.35, n_probes=2
+    )
+    return out.select(
+        "doc_a", "doc_b", "vs_seen",
+        (F.round("cos_sim", 6) + F.lit(0.0)).alias("cos_sim"),
+    )
+
+
+_SQL_DEDUP_EMBED_INCR = f"""
+WITH {_EMBED_IVF_CTES},
+cand_incr AS (
+  SELECT DISTINCT LEAST(n.vid, s.vid) AS doc_a, GREATEST(n.vid, s.vid) AS doc_b,
+         1 AS vs_seen
+  FROM cells n JOIN cells s ON n.cell = s.cell
+  WHERE n.vid % 5 = 0 AND s.vid % 5 != 0
+  UNION
+  SELECT DISTINCT a.vid AS doc_a, b.vid AS doc_b, 0 AS vs_seen
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vid < b.vid
+  WHERE a.vid % 5 = 0 AND b.vid % 5 = 0
+),
+scored_incr AS (
+  SELECT doc_a, doc_b, vs_seen, {_SQL_DOT.format(a="ua.uv", b="ub.uv")} AS cos_sim
+  FROM cand_incr
+  JOIN unit ua ON ua.vec_id = cand_incr.doc_a
+  JOIN unit ub ON ub.vec_id = cand_incr.doc_b
+)
+SELECT doc_a, doc_b, vs_seen, ROUND(cos_sim, 6) + 0.0 AS cos_sim
+FROM scored_incr WHERE cos_sim >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4224,6 +4275,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "orders_cdc_apply": QueryDef(q_orders_cdc_apply, _SQL_CDC_APPLY),
     "corpus_splits": QueryDef(q_corpus_splits, _SQL_SPLITS),
     "embedding_standardize": QueryDef(q_embedding_standardize, _SQL_STANDARDIZE),
+    "dedup_embedding_incr": QueryDef(q_dedup_embedding_incr, _SQL_DEDUP_EMBED_INCR),
 }
 
 

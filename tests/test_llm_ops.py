@@ -607,3 +607,41 @@ def test_standardize_vectors_stats_and_frozen_serving(spark):
     )
     served = standardize_vectors(new_batch, stats=stats).collect()[0]["z"]
     assert served[0] == 0.0 and served[2] == 0.0  # frozen mean maps to 0
+
+
+def test_incremental_embedding_ivf_matches_full_run_on_new_pairs(spark):
+    """The incremental form must equal the full IVF run filtered to pairs
+    touching the new batch — and contain no seen×seen pair (the cost claim
+    is that those are never even candidates)."""
+    from etl_for_all_studies_spark.operators.similarity import (
+        embedding_near_duplicates_ivf,
+        embedding_near_duplicates_ivf_incremental,
+    )
+
+    vecs = _clustered_vectors(spark)
+    centroids = vecs.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") / 25).cast("long").alias("cell"), "embedding"
+    )
+    new = vecs.where(F.col("vec_id") % 4 == 0)
+    seen = vecs.where(F.col("vec_id") % 4 != 0)
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates_ivf(
+            vecs, centroids, threshold=0.95, n_probes=2
+        ).collect()
+    }
+    expected = {
+        pair: sim for pair, sim in full.items()
+        if pair[0] % 4 == 0 or pair[1] % 4 == 0
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cos_sim"], r["vs_seen"])
+        for r in embedding_near_duplicates_ivf_incremental(
+            new, seen, centroids, threshold=0.95, n_probes=2
+        ).collect()
+    }
+    assert {p: s for p, (s, _) in got.items()} == expected
+    for (a, b), (_, vs) in got.items():
+        assert vs == (0 if (a % 4 == 0 and b % 4 == 0) else 1)
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in got)  # no seen×seen
