@@ -645,3 +645,51 @@ def test_incremental_embedding_ivf_matches_full_run_on_new_pairs(spark):
     for (a, b), (_, vs) in got.items():
         assert vs == (0 if (a % 4 == 0 and b % 4 == 0) else 1)
     assert all(a % 4 == 0 or b % 4 == 0 for a, b in got)  # no seen×seen
+
+
+def test_hll_sketches_merge_and_accuracy(spark):
+    """Mergeable distinct sketches: (a) union-of-batch-sketches estimates
+    the same set as one global sketch (bit-for-bit equal estimates — merge
+    is lossless over the same lgK); (b) estimates sit within the published
+    ~2% envelope of exact; (c) rollup happens over stored sketches without
+    touching raw rows."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.sketches import (
+        estimate,
+        merge_sketches,
+        sketch_distinct,
+    )
+
+    df = spark.range(0, 60_000).select(
+        (F.col("id") % 20_000).alias("user"),
+        (F.col("id") % 4).alias("batch"),
+        ((F.col("id") % 8) < 4).cast("string").alias("half"),
+    )
+    per_batch = sketch_distinct(
+        df, group_cols=["half", "batch"], value_col="user"
+    )
+    assert per_batch.count() == 8
+
+    rolled = merge_sketches(per_batch, group_cols=["half"])
+    got = {
+        r["half"]: r["est"]
+        for r in rolled.select("half", estimate(F.col("sketch")).alias("est")).collect()
+    }
+    exact = {
+        r["half"]: r["n"]
+        for r in df.groupBy("half")
+        .agg(F.count_distinct("user").alias("n"))
+        .collect()
+    }
+    for h, est_val in got.items():
+        assert abs(est_val - exact[h]) / exact[h] < 0.02, (h, est_val, exact[h])
+
+    # merge losslessness: rollup estimate == single global sketch estimate
+    direct = {
+        r["half"]: r["est"]
+        for r in sketch_distinct(df, group_cols=["half"], value_col="user")
+        .select("half", estimate(F.col("sketch")).alias("est"))
+        .collect()
+    }
+    assert got == direct
