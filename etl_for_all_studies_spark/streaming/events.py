@@ -271,6 +271,54 @@ def attribute_clicks(
     )
 
 
+def attribute_clicks_with_orphans(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Left-outer stream-stream join: every click is attributed to its
+    preceding views like :func:`attribute_clicks`, AND clicks with NO
+    qualifying view are still emitted (NULL view columns) — the "orphan
+    conversions" a funnel audit needs.
+
+    The outer semantics are what makes the watermark *required*, not just a
+    state bound: an unmatched click can only be declared unmatched once the
+    watermark guarantees no qualifying view can still arrive, so orphan rows
+    are emitted with watermark latency (not immediately), matched rows as
+    soon as both sides meet. State stays bounded exactly as in the inner
+    form; correctness-vs-latency is the documented streaming trade.
+
+    Output schema matches :func:`attribute_clicks` with ``view_ts_us`` /
+    ``view_value`` nullable; ``matched`` flags the orphans.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        "event_id", "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = c.join(
+        v,
+        F.expr(
+            f"user_id = v_user AND v_ts <= c_ts "
+            f"AND v_ts >= c_ts - INTERVAL {attribution_window}"
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.unix_micros("c_ts").alias("click_ts_us"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        "view_value",
+        F.col("v_ts").isNotNull().cast("long").alias("matched"),
+    )
+
+
 __all__ = [
     "EVENT_SCHEMA",
     "SESSION_GAP_US",

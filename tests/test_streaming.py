@@ -525,3 +525,59 @@ def test_stream_apply_changelog_versions_and_exactly_once(spark, tmp_path):
         ["id"],
     )
     assert {r["id"]: (r["name"], r["price"]) for r in replay.collect()} == s2
+
+
+def test_stream_left_outer_attribution_emits_orphans_after_watermark(spark, tmp_path):
+    """Left-outer watermarked interval join: matched clicks attribute like
+    the inner form; an unmatched click is emitted with NULL view columns —
+    but only once the watermark proves no qualifying view can still arrive
+    (advanced here by later files; one micro-batch per file)."""
+    from etl_for_all_studies_spark.streaming.events import (
+        attribute_clicks_with_orphans,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    d = tmp_path / "attr_outer"
+    d.mkdir()
+    # user 1: view then click (matched); user 2: click with no view (orphan)
+    _write_events(
+        d / "f1.parquet",
+        [(0, 1, "view", 1.5), (600, 1, "click", 0.0), (100, 2, "click", 0.0)],
+    )
+    # watermark advancers at 5h and 10h — on BOTH streams: the global
+    # watermark is the MIN across the join's inputs, so a view-only advancer
+    # would leave the click side (and thus the join state) pinned at t~0.
+    # The orphan can only be finalized in a batch whose STARTING watermark
+    # has passed it, hence two advancing batches. Each advancer pair
+    # matches itself (same user, same instant).
+    _write_events(
+        d / "f2.parquet",
+        [(18_000, 9, "view", 0.0), (18_000, 9, "click", 0.0)], start_id=10,
+    )
+    _write_events(
+        d / "f3.parquet",
+        [(36_000, 9, "view", 0.0), (36_000, 9, "click", 0.0)], start_id=12,
+    )
+
+    stream = read_events_stream(spark, str(d))
+    views = stream.where(stream.event_type == "view")
+    clicks = stream.where(stream.event_type == "click")
+    run_to_memory_sink(
+        attribute_clicks_with_orphans(views, clicks, attribution_window="30 minutes"),
+        "attr_outer",
+    )
+    rows = {
+        r["click_event_id"]: r.asDict()
+        for r in spark.sql("SELECT * FROM attr_outer").collect()
+    }
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+    assert rows[1]["matched"] == 1 and rows[1]["view_ts_us"] == base_us
+    assert rows[1]["view_value"] == 1.5
+    assert rows[2]["matched"] == 0
+    assert rows[2]["view_ts_us"] is None and rows[2]["view_value"] is None
+    # advancer clicks matched their simultaneous views — MATCHED pairs emit
+    # in the batch where both sides meet (no watermark wait); only orphan
+    # finalization waits for the watermark
+    assert rows[11]["matched"] == 1 and rows[13]["matched"] == 1
+    assert set(rows) == {1, 2, 11, 13}
