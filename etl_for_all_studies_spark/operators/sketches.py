@@ -61,4 +61,75 @@ def estimate(sketch: Column) -> Column:
     return F.hll_sketch_estimate(sketch)
 
 
-__all__ = ["DEFAULT_LGK", "estimate", "merge_sketches", "sketch_distinct"]
+def theta_distinct(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    sketch_col: str = "theta",
+) -> DataFrame:
+    """One Theta sketch per group — like HLL, but supporting SET ALGEBRA:
+    stored Theta sketches intersect/difference as well as union, so
+    "users active in BOTH periods" (retention) or "docs in A but not B"
+    come from sketch math over stored aggregates — questions HLL cannot
+    answer and exact distinct cannot answer without re-scanning history."""
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(F.col(value_col)).alias(sketch_col)
+    )
+
+
+def theta_overlap(a: Column, b: Column) -> Column:
+    """Estimated |A ∩ B| from two Theta sketch columns."""
+    return F.theta_sketch_estimate(F.theta_intersection(a, b))
+
+
+def theta_only_in_first(a: Column, b: Column) -> Column:
+    """Estimated |A \\ B| from two Theta sketch columns."""
+    return F.theta_sketch_estimate(F.theta_difference(a, b))
+
+
+def quantile_sketch(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """One KLL quantile sketch (double) per group — the mergeable analog of
+    ``percentile``: per-batch sketches land in the warehouse, any later
+    rollup merges them and reads arbitrary quantiles without re-scanning
+    raw values. Bounded size regardless of row count."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col)).alias(sketch_col)
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    *,
+    group_cols: list[str],
+    sketch_col: str = "kll",
+) -> DataFrame:
+    """Roll stored KLL sketches up to coarser groups."""
+    return sketches.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double(F.col(sketch_col)).alias(sketch_col)
+    )
+
+
+def quantile_estimate(sketch: Column, q: float) -> Column:
+    """Approximate q-quantile from a KLL sketch column."""
+    return F.kll_sketch_get_quantile_double(sketch, F.lit(q))
+
+
+__all__ = [
+    "DEFAULT_LGK",
+    "estimate",
+    "merge_quantile_sketches",
+    "merge_sketches",
+    "quantile_estimate",
+    "quantile_sketch",
+    "sketch_distinct",
+    "theta_distinct",
+    "theta_only_in_first",
+    "theta_overlap",
+]

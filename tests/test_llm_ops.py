@@ -693,3 +693,69 @@ def test_hll_sketches_merge_and_accuracy(spark):
         .collect()
     }
     assert got == direct
+
+
+def test_theta_sketch_set_algebra_retention(spark):
+    """Theta sketches answer what HLL can't: |A∩B| and |A\\B| from STORED
+    per-period sketches. Planted overlap: period A users 0..999, period B
+    users 500..1499 → overlap 500, A-only 500 (within sketch error)."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.sketches import (
+        theta_distinct,
+        theta_only_in_first,
+        theta_overlap,
+    )
+
+    rows = [(u, "A") for u in range(1000)] + [(u, "B") for u in range(500, 1500)]
+    df = spark.createDataFrame(rows, "user long, period string")
+    sk = theta_distinct(df, group_cols=["period"], value_col="user")
+    wide = (
+        sk.where("period = 'A'").select(F.col("theta").alias("ta"))
+        .crossJoin(sk.where("period = 'B'").select(F.col("theta").alias("tb")))
+    )
+    got = wide.select(
+        theta_overlap(F.col("ta"), F.col("tb")).alias("both"),
+        theta_only_in_first(F.col("ta"), F.col("tb")).alias("only_a"),
+    ).collect()[0]
+    assert abs(got["both"] - 500) / 500 < 0.05
+    assert abs(got["only_a"] - 500) / 500 < 0.05
+
+
+def test_kll_quantile_sketches_merge_and_match_exact(spark):
+    """KLL quantile sketches: per-batch sketches merged per group read
+    quantiles close to the exact percentile; merge happens over stored
+    sketches (no raw re-scan)."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.sketches import (
+        merge_quantile_sketches,
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 10).alias("batch"),
+        (F.col("id") % 2).alias("grp"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    per_batch = quantile_sketch(df, group_cols=["grp", "batch"], value_col="v")
+    rolled = merge_quantile_sketches(per_batch, group_cols=["grp"])
+    got = {
+        r["grp"]: (r["p50"], r["p99"])
+        for r in rolled.select(
+            "grp",
+            quantile_estimate(F.col("kll"), 0.5).alias("p50"),
+            quantile_estimate(F.col("kll"), 0.99).alias("p99"),
+        ).collect()
+    }
+    exact = {
+        r["grp"]: (r["p50"], r["p99"])
+        for r in df.groupBy("grp").agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+        ).collect()
+    }
+    for g in (0, 1):
+        assert abs(got[g][0] - exact[g][0]) <= 20   # ~2% of the 0..999 range
+        assert abs(got[g][1] - exact[g][1]) <= 20
