@@ -132,3 +132,33 @@ def test_corpus_schema_evolution_reads(spark, tmp_path):
     assert "quality" in merged.columns
     audit = {r["doc_id"]: r["quality"] for r in merged.select("doc_id", "quality").collect()}
     assert audit == {1: None, 2: 0.8}
+
+
+def test_corpus_jsonl_malformed_rows_surface_as_nulls_not_failures(spark, tmp_path):
+    """Crawl-scale JSONL always contains garbage lines; ingestion must not
+    abort. With the explicit contract schema, Spark's PERMISSIVE mode maps
+    unparseable lines to all-NULL rows (droppable by a doc_id filter) and
+    type-mismatched fields to NULL — a 100 TB ingest survives its corrupt
+    shards and the loss is auditable, not silent."""
+    from etl_for_all_studies_spark.sources.corpus import read_documents
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "good", "lang": "en", "source": "s", "n_chars": 4}',
+                "this is not json at all {{{",
+                '{"doc_id": "not-a-number", "text": "typed wrong", "lang": "en", "source": "s", "n_chars": 11}',
+                '{"doc_id": 2, "text": "also good", "lang": "de", "source": "s", "n_chars": 9}',
+            ]
+        )
+    )
+    docs = read_documents(spark, str(p), fmt="jsonl")
+    rows = docs.collect()
+    assert len(rows) == 4  # nothing aborted
+    good = {r["doc_id"]: r["text"] for r in rows if r["doc_id"] is not None}
+    assert good == {1: "good", 2: "also good"}
+    bad = [r for r in rows if r["doc_id"] is None]
+    assert len(bad) == 2  # garbage line + type-mismatched id, both auditable
+    kept = docs.where("doc_id IS NOT NULL")
+    assert kept.count() == 2
