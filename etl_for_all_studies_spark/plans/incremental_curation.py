@@ -1,0 +1,130 @@
+"""Incremental corpus curation: fold ONE new crawl batch into a curated
+corpus without re-curating history.
+
+``plans/curation.py`` curates a corpus from scratch; at 100 TB that is a
+one-time event. Steady state is a stream of crawl batches against a stored
+kept corpus, and the scale contract is that per-batch cost depends on the
+BATCH, never on |history|²:
+
+1. **quality filter** the new batch (linear, batch-only);
+2. **decontaminate** the new batch against the eval set (broadcast probe,
+   batch-only);
+3. **incremental near-dup**: ``incremental_minhash_dedup`` — candidates are
+   (new×seen) ∪ (new×new) band joins; seen×seen is never recomputed (in
+   production the seen-side signatures/bands are precomputed and stored);
+4. **stability-first election**: any new doc near-duplicating a SEEN doc is
+   dropped — the stored corpus never churns (retraining sees a stable
+   history; the keep-best election already happened when the seen doc was
+   admitted). New docs near-duplicating only each other cluster among
+   themselves (connected components over new×new edges) and elect the
+   min-id keeper, exactly like the batch plan's default policy;
+5. the admitted batch is returned for appending — composing with
+   ``streaming/corpus.py`` ingestion and ``operators/diff.py`` audits.
+
+Determinism: every stage is hash- or policy-ordered, so re-running a batch
+admits the identical set (idempotent append when combined with the
+warehouse's digest anti-join, O-16).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..caching import CacheScope
+from ..operators.contamination import decontaminate
+from ..operators.dedup import incremental_minhash_dedup
+from ..operators.dedup_graph import connected_components
+from ..operators.quality import QualityRules, annotate_quality
+
+
+@dataclasses.dataclass
+class IncrementalCurationResult:
+    """Audit surface of one batch fold (lazy DataFrames).
+
+    ``admitted`` is the sub-batch to append to the kept corpus; every other
+    field explains a drop: failed quality, contaminated, duplicated a seen
+    doc, or lost a new×new cluster election.
+    """
+
+    admitted: DataFrame
+    quality: DataFrame                # doc_id + rule flags + keep
+    contaminated: DataFrame | None    # doc_id hits (None if no eval set)
+    vs_seen_pairs: DataFrame          # (doc_a, doc_b, vs_seen, ...) evidence
+    dropped_vs_seen: DataFrame        # new doc_ids dropped for seen dups
+    new_clusters: DataFrame           # (doc_id, cluster_id) among new docs
+
+
+def curate_batch(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    *,
+    rules: QualityRules | None = None,
+    eval_docs: DataFrame | None = None,
+    minhash_bands: int = 2,
+    verify_threshold: float = 0.5,
+    scope: CacheScope | None = None,
+) -> IncrementalCurationResult:
+    """Fold ``new_docs`` into the corpus whose kept set is ``seen_docs``.
+
+    Doc ids must be disjoint across the two inputs (warehouse contract).
+    """
+    quality = annotate_quality(new_docs, rules=rules)
+    passed = quality.where(F.col("keep") == 1).select(new_docs.columns)
+
+    contaminated = None
+    clean = passed
+    if eval_docs is not None:
+        decon = decontaminate(passed, eval_docs)
+        contaminated = decon.where(F.col("contaminated") == 1).select("doc_id")
+        clean = passed.join(contaminated, "doc_id", "left_anti")
+
+    pairs = incremental_minhash_dedup(
+        clean,
+        seen_docs,
+        bands=minhash_bands,
+        verify_threshold=verify_threshold,
+        scope=scope,
+    )
+    if scope is not None:
+        pairs = scope.persist(pairs)
+    else:
+        pairs = pairs.persist()
+
+    # ids are disjoint and canonicalized doc_a < doc_b, so for a vs_seen
+    # pair the NEW doc can sit on either side — recover it by anti-masking
+    # against the seen id set via two semi-joins on the narrow projections
+    seen_ids = seen_docs.select("doc_id")
+    a_side = pairs.where(F.col("vs_seen") == 1).select(F.col("doc_a").alias("doc_id"))
+    b_side = pairs.where(F.col("vs_seen") == 1).select(F.col("doc_b").alias("doc_id"))
+    dropped_vs_seen = (
+        a_side.unionByName(b_side)
+        .join(seen_ids, "doc_id", "left_anti")
+        .distinct()
+    )
+
+    survivors = clean.join(dropped_vs_seen, "doc_id", "left_anti")
+    nn_edges = pairs.where(F.col("vs_seen") == 0).select(
+        F.col("doc_a").cast("long").alias("u"),
+        F.col("doc_b").cast("long").alias("v"),
+    )
+    clusters = connected_components(
+        nn_edges,
+        nodes=survivors.select(F.col("doc_id").cast("long").alias("node")),
+        scope=scope,
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
+    keepers = clusters.where(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    admitted = survivors.join(keepers, "doc_id", "left_semi")
+
+    return IncrementalCurationResult(
+        admitted=admitted,
+        quality=quality,
+        contaminated=contaminated,
+        vs_seen_pairs=pairs,
+        dropped_vs_seen=dropped_vs_seen,
+        new_clusters=clusters,
+    )
+
+
+__all__ = ["IncrementalCurationResult", "curate_batch"]

@@ -1,0 +1,79 @@
+"""Incremental curation plan: stability-first batch folding."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_for_all_studies_spark.caching import CacheScope
+from etl_for_all_studies_spark.operators.quality import QualityRules
+from etl_for_all_studies_spark.plans.incremental_curation import curate_batch
+
+RULES = QualityRules(min_words=5, max_words=100, min_mean_word_len=2.0,
+                     max_mean_word_len=8.0, min_type_token_ratio=0.3,
+                     min_stopword_ratio=0.05)
+
+BASE = ("the quick brown fox jumps over a lazy dog near the old stone "
+        "bridge while morning light settles on the quiet river town "
+        "and early workers cross toward the open market square")
+ALT = ("a completely different story begins when the evening train "
+       "arrives at the small station and travelers with heavy bags "
+       "walk slowly past the closed bakery toward their warm homes")
+NEW = ("under bright summer skies the research team compared careful "
+       "measurements from seven distant weather stations and noted how "
+       "each sensor recorded slightly warmer readings than last year")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_curate_batch_stability_and_new_clusters(spark):
+    seen = _docs(spark, [(1, BASE + " first"), (2, ALT)])
+    new = _docs(spark, [
+        (100, BASE + " first"),          # dup of SEEN 1 → dropped, seen wins
+        (101, NEW + " alpha"),           # near-dups 102, unrelated to seen
+        (102, NEW + " alpha"),           # loses to 101
+        (103, BASE.replace("fox", "cat").replace("river", "harbor")
+              .replace("morning", "autumn").replace("bridge", "tunnel")
+              .replace("market", "garden") + " novel tail words here"),
+        (104, "tiny"),                   # fails quality
+    ])
+    with CacheScope() as scope:
+        res = curate_batch(new, seen, rules=RULES, scope=scope)
+        admitted = {r["doc_id"] for r in res.admitted.collect()}
+        dropped_seen = {r["doc_id"] for r in res.dropped_vs_seen.collect()}
+        clusters = {r["doc_id"]: r["cluster_id"] for r in res.new_clusters.collect()}
+        quality = {r["doc_id"]: r["keep"] for r in res.quality.collect()}
+
+    assert quality[104] == 0
+    assert 100 in dropped_seen  # exact seen-dup can never be admitted
+    assert clusters[101] == 101 and clusters[102] == 101  # one new cluster
+    assert 101 in admitted and 102 not in admitted  # min-id keeper
+    assert 104 not in admitted and 100 not in admitted
+
+
+def test_curate_batch_idempotent_rerun(spark):
+    seen = _docs(spark, [(1, BASE)])
+    new = _docs(spark, [(200, ALT + " one"), (201, ALT.replace("evening", "noisy")
+                                                  .replace("station", "harbor")
+                                                  .replace("bakery", "library")
+                                                  .replace("train", "boat") + " two distinct")])
+    first = {r["doc_id"] for r in curate_batch(new, seen, rules=RULES).admitted.collect()}
+    second = {r["doc_id"] for r in curate_batch(new, seen, rules=RULES).admitted.collect()}
+    assert first == second and 200 in first
+
+
+def test_curate_batch_decontaminates_before_admission(spark):
+    seen = _docs(spark, [(1, BASE)])
+    leak = ALT + " the exact eval question appears here verbatim"
+    new = _docs(spark, [(300, leak), (301, ALT.replace("evening", "morning")
+                                           .replace("bags", "coats")
+                                           .replace("bakery", "library")
+                                           .replace("train", "bus") + " clean novel content")])
+    evals = _docs(spark, [(900, "the exact eval question appears")])
+    res = curate_batch(new, seen, rules=RULES, eval_docs=evals)
+    assert {r["doc_id"] for r in res.contaminated.collect()} == {300}
+    admitted = {r["doc_id"] for r in res.admitted.collect()}
+    assert 301 in admitted and 300 not in admitted
