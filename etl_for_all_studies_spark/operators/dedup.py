@@ -113,6 +113,29 @@ def ngram_jaccard_pairs(
     share stop-shingles vanish entirely. ``None`` keeps all shingles —
     the exact (but Σdf²-unbounded) semantics.
     """
+    stats = _shingle_pair_stats(
+        docs, text_col=text_col, k=k, max_shingle_df=max_shingle_df
+    )
+    return (
+        stats.withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+    )
+
+
+def _shingle_pair_stats(
+    docs: DataFrame,
+    *,
+    text_col: str,
+    k: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared co-occurrence core for set-similarity scores: (doc_a, doc_b,
+    common, size_a, size_b) for every pair sharing ≥1 (kept) shingle."""
     sh = shingle_sets(docs, text_col, k)
     if max_shingle_df is not None:
         hot = (
@@ -144,16 +167,46 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
     )
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-SUPERSET pairs by max-containment: ``C = common /
+    min(|A|, |B|)`` — the score Jaccard systematically misses. A short doc
+    fully embedded in a much longer one (quote farms, boilerplate wrappers,
+    articles + comment sections) has J = |A|/|B| ≈ 0 but C = 1; curation
+    drops the contained copy, which Jaccard-threshold dedup never finds.
+
+    Same co-occurrence join (and the same Σdf² cost model + ``max_shingle_df``
+    valve) as :func:`ngram_jaccard_pairs`; only the score differs. Output
+    adds ``contained`` = the doc id of the smaller (contained) side on ties
+    → lower id.
+    """
+    stats = _shingle_pair_stats(
+        docs, text_col=text_col, k=k, max_shingle_df=max_shingle_df
+    )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("common")
-            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        stats.withColumn(
+            "containment",
+            F.col("common") / F.least(F.col("size_a"), F.col("size_b")),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+        .where(F.col("containment") >= threshold)
+        .withColumn(
+            "contained",
+            F.when(F.col("size_a") <= F.col("size_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b")),
+        )
+        .select(
+            "doc_a", "doc_b", "common", "size_a", "size_b",
+            "containment", "contained",
+        )
     )
 
 
@@ -512,6 +565,7 @@ __all__ = [
     "minhash_dedup",
     "minhash_lsh_candidates",
     "minhash_signatures",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "shingle_sets",
     "simhash",

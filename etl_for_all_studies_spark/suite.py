@@ -702,6 +702,54 @@ WHERE common / (sa.set_size + sb.set_size - common) >= 0.35
 
 
 # --------------------------------------------------------------------------
+# 12a'. n-gram max-containment — the near-SUPERSET score Jaccard misses:
+#       a short doc fully embedded in a long one has J≈|A|/|B| but C=1.
+#       Same co-occurrence join and df-cap valve; only the score differs.
+# --------------------------------------------------------------------------
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(docs, k=5, threshold=0.8, max_shingle_df=64)
+    return pairs.select(
+        "doc_a", "doc_b", "common",
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        ((F.floor(F.col("containment") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("containment"),
+        "contained",
+    )
+
+
+_SQL_CONTAINMENT = """
+WITH sh0 AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, GREATEST(length(text) - 4, 0) + 1),
+                   i -> text[i : i + 4])
+  )) AS shingle
+  FROM documents
+),
+hot AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > 64),
+sh AS (SELECT * FROM sh0 ANTI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
+       (FLOOR((common / LEAST(sa.set_size, sb.set_size)) * 1000000.0 + 0.5001)
+        / 1000000.0) + 0.0 AS containment,
+       CASE WHEN sa.set_size <= sb.set_size THEN doc_a ELSE doc_b END AS contained
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / LEAST(sa.set_size, sb.set_size) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
 # 12b. MinHash + LSH near-dup (the scalable dedup path)
 # --------------------------------------------------------------------------
 
@@ -4276,6 +4324,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "corpus_splits": QueryDef(q_corpus_splits, _SQL_SPLITS),
     "embedding_standardize": QueryDef(q_embedding_standardize, _SQL_STANDARDIZE),
     "dedup_embedding_incr": QueryDef(q_dedup_embedding_incr, _SQL_DEDUP_EMBED_INCR),
+    "dedup_containment": QueryDef(q_dedup_containment, _SQL_CONTAINMENT),
 }
 
 

@@ -759,3 +759,37 @@ def test_kll_quantile_sketches_merge_and_match_exact(spark):
     for g in (0, 1):
         assert abs(got[g][0] - exact[g][0]) <= 20   # ~2% of the 0..999 range
         assert abs(got[g][1] - exact[g][1]) <= 20
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a 5x-longer one: containment = 1.0 and
+    the short side is flagged 'contained', while the Jaccard score for the
+    same pair sits near |A|/|B| and a 0.5-threshold Jaccard dedup misses it."""
+    from etl_for_all_studies_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the unique quoted passage appears here word for word exactly"
+    filler = " ".join(f"filler{i} content segment" for i in range(40))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler[::-1]),
+        (3, "unrelated text about completely other things and matters"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {
+        (r["doc_a"], r["doc_b"]): r.asDict()
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in cont
+    assert cont[(1, 2)]["containment"] == 1.0
+    assert cont[(1, 2)]["contained"] == 1  # the short doc is the droppable one
+    assert all(3 not in pair for pair in cont)
+
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac  # the score Jaccard-threshold dedup misses
