@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""CLI entry point #6: fold a new crawl batch into a curated corpus.
+
+Runs ``plans/incremental_curation.py::curate_batch``: quality-filter and
+decontaminate the batch, drop docs near-duplicating the stored kept corpus
+(stability-first — history never churns), elect keepers among the rest, and
+append the admitted docs to the corpus directory as parquet.
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Incremental corpus curation (Spark)")
+    parser.add_argument("--new", required=True, help="Parquet path of the new batch")
+    parser.add_argument("--seen", required=True, help="Parquet path of the kept corpus")
+    parser.add_argument("--out", required=True, help="Directory to append admitted docs")
+    parser.add_argument("--eval", help="Optional parquet eval set for decontamination")
+    parser.add_argument("--master", default="local[*]")
+    args = parser.parse_args(argv)
+
+    from etl_for_all_studies_spark.caching import CacheScope
+    from etl_for_all_studies_spark.plans.incremental_curation import curate_batch
+    from etl_for_all_studies_spark.session import get_spark
+
+    spark = get_spark(app_name="incremental-curation", master=args.master)
+    t0 = time.monotonic()
+    with CacheScope() as scope:
+        new = scope.persist(spark.read.parquet(args.new))
+        seen = spark.read.parquet(args.seen)
+        eval_docs = spark.read.parquet(args.eval) if args.eval else None
+        res = curate_batch(new, seen, eval_docs=eval_docs, scope=scope)
+        admitted = scope.persist(res.admitted)
+        n_new = new.count()
+        n_admit = admitted.count()
+        n_vs_seen = res.dropped_vs_seen.count()
+        n_contam = res.contaminated.count() if res.contaminated is not None else 0
+        admitted.write.mode("append").parquet(args.out)
+    print(
+        f"batch={n_new} admitted={n_admit} dropped_vs_seen={n_vs_seen} "
+        f"contaminated={n_contam} elapsed={time.monotonic() - t0:.1f}s"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
