@@ -55,6 +55,7 @@ def mix_to_budget(
     budget_tokens: int,
     key_col: str = "doc_id",
     denom: int = 1000,
+    alpha: float = 1.0,
 ) -> DataFrame:
     """Deterministically subsample each stratum toward a target token mix.
 
@@ -78,6 +79,15 @@ def mix_to_budget(
     Output: input columns + ``sample_bucket``, ``keep_rate_mille`` (audit
     columns), filtered to kept rows.
     """
+    # temperature scaling (mT5-style alpha sampling): raw weights are
+    # usually corpus sizes, and sampling ∝ size^alpha with alpha < 1 lifts
+    # low-resource strata without flattening the mix entirely (alpha = 0 →
+    # uniform, alpha = 1 → proportional). Applied BEFORE normalization so
+    # the published recipe p_s ∝ w_s^alpha / Σ w^alpha holds exactly.
+    if alpha != 1.0:
+        weight_col_df = weight_col_df.withColumn(
+            "weight", F.pow(F.col("weight"), F.lit(alpha))
+        )
     totals = df.groupBy(stratum_col).agg(F.sum(token_col).alias("actual_tokens"))
     wsum = weight_col_df.agg(F.sum("weight").alias("wsum"))
     rates = (

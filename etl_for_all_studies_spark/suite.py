@@ -4229,6 +4229,59 @@ FROM scored_incr WHERE cos_sim >= 0.35
 
 
 # --------------------------------------------------------------------------
+# temperature-scaled source mixing (alpha sampling)
+# --------------------------------------------------------------------------
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style α-sampling: source weights are the sources' own token
+    masses raised to α=0.5 before normalization — low-resource sources get
+    lifted, the mix stays deterministic (same hash-bucket rule as
+    ``mix_budget``) and replayable in the oracle (``POWER`` is IEEE in both
+    engines)."""
+    from .operators.sampling import mix_to_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("weight")
+    )
+    kept = mix_to_budget(
+        docs,
+        stratum_col="source",
+        weight_col_df=weights,
+        token_col="n_chars",
+        budget_tokens=30_000,
+        key_col="doc_id",
+        alpha=0.5,
+    )
+    return kept.select("doc_id", "source", "sample_bucket", "keep_rate_mille")
+
+
+_SQL_MIX_TEMPERATURE = f"""
+WITH w AS (
+  SELECT source, POWER(CAST(SUM(n_chars) AS DOUBLE), 0.5) AS weight
+  FROM documents GROUP BY 1
+),
+totals AS (SELECT source, SUM(n_chars) AS actual_tokens FROM documents GROUP BY 1),
+wsum AS (SELECT SUM(weight) AS wsum FROM w),
+rates AS (
+  SELECT totals.source,
+         CAST(LEAST(1000, FLOOR(CAST(30000 AS DOUBLE) * w.weight / wsum.wsum
+                                / totals.actual_tokens * 1000))
+              AS BIGINT) AS keep_rate_mille
+  FROM totals JOIN w USING (source) CROSS JOIN wsum
+),
+b AS (
+  SELECT doc_id, documents.source, keep_rate_mille,
+    (({_SQL_POLY_HASH.format(s="CAST(doc_id AS VARCHAR)")}) * 7919 + 104729)
+      % 1000000007 % 1000 AS sample_bucket
+  FROM documents JOIN rates ON documents.source = rates.source
+)
+SELECT doc_id, source, sample_bucket, keep_rate_mille
+FROM b WHERE sample_bucket < keep_rate_mille
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4325,6 +4378,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "embedding_standardize": QueryDef(q_embedding_standardize, _SQL_STANDARDIZE),
     "dedup_embedding_incr": QueryDef(q_dedup_embedding_incr, _SQL_DEDUP_EMBED_INCR),
     "dedup_containment": QueryDef(q_dedup_containment, _SQL_CONTAINMENT),
+    "mix_temperature": QueryDef(q_mix_temperature, _SQL_MIX_TEMPERATURE),
 }
 
 

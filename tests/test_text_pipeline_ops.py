@@ -490,3 +490,35 @@ def test_tfidf_max_df_caps_join_but_keeps_norms(spark):
     }
     for k in capped:
         assert capped[k] <= full[k] + 1e-12
+
+
+def test_mix_temperature_lifts_low_resource_strata(spark):
+    """alpha sampling: with weights = stratum sizes, alpha=1 keeps the mix
+    proportional while alpha=0.5 shifts keep-rates toward small strata (the
+    small stratum's rate rises relative to the big one's); alpha=0 makes
+    the target shares uniform."""
+    from pyspark.sql import functions as F
+
+    # big stratum: 900 docs x 100 tokens; small: 100 docs x 100 tokens
+    rows = [(i, "big", 100) for i in range(900)]
+    rows += [(1000 + i, "small", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, toks long")
+    weights = df.groupBy("src").agg(F.sum("toks").cast("double").alias("weight"))
+
+    def rates(alpha):
+        kept = mix_to_budget(
+            df, stratum_col="src", weight_col_df=weights, token_col="toks",
+            budget_tokens=20_000, key_col="doc_id", alpha=alpha,
+        )
+        return {
+            r["src"]: r["keep_rate_mille"]
+            for r in kept.select("src", "keep_rate_mille").distinct().collect()
+        }
+
+    prop = rates(1.0)       # proportional: equal rates (same budget share ratio)
+    assert prop["big"] == prop["small"]
+    cooled = rates(0.5)     # sqrt weights: small stratum over-sampled
+    assert cooled["small"] > cooled["big"]
+    uniform = rates(0.0)    # alpha=0: equal TARGETS -> small stratum's rate 9x
+    assert uniform["small"] == 1000  # capped: target exceeds its actual tokens
+    assert uniform["big"] < uniform["small"]
