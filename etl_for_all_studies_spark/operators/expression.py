@@ -22,6 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 logger = logging.getLogger(__name__)
 
@@ -115,10 +116,57 @@ def dropped_cell_count(wide: DataFrame, kept: Sequence[str]) -> DataFrame:
     return wide.select(total.alias("dropped"))
 
 
+def quantile_normalize(
+    long: DataFrame,
+    *,
+    sample_col: str = "gsm_accession",
+    item_col: str = "ensembl_id",
+    value_col: str = "expression_value",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile normalization of a long-format matrix: every sample's value
+    distribution is replaced by the cross-sample reference distribution —
+    the classic microarray/RNA-seq batch-effect correction (Bolstad et al.,
+    Bioinformatics 19(2), 2003) the reference's expression pipeline
+    (`/root/reference/src/etl_for_all_studies/expression_processing.py`)
+    stops short of, and the canonical pre-step before cross-sample
+    correlation (``plans/correlation.py``).
+
+    Algorithm, Spark-first (three keyed shuffles, no Python, no pivot to
+    wide):
+
+    1. rank each value within its (group, sample) — ``row_number`` over a
+       ``(value, item)`` total order (ties broken by item id so reruns and
+       the oracle agree);
+    2. the reference distribution = mean value at each rank across the
+       group's samples — ONE map-side-combined aggregation keyed by
+       (group, rank);
+    3. join the reference back on (group, rank) — each value is replaced by
+       its rank's cross-sample mean.
+
+    Ragged matrices are legal: a rank present in only some samples
+    averages over those samples (the standard generalization). Window
+    partitions are per *sample* — bounded by genes-per-sample, never by
+    corpus size, so the sort never concentrates a study on one task.
+
+    Output: input columns + ``qn_rank`` + ``qn_value``.
+    """
+    g = list(group_cols)
+    w = Window.partitionBy(*g, sample_col).orderBy(
+        F.col(value_col).asc(), F.col(item_col).asc()
+    )
+    ranked = long.withColumn("qn_rank", F.row_number().over(w))
+    ref = ranked.groupBy(*g, "qn_rank").agg(
+        F.avg(value_col).alias("qn_value")
+    )
+    return ranked.join(ref, [*g, "qn_rank"])
+
+
 __all__ = [
     "ExpressionSchemaError",
     "dropped_cell_count",
     "expression_wide_to_long",
     "filter_to_whitelist",
     "intersect_sample_columns",
+    "quantile_normalize",
 ]

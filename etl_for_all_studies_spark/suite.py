@@ -4282,6 +4282,52 @@ FROM b WHERE sample_bucket < keep_rate_mille
 
 
 # --------------------------------------------------------------------------
+# quantile normalization (cross-sample distribution alignment)
+# --------------------------------------------------------------------------
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bolstad quantile normalization with sources as 'samples' and docs as
+    'genes': every source's n_chars distribution is replaced by the
+    cross-source per-rank mean (``operators/expression.py::
+    quantile_normalize`` — the same operator the genomic binding runs on
+    expression matrices). Ranks use a (value, id) total order so ties are
+    engine-independent; the per-rank mean is grid-snapped."""
+    from .operators.expression import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    out = quantile_normalize(
+        docs, sample_col="source", item_col="doc_id", value_col="n_chars"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("qn_rank").cast("long").alias("qn_rank"),
+        ((F.floor(F.col("qn_value") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("qn_value"),
+    )
+
+
+_SQL_QUANTILE_NORM = """
+WITH ranked AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE) ASC, doc_id ASC
+         ) AS qn_rank
+  FROM documents
+),
+ref AS (
+  SELECT qn_rank, AVG(n_chars) AS qn_value FROM ranked GROUP BY qn_rank
+)
+SELECT r.doc_id, r.source, r.n_chars, r.qn_rank,
+       FLOOR(ref.qn_value * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS qn_value
+FROM ranked r JOIN ref USING (qn_rank)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4379,6 +4425,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "dedup_embedding_incr": QueryDef(q_dedup_embedding_incr, _SQL_DEDUP_EMBED_INCR),
     "dedup_containment": QueryDef(q_dedup_containment, _SQL_CONTAINMENT),
     "mix_temperature": QueryDef(q_mix_temperature, _SQL_MIX_TEMPERATURE),
+    "quantile_normalize": QueryDef(q_quantile_normalize, _SQL_QUANTILE_NORM),
 }
 
 

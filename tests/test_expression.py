@@ -60,3 +60,48 @@ def test_gene_filter_validation(spark, tmp_path):
     f.write_text("ensembl_id\n\n   \n")
     with pytest.raises(InputFormatError):
         read_gene_filter(spark, str(f))
+
+
+def test_quantile_normalize_bolstad_example(spark):
+    """Classic worked example: after QN every sample carries the identical
+    reference distribution (the per-rank cross-sample means), ragged
+    samples average over present ranks only, and grouped matrices
+    normalize within their group."""
+    from etl_for_all_studies_spark.operators.expression import quantile_normalize
+
+    rows = [  # samples A=(2,4,6) B=(1,2,3): ref dist = (1.5, 3.0, 4.5)
+        ("A", "g1", 4.0), ("A", "g2", 2.0), ("A", "g3", 6.0),
+        ("B", "g1", 3.0), ("B", "g2", 1.0), ("B", "g3", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "gsm_accession string, ensembl_id string, expression_value double")
+    out = {
+        (r["gsm_accession"], r["ensembl_id"]): (r["qn_rank"], r["qn_value"])
+        for r in quantile_normalize(df).collect()
+    }
+    assert out[("A", "g2")] == (1, 1.5) and out[("B", "g2")] == (1, 1.5)
+    assert out[("A", "g1")] == (2, 3.0) and out[("B", "g3")] == (2, 3.0)
+    assert out[("A", "g3")] == (3, 4.5) and out[("B", "g1")] == (3, 4.5)
+
+    # ragged: sample C has only 1 value → rank-1 mean now over 3 samples
+    ragged = spark.createDataFrame(
+        rows + [("C", "g9", 7.5)],
+        "gsm_accession string, ensembl_id string, expression_value double",
+    )
+    r1 = {
+        (r["gsm_accession"], r["ensembl_id"]): r["qn_value"]
+        for r in quantile_normalize(ragged).collect()
+    }
+    assert r1[("C", "g9")] == (2.0 + 1.0 + 7.5) / 3
+    assert r1[("A", "g1")] == 3.0  # rank 2 untouched by the ragged sample
+
+    # grouping: two studies normalize independently
+    grouped = spark.createDataFrame(
+        [("s1", *r) for r in rows] + [("s2", "A", "g1", 100.0), ("s2", "B", "g1", 50.0)],
+        "study string, gsm_accession string, ensembl_id string, expression_value double",
+    )
+    g = {
+        (r["study"], r["gsm_accession"], r["ensembl_id"]): r["qn_value"]
+        for r in quantile_normalize(grouped, group_cols=["study"]).collect()
+    }
+    assert g[("s2", "A", "g1")] == 75.0 and g[("s2", "B", "g1")] == 75.0
+    assert g[("s1", "A", "g2")] == 1.5  # s1 unchanged by s2's scale
