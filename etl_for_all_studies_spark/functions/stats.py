@@ -346,6 +346,76 @@ def benjamini_hochberg(
     return with_raw.withColumn(q_col, q).drop("__bh_raw")
 
 
+def welch_t_test(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    cohort_col: str,
+    value_col: str,
+    cohort_a,
+    cohort_b,
+    pvalue_dist: str = "normal",
+) -> DataFrame:
+    """Per-group Welch's unequal-variance two-sample t-test — the
+    differential-expression primitive (healthy-vs-illness per gene in the
+    genomic binding; any A/B comparison here), computed entirely with
+    conditional aggregates:
+
+    * ONE ``groupBy(group_cols)`` pass produces both cohorts' n/mean/var via
+      ``F.when``-masked aggregates — no join between cohorts, no second scan,
+      map-side partials throughout;
+    * ``t = (m_a − m_b) / √(v_a/n_a + v_b/n_b)``, Welch–Satterthwaite
+      ``df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))``;
+    * two-sided p: ``pvalue_dist="normal"`` uses the shared A&S closed form
+      (oracle-replicable, same policy as :func:`spearman_p_value_expr`);
+      ``"t"`` uses the native incomplete-beta exact form
+      (:func:`betainc_expr`) with the Welch df.
+
+    Gates: a group needs ≥ 2 values in EACH cohort and positive pooled
+    standard error, else t/df/p are NULL (zero-variance identical cohorts
+    have no defined t; the caller sees NULL, not ±Inf — ANSI-safe).
+
+    Output: group_cols + (n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat,
+    df_welch, p_value).
+    """
+    if pvalue_dist not in ("normal", "t"):
+        raise ValueError(f"unknown pvalue_dist: {pvalue_dist!r}")
+    in_a = F.col(cohort_col) == cohort_a
+    in_b = F.col(cohort_col) == cohort_b
+    va = F.when(in_a, F.col(value_col))
+    vb = F.when(in_b, F.col(value_col))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("mean_a"),
+        F.avg(vb).alias("mean_b"),
+        F.var_samp(va).alias("var_a"),
+        F.var_samp(vb).alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    with_t = agg.select(
+        *group_cols, "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dfw).alias("df_welch"),
+    )
+    if pvalue_dist == "normal":
+        p = F.lit(2.0) * (F.lit(1.0) - normal_cdf_expr(F.abs(F.col("t_stat"))))
+    else:
+        dcol = F.col("df_welch")
+        x = dcol / (dcol + F.col("t_stat") * F.col("t_stat"))
+        p = betainc_expr(dcol / F.lit(2.0), F.lit(0.5), x)
+    p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    return with_t.withColumn(
+        "p_value", F.when(F.col("t_stat").isNotNull(), p)
+    )
+
+
 __all__ = [
     "average_rank",
     "benjamini_hochberg",
@@ -355,4 +425,5 @@ __all__ = [
     "normal_cdf_expr",
     "spearman_p_value_expr",
     "spearman_p_value_t_expr",
+    "welch_t_test",
 ]

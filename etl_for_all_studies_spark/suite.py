@@ -4328,6 +4328,81 @@ FROM ranked r JOIN ref USING (qn_rank)
 
 
 # --------------------------------------------------------------------------
+# Welch's two-sample t-test (differential comparison per group)
+# --------------------------------------------------------------------------
+
+def q_welch_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B comparison of ``value`` between even/odd user
+    cohorts via Welch's t (``functions/stats.py::welch_t_test``): both
+    cohorts' moments come from ONE conditional-aggregate pass (no cohort
+    join), p is the shared A&S normal closed form so the oracle replicates
+    it term-for-term. All doubles grid-snapped (aggregation-order noise)."""
+    from .functions.stats import welch_t_test
+
+    ev = _events(spark, sf_dir).withColumn("cohort", F.col("user_id") % 2)
+    out = welch_t_test(
+        ev, group_cols=["event_type"], cohort_col="cohort",
+        value_col="value", cohort_a=0, cohort_b=1,
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "event_type", "n_a", "n_b",
+        _g("mean_a").alias("mean_a"), _g("mean_b").alias("mean_b"),
+        _g("var_a").alias("var_a"), _g("var_b").alias("var_b"),
+        _g("t_stat").alias("t_stat"), _g("df_welch").alias("df_welch"),
+        _g("p_value").alias("p_value"),
+    )
+
+
+_WELCH_T_ABS = "ABS((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b))"
+_SQL_WELCH = f"""
+WITH base AS (
+  SELECT event_type, user_id % 2 AS cohort, value FROM events
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN cohort = 0 THEN value END) AS n_a,
+         COUNT(CASE WHEN cohort = 1 THEN value END) AS n_b,
+         AVG(CASE WHEN cohort = 0 THEN value END) AS mean_a,
+         AVG(CASE WHEN cohort = 1 THEN value END) AS mean_b,
+         VAR_SAMP(CASE WHEN cohort = 0 THEN value END) AS var_a,
+         VAR_SAMP(CASE WHEN cohort = 1 THEN value END) AS var_b
+  FROM base GROUP BY 1
+),
+w AS (
+  SELECT *,
+    CASE WHEN n_a >= 2 AND n_b >= 2 AND (var_a / n_a + var_b / n_b) > 0
+         THEN (mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b) END AS t_stat,
+    CASE WHEN n_a >= 2 AND n_b >= 2 AND (var_a / n_a + var_b / n_b) > 0
+         THEN POWER(var_a / n_a + var_b / n_b, 2)
+              / (POWER(var_a / n_a, 2) / (n_a - 1)
+                 + POWER(var_b / n_b, 2) / (n_b - 1)) END AS df_welch
+  FROM agg
+),
+p AS (
+  SELECT *,
+    CASE WHEN t_stat IS NULL THEN NULL
+         ELSE LEAST(GREATEST(
+           2.0 * (1.0 - (0.5 * (1.0 + {_SQL_ERF.format(y=f"({_WELCH_T_ABS}/SQRT(2.0))")}))),
+           0.0), 1.0) END AS p_value
+  FROM w
+)
+SELECT event_type, n_a, n_b,
+       FLOOR(mean_a * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS mean_a,
+       FLOOR(mean_b * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS mean_b,
+       FLOOR(var_a * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS var_a,
+       FLOOR(var_b * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS var_b,
+       FLOOR(t_stat * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS t_stat,
+       FLOOR(df_welch * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS df_welch,
+       FLOOR(p_value * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS p_value
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4426,6 +4501,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "dedup_containment": QueryDef(q_dedup_containment, _SQL_CONTAINMENT),
     "mix_temperature": QueryDef(q_mix_temperature, _SQL_MIX_TEMPERATURE),
     "quantile_normalize": QueryDef(q_quantile_normalize, _SQL_QUANTILE_NORM),
+    "welch_ab_test": QueryDef(q_welch_ab_test, _SQL_WELCH),
 }
 
 

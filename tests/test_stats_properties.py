@@ -339,3 +339,57 @@ if HAVE_HYPOTHESIS:
         # q respects the p-order (monotone non-decreasing in p)
         qs_sorted = [q_by_idx[i] for _, i in valid]
         assert all(a <= b + 1e-12 for a, b in zip(qs_sorted, qs_sorted[1:]))
+
+
+def test_welch_t_test_matches_scalar_math_and_exact_t(spark):
+    """Welch on a planted two-cohort dataset: t/df match the textbook scalar
+    formulas to 1e-9; the exact-t p (native betainc) matches the scalar
+    incomplete-beta oracle; degenerate groups (tiny cohort, zero variance)
+    gate to NULL."""
+    import statistics
+
+    from etl_for_all_studies_spark.functions.stats import (
+        _betainc_scalar,
+        welch_t_test,
+    )
+
+    a_vals = [1.0, 2.5, 3.5, 2.0, 4.0, 2.2, 3.1]
+    b_vals = [5.0, 6.5, 4.5, 7.0, 5.5]
+    rows = [("g", 0, v) for v in a_vals] + [("g", 1, v) for v in b_vals]
+    rows += [("tiny", 0, 1.0), ("tiny", 1, 2.0), ("tiny", 1, 3.0)]   # n_a < 2
+    rows += [("flat", 0, 4.0), ("flat", 0, 4.0),
+             ("flat", 1, 4.0), ("flat", 1, 4.0)]                     # se2 = 0
+    df = spark.createDataFrame(rows, "grp string, cohort int, v double")
+
+    out = {
+        r["grp"]: r.asDict()
+        for r in welch_t_test(
+            df, group_cols=["grp"], cohort_col="cohort", value_col="v",
+            cohort_a=0, cohort_b=1, pvalue_dist="t",
+        ).collect()
+    }
+    ma, mb = statistics.fmean(a_vals), statistics.fmean(b_vals)
+    va, vb = statistics.variance(a_vals), statistics.variance(b_vals)
+    na, nb = len(a_vals), len(b_vals)
+    se2 = va / na + vb / nb
+    t_ref = (ma - mb) / math.sqrt(se2)
+    df_ref = se2 ** 2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    g = out["g"]
+    assert g["t_stat"] == pytest.approx(t_ref, abs=1e-9)
+    assert g["df_welch"] == pytest.approx(df_ref, abs=1e-9)
+    p_ref = _betainc_scalar(df_ref / 2.0, 0.5, df_ref / (df_ref + t_ref ** 2))
+    assert g["p_value"] == pytest.approx(p_ref, abs=1e-10)
+
+    for bad in ("tiny", "flat"):
+        assert out[bad]["t_stat"] is None and out[bad]["p_value"] is None
+
+    # normal-approx variant agrees with Phi-based scalar math
+    norm = {
+        r["grp"]: r["p_value"]
+        for r in welch_t_test(
+            df, group_cols=["grp"], cohort_col="cohort", value_col="v",
+            cohort_a=0, cohort_b=1, pvalue_dist="normal",
+        ).collect()
+    }
+    p_norm = 2.0 * (1.0 - NormalDist().cdf(abs(t_ref)))
+    assert norm["g"] == pytest.approx(p_norm, abs=1e-6)  # A&S erf ~1.5e-7
