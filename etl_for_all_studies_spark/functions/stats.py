@@ -416,12 +416,73 @@ def welch_t_test(
     )
 
 
+def mann_whitney_u(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    cohort_col: str,
+    value_col: str,
+    cohort_a,
+    cohort_b,
+) -> DataFrame:
+    """Per-group Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric
+    sibling of :func:`welch_t_test` for skewed/outlier-heavy metrics where
+    mean comparisons mislead.
+
+    Formulation on the engine's own rank primitive: combined-cohort average
+    ranks via :func:`average_rank` (one sort per group, SciPy tie
+    semantics), then ``U_a = R_a − n_a(n_a+1)/2`` and the normal
+    approximation with the standard tie correction
+    ``σ² = n_a·n_b/12 · (n+1 − Σ(t³−t)/(n(n−1)))`` — the tie term is one
+    extra (group, value)-keyed aggregation. No continuity correction
+    (SciPy's ``use_continuity=False``); two-sided p from the shared A&S
+    closed form, so the oracle replicates every term.
+
+    Gates: both cohorts non-empty and σ > 0 (all-tied groups have no
+    defined z) else z/p NULL. Output: group_cols + (n_a, n_b, u_a, z,
+    p_value).
+    """
+    both = df.where(F.col(cohort_col).isin([cohort_a, cohort_b]))
+    ranked = both.withColumn("__r", average_rank(group_cols, value_col))
+    in_a = F.col(cohort_col) == cohort_a
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.when(in_a, F.lit(1))).alias("n_a"),
+        F.count(F.when(~in_a, F.lit(1))).alias("n_b"),
+        F.sum(F.when(in_a, F.col("__r"))).alias("r_a"),
+    )
+    ties = (
+        both.groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"))
+    )
+    j = agg.join(ties, group_cols)
+    n = F.col("n_a") + F.col("n_b")
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    sigma2 = (
+        F.col("n_a") * F.col("n_b") / F.lit(12.0)
+        * ((n + 1) - F.col("tie3") / (n * (n - 1)))
+    )
+    ok = (F.col("n_a") >= 1) & (F.col("n_b") >= 1) & (sigma2 > 0)
+    z = (u_a - mu) / F.sqrt(sigma2)
+    p = F.lit(2.0) * (F.lit(1.0) - normal_cdf_expr(F.abs(z)))
+    p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    return j.select(
+        *group_cols, "n_a", "n_b",
+        u_a.alias("u_a"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, p).alias("p_value"),
+    )
+
+
 __all__ = [
     "average_rank",
     "benjamini_hochberg",
     "betainc_expr",
     "erf_expr",
     "lgamma_expr",
+    "mann_whitney_u",
     "normal_cdf_expr",
     "spearman_p_value_expr",
     "spearman_p_value_t_expr",

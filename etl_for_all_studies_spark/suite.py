@@ -4403,6 +4403,80 @@ FROM p
 
 
 # --------------------------------------------------------------------------
+# Mann–Whitney U (nonparametric A/B, tie-corrected)
+# --------------------------------------------------------------------------
+
+def q_mannwhitney_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum A/B twin of ``welch_ab_test`` on the same cohorts: combined
+    average ranks (one sort per event type), U statistic, tie-corrected
+    normal z and the shared A&S p — every term replicated by the oracle."""
+    from .functions.stats import mann_whitney_u
+
+    ev = _events(spark, sf_dir).withColumn("cohort", F.col("user_id") % 2)
+    out = mann_whitney_u(
+        ev, group_cols=["event_type"], cohort_col="cohort",
+        value_col="value", cohort_a=0, cohort_b=1,
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "event_type", "n_a", "n_b",
+        _g("u_a").alias("u_a"), _g("z").alias("z"), _g("p_value").alias("p_value"),
+    )
+
+
+_MW_Z_ABS = "ABS((u_a - mu) / SQRT(sigma2))"
+_SQL_MANNWHITNEY = f"""
+WITH base AS (
+  SELECT event_type, user_id % 2 AS cohort, value FROM events
+),
+ranked AS (
+  SELECT event_type, cohort, value,
+         RANK() OVER (PARTITION BY event_type ORDER BY value ASC)
+           + (COUNT(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS r
+  FROM base
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN cohort = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN cohort = 1 THEN 1 END) AS n_b,
+         SUM(CASE WHEN cohort = 0 THEN r END) AS r_a
+  FROM ranked GROUP BY 1
+),
+ties AS (
+  SELECT event_type, SUM(t * t * t - t) AS tie3 FROM (
+    SELECT event_type, value, COUNT(*) AS t FROM base GROUP BY 1, 2
+  ) GROUP BY 1
+),
+w AS (
+  SELECT a.event_type, n_a, n_b,
+         r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+         n_a * n_b / 2.0 AS mu,
+         n_a * n_b / 12.0 * ((n_a + n_b + 1)
+           - tie3 / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))) AS sigma2
+  FROM agg a JOIN ties USING (event_type)
+),
+p AS (
+  SELECT *,
+    CASE WHEN n_a >= 1 AND n_b >= 1 AND sigma2 > 0
+         THEN (u_a - mu) / SQRT(sigma2) END AS z,
+    CASE WHEN n_a >= 1 AND n_b >= 1 AND sigma2 > 0
+         THEN LEAST(GREATEST(
+           2.0 * (1.0 - (0.5 * (1.0 + {_SQL_ERF.format(y=f"({_MW_Z_ABS}/SQRT(2.0))")}))),
+           0.0), 1.0) END AS p_value
+  FROM w
+)
+SELECT event_type, n_a, n_b,
+       FLOOR(u_a * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS u_a,
+       FLOOR(z * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS z,
+       FLOOR(p_value * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS p_value
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4502,6 +4576,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "mix_temperature": QueryDef(q_mix_temperature, _SQL_MIX_TEMPERATURE),
     "quantile_normalize": QueryDef(q_quantile_normalize, _SQL_QUANTILE_NORM),
     "welch_ab_test": QueryDef(q_welch_ab_test, _SQL_WELCH),
+    "mannwhitney_ab": QueryDef(q_mannwhitney_ab, _SQL_MANNWHITNEY),
 }
 
 

