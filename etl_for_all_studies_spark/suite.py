@@ -4477,6 +4477,84 @@ FROM p
 
 
 # --------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (deterministic tape)
+# --------------------------------------------------------------------------
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the per-event-type mean value, B=100 Poisson
+    replicates on the frozen hash tape (``functions/bootstrap.py``): every
+    replicate's weighted mean comes from ONE aggregation over the B-fanned
+    rows, percentiles reduce the tiny (groups × B) table. The oracle
+    replays the identical hash → inverse-CDF weights, so even the resampled
+    draws match across engines."""
+    from .functions.bootstrap import bootstrap_mean_ci
+
+    ev = _events(spark, sf_dir)
+    out = bootstrap_mean_ci(
+        ev, group_cols=["event_type"], key_col="event_id",
+        value_col="value", n_replicates=100, ci=0.95,
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "event_type", _g("mean").alias("mean"),
+        _g("ci_lo").alias("ci_lo"), _g("ci_hi").alias("ci_hi"),
+        "n", "n_replicates",
+    )
+
+
+_SQL_BOOTSTRAP = f"""
+WITH base AS (SELECT event_type, event_id, value FROM events),
+fan0 AS (
+  SELECT event_type, value, b,
+    (({_SQL_POLY_HASH.format(s="CAST(event_id AS VARCHAR)")}) + b * 65537)
+      % 1000000007 AS x
+  FROM base, (SELECT UNNEST(range(1, 101)) AS b)
+),
+fan AS (
+  SELECT event_type, value, b,
+    (((x * x) % 1000000007 * 7919 + 104729) % 1000000007 % 1000000000 + 0.5)
+      / 1000000000.0 AS u
+  FROM fan0
+),
+wts AS (
+  SELECT event_type, value, b,
+    CASE WHEN u < 0.36787944117144233 THEN 0
+         WHEN u < 0.7357588823428847 THEN 1
+         WHEN u < 0.9196986029286058 THEN 2
+         WHEN u < 0.9810118431238462 THEN 3
+         WHEN u < 0.9963401531726563 THEN 4
+         WHEN u < 0.9994058151824183 THEN 5
+         ELSE 6 END AS w
+  FROM fan
+),
+reps AS (
+  SELECT event_type, b, SUM(w * value) / SUM(w) AS m
+  FROM wts GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+cis AS (
+  SELECT event_type,
+         quantile_cont(m, 0.025) AS ci_lo,
+         quantile_cont(m, 0.975) AS ci_hi,
+         COUNT(*) AS n_replicates
+  FROM reps GROUP BY 1
+),
+pt AS (
+  SELECT event_type, AVG(value) AS mean, COUNT(value) AS n
+  FROM base GROUP BY 1
+)
+SELECT pt.event_type,
+       FLOOR(mean * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS mean,
+       FLOOR(ci_lo * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS ci_lo,
+       FLOOR(ci_hi * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS ci_hi,
+       n, n_replicates
+FROM pt JOIN cis USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4577,6 +4655,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "quantile_normalize": QueryDef(q_quantile_normalize, _SQL_QUANTILE_NORM),
     "welch_ab_test": QueryDef(q_welch_ab_test, _SQL_WELCH),
     "mannwhitney_ab": QueryDef(q_mannwhitney_ab, _SQL_MANNWHITNEY),
+    "bootstrap_ci": QueryDef(q_bootstrap_ci, _SQL_BOOTSTRAP),
 }
 
 

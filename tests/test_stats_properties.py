@@ -437,3 +437,58 @@ def test_mann_whitney_matches_scalar_math(spark):
     assert g["z"] == pytest.approx(z_ref, abs=1e-9)
     assert g["p_value"] == pytest.approx(p_ref, abs=1e-6)  # A&S erf envelope
     assert out["flat"]["z"] is None and out["flat"]["p_value"] is None
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    """Poisson bootstrap: (a) the hash-tape weights replay in pure Python;
+    (b) the empirical weight distribution matches Poisson(1) moments;
+    (c) the CI brackets the point mean and the analytic SE scale."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.functions.bootstrap import (
+        BOOT_A,
+        BOOT_B,
+        BOOT_C,
+        _POISSON1_CDF,
+        bootstrap_mean_ci,
+        poisson_weight,
+    )
+    from etl_for_all_studies_spark.functions.hashing import BASE, MOD
+
+    def py_weight(key: str, b: int) -> int:
+        h = 0
+        for ch in key:
+            h = (h * BASE + ord(ch)) % MOD
+        x = (h + b * BOOT_C) % MOD
+        hb = ((x * x) % MOD * BOOT_A + BOOT_B) % MOD % 1_000_000_000
+        u = (hb + 0.5) / 1e9
+        for k, cdf in enumerate(_POISSON1_CDF):
+            if u < cdf:
+                return k
+        return 6
+
+    df = spark.createDataFrame(
+        [(i, float(i % 50)) for i in range(4000)], "k long, v double"
+    )
+    fan = df.select(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(5))).alias("b")
+    ).withColumn("w", poisson_weight(F.col("k"), F.col("b")))
+    got = {(r["k"], r["b"]): r["w"] for r in fan.collect()}
+    for (k, b), w in list(got.items())[:200]:
+        assert w == py_weight(str(k), b)
+    ws = list(got.values())
+    mean_w = sum(ws) / len(ws)
+    assert abs(mean_w - 1.0) < 0.03                      # E[W] = 1
+    assert abs(ws.count(0) / len(ws) - 0.3679) < 0.02    # P(W=0) = 1/e
+
+    out = bootstrap_mean_ci(
+        df, group_cols=[], key_col="k", value_col="v",
+        n_replicates=200,
+    ).collect()[0]
+    assert out["ci_lo"] < out["mean"] < out["ci_hi"]
+    # analytic SE of the mean of Uniform{0..49} over 4000 rows ~ 0.228;
+    # the 95% percentile CI width should be ~4 SE (loose envelope 2.5-6 SE)
+    import statistics
+    se = statistics.pstdev([float(i % 50) for i in range(4000)]) / math.sqrt(4000)
+    width = out["ci_hi"] - out["ci_lo"]
+    assert 2.5 * se < width < 6 * se
