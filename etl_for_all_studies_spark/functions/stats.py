@@ -476,11 +476,97 @@ def mann_whitney_u(
     )
 
 
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    cohort_col: str,
+    value_col: str,
+    cohort_a,
+    cohort_b,
+    n_terms: int = 100,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov test: D = sup |F_a − F_b|
+    over the empirical CDFs, with the asymptotic two-sided p
+    (Kolmogorov distribution via the standard series, Numerical-Recipes
+    small-sample correction ``λ = (√n_e + 0.12 + 0.11/√n_e)·D``).
+
+    Distribution-shape sensitivity completes the A/B family: Welch sees
+    mean shifts, Mann–Whitney sees location shifts, K-S sees ANY CDF
+    difference (variance, bimodality, tails).
+
+    Scale shape — the ECDF is computed over *distinct values*, not rows:
+    one (group, value) aggregation collapses the data first (ties merge —
+    exactly what the ECDF needs), then the cumulative window runs over the
+    collapsed table (cardinality = distinct values per group, not rows).
+    The p-series is a codegen'd ``aggregate`` over a ``sequence`` — finite
+    sum, replicable term-for-term in the oracle.
+
+    Gates: both cohorts non-empty, else D/p NULL. Output: group_cols +
+    (n_a, n_b, d_stat, p_value).
+    """
+    in_a = (F.col(cohort_col) == cohort_a).cast("long")
+    in_b = (F.col(cohort_col) == cohort_b).cast("long")
+    per_value = (
+        df.where(F.col(cohort_col).isin([cohort_a, cohort_b]))
+        .groupBy(*group_cols, value_col)
+        .agg(F.sum(in_a).alias("ca"), F.sum(in_b).alias("cb"))
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = per_value.select(
+        *group_cols,
+        F.sum("ca").over(w_tot).alias("n_a"),
+        F.sum("cb").over(w_tot).alias("n_b"),
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+    )
+    # nullif: an absent cohort must yield NULL d (gated below), not an
+    # ANSI divide-by-zero error
+    d = F.abs(
+        F.col("cum_a") / F.nullif(F.col("n_a"), F.lit(0))
+        - F.col("cum_b") / F.nullif(F.col("n_b"), F.lit(0))
+    )
+    agg = stepped.groupBy(*group_cols).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(d).alias("d_stat"),
+    )
+    ne = F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+    lam = (
+        F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)
+    ) * F.col("d_stat")
+    series = F.lit(2.0) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(n_terms)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.pow(F.lit(-1.0), (k - 1).cast("double"))
+        * F.exp(F.lit(-2.0) * k.cast("double") * k.cast("double") * lam * lam),
+    )
+    ok = (F.col("n_a") >= 1) & (F.col("n_b") >= 1)
+    # the alternating series needs 2λ²k² to decay within n_terms; below
+    # λ = 0.05 it hasn't (λ = 0 sums to 0, not 1) while the true Q differs
+    # from 1 by < 4e-15 — return the limit directly
+    p = F.when(lam < 0.05, F.lit(1.0)).otherwise(
+        F.least(F.greatest(series, F.lit(0.0)), F.lit(1.0))
+    )
+    return agg.select(
+        *group_cols, "n_a", "n_b",
+        F.when(ok, F.col("d_stat")).alias("d_stat"),
+        F.when(ok, p).alias("p_value"),
+    )
+
+
 __all__ = [
     "average_rank",
     "benjamini_hochberg",
     "betainc_expr",
     "erf_expr",
+    "ks_two_sample",
     "lgamma_expr",
     "mann_whitney_u",
     "normal_cdf_expr",

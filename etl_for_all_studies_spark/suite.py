@@ -4555,6 +4555,80 @@ FROM pt JOIN cis USING (event_type)
 
 
 # --------------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov (distribution-shape A/B)
+# --------------------------------------------------------------------------
+
+def q_events_ks_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-S distribution comparison on the same cohorts as the Welch/MW
+    queries: the ECDF sup-gap is computed over DISTINCT values (the data
+    collapses before any window), p from the Kolmogorov series — a finite
+    codegen'd fold the oracle replays term-for-term."""
+    from .functions.stats import ks_two_sample
+
+    ev = _events(spark, sf_dir).withColumn("cohort", F.col("user_id") % 2)
+    out = ks_two_sample(
+        ev, group_cols=["event_type"], cohort_col="cohort",
+        value_col="value", cohort_a=0, cohort_b=1,
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "event_type", "n_a", "n_b",
+        _g("d_stat").alias("d_stat"), _g("p_value").alias("p_value"),
+    )
+
+
+_SQL_KS = """
+WITH base AS (
+  SELECT event_type, user_id % 2 AS cohort, value FROM events
+),
+pv AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type) AS n_a,
+         SUM(cb) OVER (PARTITION BY event_type) AS n_b,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY value ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY value ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM pv
+),
+agg AS (
+  SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         MAX(ABS(cum_a / CAST(n_a AS DOUBLE) - cum_b / CAST(n_b AS DOUBLE))) AS d_stat
+  FROM st GROUP BY 1
+),
+lamb AS (
+  SELECT *,
+    (SQRT(n_a * n_b / CAST(n_a + n_b AS DOUBLE))
+     + 0.12 + 0.11 / SQRT(n_a * n_b / CAST(n_a + n_b AS DOUBLE))) * d_stat AS lam
+  FROM agg
+),
+p AS (
+  SELECT event_type, n_a, n_b, d_stat,
+    CASE WHEN lam < 0.05 THEN 1.0  -- series not converged below; true Q ≡ 1
+         ELSE LEAST(GREATEST(2.0 * list_reduce(
+           list_prepend(0.0, list_transform(range(1, 101),
+             k -> POWER(-1.0, CAST(k - 1 AS DOUBLE))
+                  * EXP(-2.0 * k * k * lam * lam))),
+           (acc, x) -> acc + x), 0.0), 1.0) END AS p_value
+  FROM lamb
+)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       FLOOR(d_stat * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS d_stat,
+       FLOOR(p_value * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS p_value
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4656,6 +4730,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "welch_ab_test": QueryDef(q_welch_ab_test, _SQL_WELCH),
     "mannwhitney_ab": QueryDef(q_mannwhitney_ab, _SQL_MANNWHITNEY),
     "bootstrap_ci": QueryDef(q_bootstrap_ci, _SQL_BOOTSTRAP),
+    "events_ks_ab": QueryDef(q_events_ks_ab, _SQL_KS),
 }
 
 

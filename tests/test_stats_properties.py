@@ -492,3 +492,44 @@ def test_poisson_bootstrap_weights_and_ci(spark):
     se = statistics.pstdev([float(i % 50) for i in range(4000)]) / math.sqrt(4000)
     width = out["ci_hi"] - out["ci_lo"]
     assert 2.5 * se < width < 6 * se
+
+
+def test_ks_two_sample_matches_scalar_math(spark):
+    """K-S on planted cohorts: D equals the scalar ECDF sup-gap (ties
+    collapse correctly), identical samples give D=0/p=1, disjoint samples
+    give D=1 and a tiny p, and the series p matches the NR scalar form."""
+    from etl_for_all_studies_spark.functions.stats import ks_two_sample
+
+    a_vals = [1.0, 2.0, 2.0, 3.0, 4.0, 6.0]
+    b_vals = [2.0, 4.0, 5.0, 5.0, 7.0]
+    rows = [("g", 0, v) for v in a_vals] + [("g", 1, v) for v in b_vals]
+    rows += [("same", 0, 1.0), ("same", 0, 2.0),
+             ("same", 1, 1.0), ("same", 1, 2.0)]
+    rows += [("disj", 0, 1.0), ("disj", 0, 2.0),
+             ("disj", 1, 10.0), ("disj", 1, 11.0)]
+    df = spark.createDataFrame(rows, "grp string, cohort int, v double")
+    out = {
+        r["grp"]: r.asDict()
+        for r in ks_two_sample(
+            df, group_cols=["grp"], cohort_col="cohort", value_col="v",
+            cohort_a=0, cohort_b=1,
+        ).collect()
+    }
+
+    def ecdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    d_ref = max(
+        abs(ecdf(a_vals, x) - ecdf(b_vals, x)) for x in sorted(set(a_vals + b_vals))
+    )
+    g = out["g"]
+    assert g["d_stat"] == pytest.approx(d_ref, abs=1e-12)
+    ne = len(a_vals) * len(b_vals) / (len(a_vals) + len(b_vals))
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d_ref
+    p_ref = 2 * sum(
+        (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam) for k in range(1, 101)
+    )
+    assert g["p_value"] == pytest.approx(min(max(p_ref, 0.0), 1.0), abs=1e-12)
+
+    assert out["same"]["d_stat"] == 0.0 and out["same"]["p_value"] == 1.0
+    assert out["disj"]["d_stat"] == 1.0 and out["disj"]["p_value"] < 0.2
