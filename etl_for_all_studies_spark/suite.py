@@ -4629,6 +4629,82 @@ FROM p
 
 
 # --------------------------------------------------------------------------
+# PSI distribution drift (first vs second half of the event window)
+# --------------------------------------------------------------------------
+
+def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type: the first half-month is
+    the reference, the second the comparison (``functions/drift.py``).
+    Reference decile edges are one group-bounded percentile aggregation;
+    buckets, the ε floor, and the PSI sum are codegen'd folds the oracle
+    replays; stable synthetic data should sit in the PSI < 0.1 band."""
+    from .functions.drift import psi
+
+    cut = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z epoch micros
+    ev = _events(spark, sf_dir).withColumn(
+        "period",
+        F.when(F.col("ts_us") < cut, F.lit("ref")).otherwise(F.lit("cmp")),
+    )
+    out = psi(
+        ev, group_cols=["event_type"], period_col="period",
+        value_col="value", ref_period="ref", cmp_period="cmp",
+    )
+    return out.select(
+        "event_type", "n_ref", "n_cmp",
+        ((F.floor(F.col("psi") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("psi"),
+    )
+
+
+_SQL_PSI = """
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < 1705363200000000
+              THEN 'ref' ELSE 'cmp' END AS period,
+         value
+  FROM events
+),
+edges AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS e
+  FROM base WHERE period = 'ref' GROUP BY 1
+),
+bucketed AS (
+  SELECT b.event_type, b.period,
+         1 + list_reduce(list_prepend(0,
+               list_transform(e, x -> CASE WHEN b.value > x THEN 1 ELSE 0 END)),
+             (acc, v) -> acc + v) AS bk
+  FROM base b JOIN edges USING (event_type)
+),
+counts AS (
+  SELECT event_type, bk,
+         CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         CAST(SUM(CASE WHEN period = 'cmp' THEN 1 ELSE 0 END) AS BIGINT) AS c_cmp
+  FROM bucketed GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(c_cmp) AS BIGINT) AS n_cmp
+  FROM counts GROUP BY 1
+),
+cells AS (
+  SELECT c.event_type,
+         GREATEST(c.c_ref * 1.0 / t.n_ref, 0.0001) AS p_ref,
+         GREATEST(c.c_cmp * 1.0 / t.n_cmp, 0.0001) AS p_cmp
+  FROM counts c JOIN tot t USING (event_type)
+),
+s AS (
+  SELECT event_type, SUM((p_cmp - p_ref) * LN(p_cmp / p_ref)) AS psi
+  FROM cells GROUP BY 1
+)
+SELECT t.event_type, t.n_ref, t.n_cmp,
+       FLOOR(s.psi * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS psi
+FROM tot t JOIN s USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4731,6 +4807,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "mannwhitney_ab": QueryDef(q_mannwhitney_ab, _SQL_MANNWHITNEY),
     "bootstrap_ci": QueryDef(q_bootstrap_ci, _SQL_BOOTSTRAP),
     "events_ks_ab": QueryDef(q_events_ks_ab, _SQL_KS),
+    "events_psi": QueryDef(q_events_psi, _SQL_PSI),
 }
 
 

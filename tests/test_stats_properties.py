@@ -533,3 +533,30 @@ def test_ks_two_sample_matches_scalar_math(spark):
 
     assert out["same"]["d_stat"] == 0.0 and out["same"]["p_value"] == 1.0
     assert out["disj"]["d_stat"] == 1.0 and out["disj"]["p_value"] < 0.2
+
+
+def test_psi_detects_planted_shift(spark):
+    """PSI: identical distributions score ~0 (< 0.1 'stable' band); a
+    planted location shift scores > 0.25 ('shifted' band); empty-bucket
+    epsilon keeps disjoint supports finite; a missing period gates NULL."""
+    from etl_for_all_studies_spark.functions.drift import psi
+
+    stable = [("g", "ref", float(i % 100)) for i in range(2000)]
+    stable += [("g", "cmp", float((i * 7) % 100)) for i in range(2000)]
+    shifted = [("s", "ref", float(i % 100)) for i in range(2000)]
+    shifted += [("s", "cmp", 60.0 + float(i % 100)) for i in range(2000)]
+    lonely = [("l", "ref", float(i)) for i in range(50)]
+    df = spark.createDataFrame(
+        stable + shifted + lonely, "grp string, period string, v double"
+    )
+    out = {
+        r["grp"]: r.asDict()
+        for r in psi(
+            df, group_cols=["grp"], period_col="period", value_col="v",
+            ref_period="ref", cmp_period="cmp",
+        ).collect()
+    }
+    assert out["g"]["psi"] < 0.1
+    assert out["s"]["psi"] > 0.25
+    assert out["s"]["psi"] == out["s"]["psi"]  # finite, not NaN/Inf
+    assert out["l"]["psi"] is None and out["l"]["n_cmp"] == 0
