@@ -4705,6 +4705,71 @@ FROM tot t JOIN s USING (event_type)
 
 
 # --------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# --------------------------------------------------------------------------
+
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED adjustment per event type: units are users, the covariate is
+    each user's pre-cut mean value, the metric the post-cut mean
+    (``functions/experiments.py``). Per-unit pre/post come from two masked
+    aggregates in ONE pass; θ from one covar/var aggregation per group;
+    the adjustment is a projection. Users without history fall back to the
+    unadjusted metric (θ·0), exactly as the oracle replays."""
+    from .functions.experiments import cuped_adjust
+
+    cut = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z epoch micros
+    ev = _events(spark, sf_dir)
+    per_unit = ev.groupBy("event_type", "user_id").agg(
+        F.avg(F.when(F.col("ts_us") < cut, F.col("value"))).alias("pre"),
+        F.avg(F.when(F.col("ts_us") >= cut, F.col("value"))).alias("post"),
+    ).where(F.col("post").isNotNull())
+    out = cuped_adjust(
+        per_unit, group_cols=["event_type"], unit_col="user_id",
+        pre_col="pre", post_col="post",
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "event_type", "user_id",
+        _g("pre").alias("pre"), _g("post").alias("post"),
+        _g("theta").alias("theta"), _g("adjusted").alias("adjusted"),
+    )
+
+
+_SQL_CUPED = """
+WITH per_unit AS (
+  SELECT event_type, user_id,
+         AVG(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < 1705363200000000
+                  THEN value END) AS pre,
+         AVG(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= 1705363200000000
+                  THEN value END) AS post
+  FROM events GROUP BY 1, 2
+),
+units AS (SELECT * FROM per_unit WHERE post IS NOT NULL),
+stats AS (
+  SELECT event_type, COVAR_SAMP(pre, post) AS cv, VAR_SAMP(pre) AS vr,
+         AVG(pre) AS mean_pre
+  FROM units GROUP BY 1
+),
+adj AS (
+  SELECT u.event_type, u.user_id, u.pre, u.post,
+         CASE WHEN s.vr > 0 THEN s.cv / s.vr ELSE 0.0 END AS theta,
+         u.post - (CASE WHEN s.vr > 0 THEN s.cv / s.vr ELSE 0.0 END)
+                  * COALESCE(u.pre - s.mean_pre, 0.0) AS adjusted
+  FROM units u JOIN stats s USING (event_type)
+)
+SELECT event_type, user_id,
+       FLOOR(pre * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS pre,
+       FLOOR(post * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS post,
+       FLOOR(theta * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS theta,
+       FLOOR(adjusted * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS adjusted
+FROM adj
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4808,6 +4873,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "bootstrap_ci": QueryDef(q_bootstrap_ci, _SQL_BOOTSTRAP),
     "events_ks_ab": QueryDef(q_events_ks_ab, _SQL_KS),
     "events_psi": QueryDef(q_events_psi, _SQL_PSI),
+    "events_cuped": QueryDef(q_events_cuped, _SQL_CUPED),
 }
 
 

@@ -560,3 +560,36 @@ def test_psi_detects_planted_shift(spark):
     assert out["s"]["psi"] > 0.25
     assert out["s"]["psi"] == out["s"]["psi"]  # finite, not NaN/Inf
     assert out["l"]["psi"] is None and out["l"]["n_cmp"] == 0
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark):
+    """CUPED on correlated planted data: the adjusted metric's variance
+    drops by ~rho^2, the group mean is preserved (theta*(X - E[X]) has
+    zero mean), no-history units pass through unadjusted, and a
+    zero-variance covariate yields theta=0."""
+    import random
+    import statistics
+
+    from etl_for_all_studies_spark.functions.experiments import cuped_adjust
+
+    rng = random.Random(11)
+    rows = []
+    for u in range(400):
+        x = rng.gauss(10, 2)
+        y = 0.8 * x + rng.gauss(0, 1)      # strongly pre-correlated metric
+        rows.append(("g", u, x, y))
+    rows.append(("g", 9999, None, 5.0))     # no history
+    rows += [("flat", 1, 3.0, 1.0), ("flat", 2, 3.0, 9.0)]  # var(X)=0
+    df = spark.createDataFrame(rows, "grp string, unit long, pre double, post double")
+    out = cuped_adjust(
+        df, group_cols=["grp"], unit_col="unit", pre_col="pre", post_col="post"
+    )
+    g = [r.asDict() for r in out.where("grp = 'g'").collect()]
+    posts = [r["post"] for r in g]
+    adjs = [r["adjusted"] for r in g]
+    assert statistics.fmean(adjs) == pytest.approx(statistics.fmean(posts), abs=1e-9)
+    assert statistics.pvariance(adjs) < 0.5 * statistics.pvariance(posts)
+    no_hist = next(r for r in g if r["unit"] == 9999)
+    assert no_hist["adjusted"] == no_hist["post"]
+    flat = out.where("grp = 'flat'").collect()
+    assert all(r["theta"] == 0.0 and r["adjusted"] == r["post"] for r in flat)
