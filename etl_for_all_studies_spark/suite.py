@@ -4770,6 +4770,83 @@ FROM adj
 
 
 # --------------------------------------------------------------------------
+# Kaplan–Meier churn curves (right-censored survival)
+# --------------------------------------------------------------------------
+
+def q_user_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-M survival of user activity spans per cohort: duration = whole
+    days between a user's first and last event; users still active in the
+    final 3 days of the window are right-CENSORED, not churned — the
+    distinction naive averages get wrong (``functions/survival.py``). The
+    curve computes over distinct durations; ln/exp cumulative products are
+    grid-snapped for the oracle."""
+    from .functions.survival import kaplan_meier
+
+    censor_cut = 1_706_400_000_000_000  # 2024-01-28T00:00:00Z epoch micros
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("first_us"), F.max("ts_us").alias("last_us")
+    ).select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.floor((F.col("last_us") - F.col("first_us")) / 86_400_000_000)
+        .alias("duration_days"),
+        (F.col("last_us") < censor_cut).cast("long").alias("churned"),
+    )
+    out = kaplan_meier(
+        per_user, group_cols=["cohort"], duration_col="duration_days",
+        event_col="churned",
+    )
+    return out.select(
+        "cohort", "duration_days", "n_risk", "n_events", "n_censored",
+        ((F.floor(F.col("survival") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("survival"),
+    )
+
+
+_SQL_SURVIVAL = """
+WITH per_user AS (
+  SELECT user_id % 2 AS cohort,
+         CAST(FLOOR((MAX(epoch_us(CAST(ts AS TIMESTAMP)))
+                     - MIN(epoch_us(CAST(ts AS TIMESTAMP)))) / 86400000000)
+              AS BIGINT) AS duration_days,
+         CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) < 1706400000000000
+              AS BIGINT) AS churned
+  FROM events GROUP BY user_id
+),
+per_t AS (
+  SELECT cohort, duration_days,
+         CAST(SUM(churned) AS BIGINT) AS n_events,
+         CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+  FROM per_user GROUP BY 1, 2
+),
+stepped AS (
+  SELECT *,
+    CAST(SUM(n_events + n_censored) OVER (PARTITION BY cohort)
+         - COALESCE(SUM(n_events + n_censored) OVER (
+             PARTITION BY cohort ORDER BY duration_days ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS n_risk
+  FROM per_t
+),
+curve AS (
+  SELECT *,
+    MAX(CASE WHEN 1.0 - n_events * 1.0 / n_risk <= 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY cohort ORDER BY duration_days ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hit_zero,
+    SUM(CASE WHEN 1.0 - n_events * 1.0 / n_risk > 0
+             THEN LN(1.0 - n_events * 1.0 / n_risk) END)
+      OVER (PARTITION BY cohort ORDER BY duration_days ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS log_surv
+  FROM stepped
+)
+SELECT cohort, duration_days, n_risk, n_events, n_censored,
+       FLOOR((CASE WHEN hit_zero = 1 THEN 0.0 ELSE EXP(log_surv) END)
+             * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS survival
+FROM curve
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4874,6 +4951,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_ks_ab": QueryDef(q_events_ks_ab, _SQL_KS),
     "events_psi": QueryDef(q_events_psi, _SQL_PSI),
     "events_cuped": QueryDef(q_events_cuped, _SQL_CUPED),
+    "user_survival": QueryDef(q_user_survival, _SQL_SURVIVAL),
 }
 
 

@@ -593,3 +593,40 @@ def test_cuped_reduces_variance_and_preserves_means(spark):
     assert no_hist["adjusted"] == no_hist["post"]
     flat = out.where("grp = 'flat'").collect()
     assert all(r["theta"] == 0.0 and r["adjusted"] == r["post"] for r in flat)
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """K-M on the classic worked example (6,6,6,6*,7,9*,10,13: * censored):
+    survival steps match the hand-computed product-limit values; censored
+    units shrink the risk set without dropping the curve; an all-events
+    time drives survival to exact 0 and keeps it there."""
+    from etl_for_all_studies_spark.functions.survival import kaplan_meier
+
+    rows = [
+        ("g", 6, 1), ("g", 6, 1), ("g", 6, 1), ("g", 6, 0),
+        ("g", 7, 1), ("g", 9, 0), ("g", 10, 1), ("g", 13, 1),
+    ]
+    # terminal zero: at the last time point every remaining unit events
+    # (d = n is only reachable at the final time — any longer-lived unit
+    # would still be in the risk set), survival lands on exact 0
+    rows += [("z", 1, 1), ("z", 2, 1), ("z", 2, 1), ("z", 2, 1)]
+    df = spark.createDataFrame(rows, "grp string, d long, e int")
+    out = {
+        (r["grp"], r["d"]): r.asDict()
+        for r in kaplan_meier(
+            df, group_cols=["grp"], duration_col="d", event_col="e"
+        ).collect()
+    }
+    s6 = 1 * (1 - 3 / 8)                  # 8 at risk, 3 events
+    s7 = s6 * (1 - 1 / 4)                 # 4 remain (censor left too)
+    s10 = s7 * (1 - 1 / 2)                # censored at 9 left without event
+    s13 = s10 * (1 - 1 / 1)               # last unit dies → 0
+    assert out[("g", 6)]["n_risk"] == 8
+    assert out[("g", 6)]["survival"] == pytest.approx(s6, abs=1e-12)
+    assert out[("g", 7)]["survival"] == pytest.approx(s7, abs=1e-12)
+    assert out[("g", 9)]["survival"] == pytest.approx(s7, abs=1e-12)  # censor-only time
+    assert out[("g", 10)]["survival"] == pytest.approx(s10, abs=1e-12)
+    assert out[("g", 13)]["survival"] == 0.0
+
+    assert out[("z", 1)]["survival"] == pytest.approx(0.75, abs=1e-12)
+    assert out[("z", 2)]["survival"] == 0.0
