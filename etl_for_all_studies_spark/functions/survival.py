@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .stats import normal_cdf_expr
+
 
 def kaplan_meier(
     df: DataFrame,
@@ -80,4 +82,86 @@ def kaplan_meier(
     return stepped.withColumn("survival", survival)
 
 
-__all__ = ["kaplan_meier"]
+def logrank_test(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    cohort_col: str,
+    duration_col: str,
+    event_col: str,
+    cohort_a,
+    cohort_b,
+) -> DataFrame:
+    """Two-cohort log-rank test (Mantel–Cox): are the survival curves the
+    same? The hypothesis test that belongs next to :func:`kaplan_meier`'s
+    picture.
+
+    At every distinct pooled event time, cohort A's observed events are
+    compared with the expectation under H₀ (events split ∝ at-risk
+    counts): ``O−E = Σ(d_At − d_t·n_At/n_t)``, hypergeometric variance
+    ``V = Σ d_t·(n_At/n_t)(1−n_At/n_t)(n_t−d_t)/(n_t−1)``, and
+    ``χ² = (O−E)²/V`` with ONE degree of freedom — whose survival function
+    is ``2(1−Φ(√χ²))``, i.e. exactly the shared A&S closed form; no
+    incomplete gamma needed, and the oracle replays it term-for-term.
+
+    Same scale shape as the estimator: everything reduces to distinct
+    durations before any window. Output: group_cols + (n_a, n_b, o_minus_e,
+    var_oe, chi2, p_value) — NULL-gated when either cohort is empty or V=0.
+    """
+    both = df.where(F.col(cohort_col).isin([cohort_a, cohort_b]))
+    in_a = (F.col(cohort_col) == cohort_a).cast("long")
+    per_t = both.groupBy(*group_cols, duration_col).agg(
+        F.sum(in_a * F.col(event_col)).alias("d_a"),
+        F.sum((1 - in_a) * F.col(event_col)).alias("d_b"),
+        F.sum(in_a).alias("u_a"),
+        F.sum(F.lit(1) - in_a).alias("u_b"),
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(duration_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_a_t = F.sum("u_a").over(w_tot) - F.coalesce(
+        F.sum("u_a").over(w_prev), F.lit(0)
+    )
+    n_b_t = F.sum("u_b").over(w_tot) - F.coalesce(
+        F.sum("u_b").over(w_prev), F.lit(0)
+    )
+    stepped = per_t.select(
+        *group_cols, duration_col, "d_a", "d_b",
+        n_a_t.alias("na"), n_b_t.alias("nb"),
+    )
+    d_t = F.col("d_a") + F.col("d_b")
+    n_t = F.col("na") + F.col("nb")
+    e_a = d_t * F.col("na") / n_t
+    v_t = F.when(
+        n_t > 1,
+        d_t
+        * (F.col("na") / n_t)
+        * (F.lit(1.0) - F.col("na") / n_t)
+        * (n_t - d_t)
+        / (n_t - 1),
+    ).otherwise(F.lit(0.0))
+    agg = stepped.groupBy(*group_cols).agg(
+        F.max("na").alias("__na0"),  # first time's risk set = cohort size
+        F.max("nb").alias("__nb0"),
+        F.sum(F.col("d_a") - e_a).alias("o_minus_e"),
+        F.sum(v_t).alias("var_oe"),
+    )
+    ok = (F.col("__na0") > 0) & (F.col("__nb0") > 0) & (F.col("var_oe") > 0)
+    chi2 = F.col("o_minus_e") * F.col("o_minus_e") / F.col("var_oe")
+    p = F.lit(2.0) * (F.lit(1.0) - normal_cdf_expr(F.sqrt(chi2)))
+    p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    return agg.select(
+        *group_cols,
+        F.col("__na0").alias("n_a"),
+        F.col("__nb0").alias("n_b"),
+        F.when(ok, F.col("o_minus_e")).alias("o_minus_e"),
+        F.when(ok, F.col("var_oe")).alias("var_oe"),
+        F.when(ok, chi2).alias("chi2"),
+        F.when(ok, p).alias("p_value"),
+    )
+
+
+__all__ = ["kaplan_meier", "logrank_test"]

@@ -4847,6 +4847,102 @@ FROM curve
 
 
 # --------------------------------------------------------------------------
+# log-rank test (are the two churn curves the same?)
+# --------------------------------------------------------------------------
+
+def q_user_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel–Cox log-rank on customer purchase lifespans (orders spans
+    1995-2001, so churn/censoring genuinely mixes — the events window is
+    too short for anyone to churn): duration = whole months between a
+    customer's first and last order, churned unless the last order falls
+    in the final year. O−E and the hypergeometric variance accumulate over
+    distinct pooled times; the 1-df χ² p reduces to the shared A&S normal
+    form (no incomplete gamma), so the oracle replays it exactly."""
+    from .functions.survival import logrank_test
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    ).select(
+        F.lit("all").alias("family"),
+        (F.col("o_custkey") % 2).alias("cohort"),
+        F.floor(F.datediff("last_d", "first_d") / 30).alias("duration_months"),
+        (F.col("last_d") < F.lit("2000-08-01").cast("timestamp"))
+        .cast("long")
+        .alias("churned"),
+    )
+    out = logrank_test(
+        per_cust, group_cols=["family"], cohort_col="cohort",
+        duration_col="duration_months", event_col="churned",
+        cohort_a=0, cohort_b=1,
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "family", "n_a", "n_b",
+        _g("o_minus_e").alias("o_minus_e"), _g("var_oe").alias("var_oe"),
+        _g("chi2").alias("chi2"), _g("p_value").alias("p_value"),
+    )
+
+
+_SQL_LOGRANK = f"""
+WITH per_user AS (
+  SELECT 'all' AS family, o_custkey % 2 AS cohort,
+         CAST(FLOOR(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) / 30)
+              AS BIGINT) AS duration_months,
+         CAST(MAX(o_orderdate) < TIMESTAMP '2000-08-01' AS BIGINT) AS churned
+  FROM orders GROUP BY o_custkey
+),
+per_t AS (
+  SELECT family, duration_months,
+         SUM(CASE WHEN cohort = 0 THEN churned ELSE 0 END) AS d_a,
+         SUM(CASE WHEN cohort = 1 THEN churned ELSE 0 END) AS d_b,
+         SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS u_a,
+         SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS u_b
+  FROM per_user GROUP BY 1, 2
+),
+stepped AS (
+  SELECT *,
+    SUM(u_a) OVER (PARTITION BY family)
+      - COALESCE(SUM(u_a) OVER (PARTITION BY family ORDER BY duration_months ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na,
+    SUM(u_b) OVER (PARTITION BY family)
+      - COALESCE(SUM(u_b) OVER (PARTITION BY family ORDER BY duration_months ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM per_t
+),
+agg AS (
+  SELECT family,
+         CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+         SUM(d_a - (d_a + d_b) * na * 1.0 / (na + nb)) AS o_minus_e,
+         SUM(CASE WHEN na + nb > 1
+              THEN (d_a + d_b) * (na * 1.0 / (na + nb))
+                   * (1.0 - na * 1.0 / (na + nb))
+                   * ((na + nb) - (d_a + d_b)) * 1.0 / ((na + nb) - 1)
+              ELSE 0.0 END) AS var_oe
+  FROM stepped GROUP BY 1
+),
+p AS (
+  SELECT *,
+    o_minus_e * o_minus_e / var_oe AS chi2,
+    LEAST(GREATEST(2.0 * (1.0 - (0.5 * (1.0
+      + {_SQL_ERF.format(y="(SQRT(o_minus_e * o_minus_e / var_oe)/SQRT(2.0))")}))),
+      0.0), 1.0) AS p_value
+  FROM agg WHERE n_a > 0 AND n_b > 0 AND var_oe > 0
+)
+SELECT family, n_a, n_b,
+       FLOOR(o_minus_e * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS o_minus_e,
+       FLOOR(var_oe * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS var_oe,
+       FLOOR(chi2 * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS chi2,
+       FLOOR(p_value * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS p_value
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4952,6 +5048,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_psi": QueryDef(q_events_psi, _SQL_PSI),
     "events_cuped": QueryDef(q_events_cuped, _SQL_CUPED),
     "user_survival": QueryDef(q_user_survival, _SQL_SURVIVAL),
+    "user_logrank": QueryDef(q_user_logrank, _SQL_LOGRANK),
 }
 
 

@@ -630,3 +630,45 @@ def test_kaplan_meier_textbook_curve(spark):
 
     assert out[("z", 1)]["survival"] == pytest.approx(0.75, abs=1e-12)
     assert out[("z", 2)]["survival"] == 0.0
+
+
+def test_logrank_matches_scalar_math_and_detects_separation(spark):
+    """Log-rank on planted curves: identical cohorts give chi2~0/p~1;
+    clearly separated survival gives a small p; O-E and V match the
+    hand-accumulated hypergeometric terms."""
+    from etl_for_all_studies_spark.functions.survival import logrank_test
+
+    sep = [("s", 0, d, 1) for d in (1, 2, 3, 4, 5, 6)]
+    sep += [("s", 1, d, 1) for d in (11, 12, 13, 14, 15, 16)]
+    same = [("e", c, d, 1) for c in (0, 1) for d in (1, 2, 3)]
+    df = spark.createDataFrame(
+        sep + same, "fam string, cohort int, dur long, ev int"
+    )
+    out = {
+        r["fam"]: r.asDict()
+        for r in logrank_test(
+            df, group_cols=["fam"], cohort_col="cohort", duration_col="dur",
+            event_col="ev", cohort_a=0, cohort_b=1,
+        ).collect()
+    }
+
+    # scalar accumulation for the separated family
+    units = [(0, d) for d in (1, 2, 3, 4, 5, 6)] + [(1, d) for d in (11, 12, 13, 14, 15, 16)]
+    o_e, v = 0.0, 0.0
+    for t in sorted({d for _, d in units}):
+        na = sum(1 for c, d in units if d >= t and c == 0)
+        nb = sum(1 for c, d in units if d >= t and c == 1)
+        da = sum(1 for c, d in units if d == t and c == 0)
+        dt = sum(1 for _, d in units if d == t)
+        n = na + nb
+        o_e += da - dt * na / n
+        if n > 1:
+            v += dt * (na / n) * (1 - na / n) * (n - dt) / (n - 1)
+    s = out["s"]
+    assert s["o_minus_e"] == pytest.approx(o_e, abs=1e-9)
+    assert s["var_oe"] == pytest.approx(v, abs=1e-9)
+    assert s["p_value"] < 0.01  # fully separated curves
+
+    e = out["e"]
+    assert e["o_minus_e"] == pytest.approx(0.0, abs=1e-9)
+    assert e["p_value"] == pytest.approx(1.0, abs=1e-6)
