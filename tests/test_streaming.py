@@ -581,3 +581,57 @@ def test_stream_left_outer_attribution_emits_orphans_after_watermark(spark, tmp_
     # finalization waits for the watermark
     assert rows[11]["matched"] == 1 and rows[13]["matched"] == 1
     assert set(rows) == {1, 2, 11, 13}
+
+
+def test_stream_drift_monitor_scores_batches_against_frozen_reference(spark, tmp_path):
+    """Per-micro-batch PSI audit: an in-distribution batch lands in the
+    stable band (< 0.1), a shifted batch in the alert band (> 0.25); one
+    audit row per (batch, group); restart drains only new files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_for_all_studies_spark.streaming.monitoring import stream_monitor_drift
+
+    src = tmp_path / "metrics"
+    src.mkdir()
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    def shard(name, vals):
+        pq.write_table(
+            pa.table({
+                "grp": pa.array(["g"] * len(vals), pa.string()),
+                "v": pa.array(vals, pa.float64()),
+            }),
+            str(src / name),
+        )
+
+    reference = spark.createDataFrame(
+        [("g", float(i % 100)) for i in range(2000)], "grp string, v double"
+    )
+    shard("b0.parquet", [float((i * 7) % 100) for i in range(1000)])   # in-dist
+    shard("b1.parquet", [70.0 + float(i % 100) for i in range(1000)])  # shifted
+
+    def stream():
+        return (
+            spark.readStream.schema("grp string, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+    stream_monitor_drift(
+        stream(), reference, audit, ckpt, group_cols=["grp"], value_col="v"
+    )
+    rows = {r["batch_id"]: r.asDict() for r in spark.read.parquet(audit).collect()}
+    assert len(rows) == 2
+    scores = sorted(v["psi"] for v in rows.values())
+    assert scores[0] < 0.1 and scores[1] > 0.25
+    assert all(v["n_cmp"] == 1000 and v["n_ref"] == 2000 for v in rows.values())
+
+    # restart: only the NEW file is scored
+    shard("b2.parquet", [float(i % 100) for i in range(500)])
+    stream_monitor_drift(
+        stream(), reference, audit, ckpt, group_cols=["grp"], value_col="v"
+    )
+    after = spark.read.parquet(audit).count()
+    assert after == 3
