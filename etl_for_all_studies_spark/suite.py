@@ -4943,6 +4943,81 @@ FROM p
 
 
 # --------------------------------------------------------------------------
+# distributed OLS (normal equations, driver-bounded solve)
+# --------------------------------------------------------------------------
+
+def q_lineitem_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of extended price on (quantity, discount): ONE
+    Gram-matrix aggregation pass + a groups×d²-bounded numpy solve
+    (``functions/regression.py``). The oracle solves the same 3×3 normal
+    equations by Cramer's rule — algebraically identical, numerically a
+    different path, so coefficients snap to a 1e-4 grid (the raw normal
+    equations' condition number amplifies last-ulp sum noise ~1e4×; the
+    grid leaves 4+ orders of margin)."""
+    from .functions.regression import ols_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ols_fit(
+        li, feature_cols=["l_quantity", "l_discount"],
+        label_col="l_extendedprice", group_cols=["l_returnflag"],
+    )
+
+    def _g4(c):
+        return (F.floor(c * 10000.0 + F.lit(0.5001)) / 10000.0) + F.lit(0.0)
+
+    return out.select(
+        "l_returnflag", "n",
+        _g4(F.col("intercept")).alias("intercept"),
+        _g4(F.col("coef")[0]).alias("coef_qty"),
+        _g4(F.col("coef")[1]).alias("coef_disc"),
+        ((F.floor(F.col("r2") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("r2"),
+    )
+
+
+_SQL_OLS = """
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(l_quantity) AS sq, SUM(l_discount) AS sd,
+         SUM(l_extendedprice) AS sy,
+         SUM(l_quantity * l_quantity) AS sqq,
+         SUM(l_quantity * l_discount) AS sqd,
+         SUM(l_discount * l_discount) AS sdd,
+         SUM(l_quantity * l_extendedprice) AS sqy,
+         SUM(l_discount * l_extendedprice) AS sdy,
+         SUM(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem GROUP BY 1
+),
+b AS (
+  SELECT *,
+    n*(sqq*sdd-sqd*sqd) - sq*(sq*sdd-sqd*sd) + sd*(sq*sqd-sqq*sd) AS det,
+    sy*(sqq*sdd-sqd*sqd) - sq*(sqy*sdd-sqd*sdy) + sd*(sqy*sqd-sqq*sdy) AS det0,
+    n*(sqy*sdd-sdy*sqd) - sy*(sq*sdd-sqd*sd) + sd*(sq*sdy-sqy*sd) AS det1,
+    n*(sqq*sdy-sqd*sqy) - sq*(sq*sdy-sqy*sd) + sy*(sq*sqd-sqq*sd) AS det2
+  FROM s
+),
+fit AS (
+  SELECT l_returnflag, n,
+         det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+         syy, sy, sqy, sdy
+  FROM b
+),
+r AS (
+  SELECT *,
+    1.0 - GREATEST(syy - (b0*sy + b1*sqy + b2*sdy), 0.0)
+          / (syy - sy*sy / n) AS r2
+  FROM fit
+)
+SELECT l_returnflag, n,
+       FLOOR(b0 * 10000.0 + 0.5001) / 10000.0 + 0.0 AS intercept,
+       FLOOR(b1 * 10000.0 + 0.5001) / 10000.0 + 0.0 AS coef_qty,
+       FLOOR(b2 * 10000.0 + 0.5001) / 10000.0 + 0.0 AS coef_disc,
+       FLOOR(r2 * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS r2
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5049,6 +5124,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_cuped": QueryDef(q_events_cuped, _SQL_CUPED),
     "user_survival": QueryDef(q_user_survival, _SQL_SURVIVAL),
     "user_logrank": QueryDef(q_user_logrank, _SQL_LOGRANK),
+    "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
 }
 
 

@@ -672,3 +672,53 @@ def test_logrank_matches_scalar_math_and_detects_separation(spark):
     e = out["e"]
     assert e["o_minus_e"] == pytest.approx(0.0, abs=1e-9)
     assert e["p_value"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ols_fit_exact_recovery_and_numpy_parity(spark):
+    """OLS: (a) exact-linear data recovers the planted coefficients to
+    1e-9; (b) noisy grouped data matches numpy lstsq; (c) a singular
+    design (constant feature) yields NULLs, not a crash; (d) R² = 1 on
+    exact data, in (0,1) on noisy."""
+    import random
+
+    import numpy as np
+
+    from etl_for_all_studies_spark.functions.regression import ols_fit
+
+    rng = random.Random(3)
+    exact = [
+        ("e", x1, x2, 2.0 + 3.0 * x1 - 1.5 * x2)
+        for x1, x2 in [(rng.uniform(0, 10), rng.uniform(-5, 5)) for _ in range(40)]
+    ]
+    noisy = [
+        ("n", x1, x2, 1.0 + 0.5 * x1 + 2.0 * x2 + rng.gauss(0, 0.3))
+        for x1, x2 in [(rng.uniform(0, 10), rng.uniform(-5, 5)) for _ in range(200)]
+    ]
+    # constant x1 is collinear with the intercept column → singular X'X
+    singular = [("s", 1.0, float(i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(
+        exact + noisy + singular, "grp string, x1 double, x2 double, y double"
+    )
+    out = {
+        r["grp"]: r.asDict()
+        for r in ols_fit(
+            df, feature_cols=["x1", "x2"], label_col="y", group_cols=["grp"]
+        ).collect()
+    }
+    e = out["e"]
+    assert e["intercept"] == pytest.approx(2.0, abs=1e-9)
+    assert e["coef"][0] == pytest.approx(3.0, abs=1e-9)
+    assert e["coef"][1] == pytest.approx(-1.5, abs=1e-9)
+    assert e["r2"] == pytest.approx(1.0, abs=1e-9)
+
+    nrows = [(x1, x2, y) for g, x1, x2, y in noisy]
+    X = np.array([[1.0, x1, x2] for x1, x2, _ in nrows])
+    yv = np.array([y for _, _, y in nrows])
+    beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+    nr = out["n"]
+    assert nr["intercept"] == pytest.approx(beta[0], abs=1e-8)
+    assert nr["coef"][0] == pytest.approx(beta[1], abs=1e-8)
+    assert nr["coef"][1] == pytest.approx(beta[2], abs=1e-8)
+    assert 0.9 < nr["r2"] < 1.0
+
+    assert out["s"]["intercept"] is None and out["s"]["coef"] is None
