@@ -5018,6 +5018,64 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# multi-touch attribution (time-decay credit for purchases)
+# --------------------------------------------------------------------------
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution of purchases to the day's preceding
+    views/clicks (``operators/attribution.py``): user-keyed equi-join with
+    the lookback window as a post-filter (the correlation-join shape);
+    per-conversion normalization makes total credit = #attributed
+    purchases — the conservation invariant the summary exposes."""
+    from .operators.attribution import attribute_conversions, attribution_summary
+
+    ev = _events(spark, sf_dir)
+    credits = attribute_conversions(
+        ev, conversion_type="purchase", touch_types=("view", "click"),
+        window_us=86_400_000_000, model="time_decay",
+        half_life_us=3_600_000_000,
+    )
+    out = attribution_summary(credits)
+    return out.select(
+        "touch_type", "n_touches",
+        ((F.floor(F.col("credit") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("credit"),
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events
+),
+conv AS (
+  SELECT user_id AS u, event_id AS conversion_id, ts_us AS c_ts
+  FROM ev WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS u, event_id AS touch_id, event_type AS touch_type,
+         ts_us AS t_ts
+  FROM ev WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT conversion_id, touch_id, touch_type,
+         POWER(2.0, -(c_ts - t_ts) * 1.0 / 3600000000) AS raw
+  FROM conv JOIN touch USING (u)
+  WHERE t_ts <= c_ts AND t_ts > c_ts - 86400000000
+),
+weighted AS (
+  SELECT touch_type,
+         raw / SUM(raw) OVER (PARTITION BY conversion_id) AS weight
+  FROM pairs
+)
+SELECT touch_type, COUNT(*) AS n_touches,
+       FLOOR(SUM(weight) * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS credit
+FROM weighted GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5125,6 +5183,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "user_survival": QueryDef(q_user_survival, _SQL_SURVIVAL),
     "user_logrank": QueryDef(q_user_logrank, _SQL_LOGRANK),
     "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
+    "events_attribution": QueryDef(q_events_attribution, _SQL_ATTRIBUTION),
 }
 
 
