@@ -93,4 +93,39 @@ def stream_apply_changelog(
     q.awaitTermination(await_seconds)
 
 
-__all__ = ["read_table_state", "stream_apply_changelog"]
+def vacuum_table(table_dir: str, *, keep_last: int = 2) -> list[str]:
+    """Remove snapshot versions older than the ``keep_last`` most recent,
+    never touching the live version — the retention pass that keeps the
+    versioned-commit layout from growing without bound.
+
+    Safety order mirrors the commit protocol in reverse: the pointer is
+    read FIRST, the live version (and the newest ``keep_last − 1`` others)
+    are exempted, and only then are older ``v=*`` directories deleted —
+    a concurrent reader resolving the pointer can never observe its
+    version vanish. Returns the deleted version ids (for the audit log).
+    """
+    import shutil
+
+    pointer = os.path.join(table_dir, _VERSION_FILE)
+    if not os.path.exists(pointer):
+        return []
+    with open(pointer) as fh:
+        live = fh.read().strip()
+    versions = sorted(
+        (
+            d[len("v="):]
+            for d in os.listdir(table_dir)
+            if d.startswith("v=") and os.path.isdir(os.path.join(table_dir, d))
+        ),
+        key=int,
+    )
+    keep = set(versions[-keep_last:]) | {live}
+    deleted = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+            deleted.append(v)
+    return deleted
+
+
+__all__ = ["read_table_state", "stream_apply_changelog", "vacuum_table"]

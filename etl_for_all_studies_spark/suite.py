@@ -5076,6 +5076,44 @@ FROM weighted GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# leave-one-out target encoding (leakage-free categorical features)
+# --------------------------------------------------------------------------
+
+def q_segment_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed LOO target encoding of market segment against account
+    balance (``operators/features.py``): category totals aggregate once
+    and broadcast back; each row's own label is subtracted in a projection
+    so its feature never sees itself; smoothing m=10 shrinks toward the
+    global prior. Pure shared-operand arithmetic → the unrounded values
+    agree and only the output is grid-snapped."""
+    from .operators.features import target_encode_loo
+
+    cust = _t(spark, sf_dir, "customer")
+    out = target_encode_loo(
+        cust, category_col="c_mktsegment", label_col="c_acctbal",
+        smoothing=10.0,
+    )
+    return out.select(
+        "c_custkey", "c_mktsegment",
+        ((F.floor(F.col("te") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("te"),
+    )
+
+
+_SQL_TARGET_ENCODE = """
+WITH cat AS (
+  SELECT c_mktsegment, SUM(c_acctbal) AS s, COUNT(c_acctbal) AS n
+  FROM customer GROUP BY 1
+),
+prior AS (SELECT AVG(c_acctbal) AS p FROM customer)
+SELECT c.c_custkey, c.c_mktsegment,
+       FLOOR(((cat.s - c.c_acctbal + 10.0 * prior.p)
+              / (cat.n - 1 + 10.0)) * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS te
+FROM customer c JOIN cat USING (c_mktsegment) CROSS JOIN prior
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5184,6 +5222,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "user_logrank": QueryDef(q_user_logrank, _SQL_LOGRANK),
     "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
     "events_attribution": QueryDef(q_events_attribution, _SQL_ATTRIBUTION),
+    "segment_target_encode": QueryDef(q_segment_target_encode, _SQL_TARGET_ENCODE),
 }
 
 

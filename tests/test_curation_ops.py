@@ -584,3 +584,31 @@ def test_assign_splits_disjoint_stable_and_banded(spark):
 
     with _pytest.raises(ValueError):
         assign_splits(df, key_col="doc_id", fractions={"a": 0.9, "b": 0.2})
+
+
+def test_target_encode_loo_leakage_free_and_smoothed(spark):
+    """LOO encoding: a row's feature excludes its own label (two rows of a
+    category see different encodings when labels differ), singletons fall
+    back toward the prior, NULL labels get the full-category mean."""
+    from etl_for_all_studies_spark.operators.features import target_encode_loo
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+        (4, "b", 100.0),                 # singleton
+        (5, "a", None),                  # NULL label
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    m = 4.0
+    prior = (10 + 20 + 30 + 100) / 4
+    got = {
+        r["id"]: r["te"]
+        for r in target_encode_loo(
+            df, category_col="cat", label_col="y", smoothing=m
+        ).collect()
+    }
+    assert got[1] == pytest.approx((60 - 10 + m * prior) / (2 + m), abs=1e-12)
+    assert got[2] == pytest.approx((60 - 20 + m * prior) / (2 + m), abs=1e-12)
+    assert got[1] != got[2]                      # leakage-free ⇒ row-dependent
+    assert got[4] == pytest.approx((100 - 100 + m * prior) / (0 + m), abs=1e-12)
+    assert got[4] == pytest.approx(prior, abs=1e-12)  # singleton → pure prior
+    assert got[5] == pytest.approx((60 + m * prior) / (3 + m), abs=1e-12)

@@ -635,3 +635,43 @@ def test_stream_drift_monitor_scores_batches_against_frozen_reference(spark, tmp
     )
     after = spark.read.parquet(audit).count()
     assert after == 3
+
+
+def test_vacuum_table_keeps_live_and_recent_versions(spark, tmp_path):
+    """Vacuum removes old snapshot versions but never the live one (even if
+    the pointer lags behind newer directories) nor the keep_last newest."""
+    import json as _json
+    import os
+
+    from etl_for_all_studies_spark.streaming.cdc import (
+        read_table_state,
+        stream_apply_changelog,
+        vacuum_table,
+    )
+
+    src = tmp_path / "chg"
+    src.mkdir()
+    table = str(tmp_path / "tbl")
+    schema = "id long, name string, op string, seq long"
+    for i in range(4):  # four files → four batches → versions v=0..3
+        (src / f"c{i}.jsonl").write_text(
+            _json.dumps({"id": i, "name": f"n{i}", "op": "U", "seq": i})
+        )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(src))
+    stream_apply_changelog(stream, table, str(tmp_path / "ck"), keys=["id"])
+
+    vdirs = sorted(d for d in os.listdir(table) if d.startswith("v="))
+    assert vdirs == ["v=0", "v=1", "v=2", "v=3"]
+    deleted = vacuum_table(table, keep_last=2)
+    assert deleted == ["0", "1"]
+    assert sorted(d for d in os.listdir(table) if d.startswith("v=")) == ["v=2", "v=3"]
+    # live state still readable and complete
+    state = {r["id"] for r in read_table_state(spark, table).collect()}
+    assert state == {0, 1, 2, 3}
+
+    # pointer pinned at an OLD version: vacuum must exempt it
+    with open(os.path.join(table, "_VERSION"), "w") as fh:
+        fh.write("2")
+    assert vacuum_table(table, keep_last=1) == []  # v=3 newest, v=2 live → both kept
