@@ -46,7 +46,7 @@ def attribute_conversions(
     """Credit rows (conversion_id, touch_id, touch_type, delta_us, weight)
     for every conversion with ≥1 qualifying touch in its lookback window.
     """
-    if model not in ("last", "linear", "time_decay"):
+    if model not in ("last", "linear", "time_decay", "u_shaped"):
         raise ValueError(f"unknown attribution model: {model!r}")
     conv = events.where(F.col(type_col) == conversion_type).select(
         F.col(user_col).alias("u"),
@@ -79,7 +79,7 @@ def attribute_conversions(
             "conversion_id", "touch_id", "touch_type", delta,
             (F.lit(1.0) / F.count(F.lit(1)).over(w)).alias("weight"),
         )
-    else:  # time_decay
+    elif model == "time_decay":
         raw = F.pow(
             F.lit(2.0),
             -(F.col("c_ts") - F.col("t_ts")).cast("double") / half_life_us,
@@ -87,6 +87,26 @@ def attribute_conversions(
         weighted = pairs.select(
             "conversion_id", "touch_id", "touch_type", delta,
             (raw / F.sum(raw).over(w)).alias("weight"),
+        )
+    else:  # u_shaped: 40% first touch, 40% last, 20% split over the middle
+        asc = Window.partitionBy("conversion_id").orderBy(
+            F.col("t_ts").asc(), F.col("touch_id").asc()
+        )
+        desc = Window.partitionBy("conversion_id").orderBy(
+            F.col("t_ts").desc(), F.col("touch_id").desc()
+        )
+        n = F.count(F.lit(1)).over(w)
+        first = F.row_number().over(asc) == 1
+        last_ = F.row_number().over(desc) == 1
+        weight = (
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when(first | last_, F.lit(0.4))
+            .otherwise(F.lit(0.2) / (n - 2))
+        )
+        weighted = pairs.select(
+            "conversion_id", "touch_id", "touch_type", delta,
+            weight.alias("weight"),
         )
     return weighted
 

@@ -106,7 +106,7 @@ def test_attribution_models_conserve_credit_and_order_weights(spark):
             window_us=24 * H, model=model, half_life_us=H,
         )
 
-    for model in ("last", "linear", "time_decay"):
+    for model in ("last", "linear", "time_decay", "u_shaped"):
         credits = run(model).collect()
         assert all(r["conversion_id"] == 4 for r in credits)  # user 2 empty
         total = sum(r["weight"] for r in credits)
@@ -129,5 +129,10 @@ def test_attribution_models_conserve_credit_and_order_weights(spark):
                for r in attribution_summary(run("time_decay")).collect()}
     assert sum(summary.values()) == pytest.approx(1.0, abs=1e-12)
 
+    u = {r["touch_id"]: r["weight"] for r in run("u_shaped").collect()}
+    # 3 touches: first 0.4, last 0.4, middle shares 0.2
+    assert u == {1: pytest.approx(0.4), 2: pytest.approx(0.2),
+                 3: pytest.approx(0.4)}
+
     with pytest.raises(ValueError):
-        run("u_shaped")
+        run("first_click")
