@@ -561,15 +561,153 @@ def ks_two_sample(
     )
 
 
+def proportions_z_test(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    cohort_col: str,
+    success_col: str,
+    cohort_a,
+    cohort_b,
+) -> DataFrame:
+    """Per-group two-proportion z-test — the conversion-rate A/B test:
+    ``z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))`` with the pooled
+    proportion under H₀, two-sided p from the shared A&S closed form.
+
+    ``success_col`` is 0/1 per unit. One conditional-aggregate pass (the
+    Welch shape); gates: both cohorts non-empty and pooled variance > 0
+    (all-success/all-failure pools have no defined z) else NULL.
+
+    Output: group_cols + (n_a, n_b, rate_a, rate_b, z, p_value).
+    """
+    in_a = F.col(cohort_col) == cohort_a
+    in_b = F.col(cohort_col) == cohort_b
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(in_a, F.lit(1))).alias("n_a"),
+        F.count(F.when(in_b, F.lit(1))).alias("n_b"),
+        F.sum(F.when(in_a, F.col(success_col))).alias("s_a"),
+        F.sum(F.when(in_b, F.col(success_col))).alias("s_b"),
+    )
+    p_a = F.col("s_a") / F.col("n_a")
+    p_b = F.col("s_b") / F.col("n_b")
+    pool = (F.col("s_a") + F.col("s_b")) / (F.col("n_a") + F.col("n_b"))
+    se2 = pool * (F.lit(1.0) - pool) * (
+        F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")
+    )
+    ok = (F.col("n_a") >= 1) & (F.col("n_b") >= 1) & (se2 > 0)
+    z = (p_a - p_b) / F.sqrt(se2)
+    p = F.lit(2.0) * (F.lit(1.0) - normal_cdf_expr(F.abs(z)))
+    p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    return agg.select(
+        *group_cols, "n_a", "n_b",
+        F.when(F.col("n_a") >= 1, p_a).alias("rate_a"),
+        F.when(F.col("n_b") >= 1, p_b).alias("rate_b"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, p).alias("p_value"),
+    )
+
+
+def chi2_sf_even_df_expr(x: Column, half_df: Column) -> Column:
+    """Survival function of χ²(df) for EVEN df as the exact finite sum
+    ``P(X > x) = e^{−x/2} Σ_{k=0}^{df/2−1} (x/2)^k / k!`` — closed-form
+    arithmetic both engines evaluate identically (the reason the
+    independence test below keeps its contingency df even). ``half_df`` =
+    df/2 ≥ 1. The k! grows term-by-term inside the fold (no lgamma)."""
+    half_x = x / F.lit(2.0)
+    # fold carries (sum, term): term_{k} = term_{k-1} · (x/2) / k
+    init = F.struct(F.lit(1.0).alias("s"), F.lit(1.0).alias("t"))
+    folded = F.aggregate(
+        F.sequence(F.lit(1), (half_df - 1).cast("int")),
+        init,
+        lambda acc, k: F.struct(
+            (acc["s"] + acc["t"] * half_x / k.cast("double")).alias("s"),
+            (acc["t"] * half_x / k.cast("double")).alias("t"),
+        ),
+        lambda acc: acc["s"],
+    )
+    series = F.when(half_df >= 2, folded).otherwise(F.lit(1.0))
+    return F.least(
+        F.greatest(F.exp(-half_x) * series, F.lit(0.0)), F.lit(1.0)
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Per-group χ² test of independence between two categoricals
+    (Pearson): ``χ² = Σ_cells (O − E)² / E`` with ``E = row_tot·col_tot/n``,
+    df = (r−1)(c−1).
+
+    Shape: ONE (group, row, col) count aggregation; marginals via two
+    windowed sums over the (bounded) cell table; the χ² sum is one more
+    group aggregation. Exact p when df is even (finite-sum survival
+    function above); Wilson–Hilferty cube-root normal approximation for odd
+    df (documented, still closed-form portable).
+
+    Output: group_cols + (n, df, chi2, p_value) — NULL-gated for degenerate
+    tables (single row/column level).
+    """
+    cells = df.groupBy(*group_cols, row_col, col_col).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    w_g = Window.partitionBy(*group_cols)
+    w_r = Window.partitionBy(*group_cols, row_col)
+    w_c = Window.partitionBy(*group_cols, col_col)
+    with_marg = cells.select(
+        *group_cols, row_col, col_col, "o",
+        F.sum("o").over(w_r).alias("rt"),
+        F.sum("o").over(w_c).alias("ct"),
+        F.sum("o").over(w_g).alias("n"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    agg = with_marg.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.count_distinct(F.col(row_col)).alias("__r"),
+        F.count_distinct(F.col(col_col)).alias("__c"),
+        F.sum(term).alias("chi2"),
+    )
+    dof = ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long")
+    ok = dof >= 1
+    even = dof % 2 == 0
+    p_even = chi2_sf_even_df_expr(F.col("chi2"), (dof / 2).cast("double"))
+    # odd df: df = 1 has the exact erf form (χ²₁ = Z² — same reduction the
+    # log-rank test uses); df ≥ 3 odd falls back to Wilson–Hilferty's
+    # cube-root normal approximation (WH is poor near 0 only for df = 1,
+    # which the exact branch now owns)
+    p_df1 = F.lit(2.0) * (F.lit(1.0) - normal_cdf_expr(F.sqrt(F.col("chi2"))))
+    wh_z = (
+        F.pow(F.col("chi2") / dof, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dof))
+    p_odd = F.when(dof == 1, p_df1).otherwise(
+        F.lit(1.0) - normal_cdf_expr(wh_z)
+    )
+    p_odd = F.least(F.greatest(p_odd, F.lit(0.0)), F.lit(1.0))
+    return agg.select(
+        *group_cols, "n",
+        F.when(ok, dof).alias("df"),
+        F.when(ok, F.col("chi2")).alias("chi2"),
+        F.when(ok, F.when(even, p_even).otherwise(p_odd)).alias("p_value"),
+    )
+
+
 __all__ = [
     "average_rank",
     "benjamini_hochberg",
     "betainc_expr",
+    "chi2_independence",
+    "chi2_sf_even_df_expr",
     "erf_expr",
     "ks_two_sample",
     "lgamma_expr",
     "mann_whitney_u",
     "normal_cdf_expr",
+    "proportions_z_test",
     "spearman_p_value_expr",
     "spearman_p_value_t_expr",
     "welch_t_test",

@@ -5114,6 +5114,128 @@ FROM customer c JOIN cat USING (c_mktsegment) CROSS JOIN prior
 
 
 # --------------------------------------------------------------------------
+# two-proportion z-test and chi-square independence
+# --------------------------------------------------------------------------
+
+def q_events_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-rate A/B per event type: success = value > 50, cohorts by
+    user parity; pooled-variance z and the shared A&S p
+    (``functions/stats.py::proportions_z_test``)."""
+    from .functions.stats import proportions_z_test
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        (F.col("value") > 50).cast("long").alias("conv"),
+    )
+    out = proportions_z_test(
+        ev, group_cols=["event_type"], cohort_col="cohort",
+        success_col="conv", cohort_a=0, cohort_b=1,
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "event_type", "n_a", "n_b",
+        _g("rate_a").alias("rate_a"), _g("rate_b").alias("rate_b"),
+        _g("z").alias("z"), _g("p_value").alias("p_value"),
+    )
+
+
+_Z_ABS_SQL = "ABS((s_a * 1.0 / n_a - s_b * 1.0 / n_b) / SQRT(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)))"
+_SQL_ZTEST = f"""
+WITH base AS (
+  SELECT event_type, user_id % 2 AS cohort,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN cohort = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN cohort = 1 THEN 1 END) AS n_b,
+         CAST(SUM(CASE WHEN cohort = 0 THEN conv END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN cohort = 1 THEN conv END) AS BIGINT) AS s_b
+  FROM base GROUP BY 1
+),
+w AS (
+  SELECT *, (s_a + s_b) * 1.0 / (n_a + n_b) AS pool FROM agg
+),
+p AS (
+  SELECT event_type, n_a, n_b,
+         s_a * 1.0 / n_a AS rate_a, s_b * 1.0 / n_b AS rate_b,
+         CASE WHEN pool * (1.0 - pool) > 0
+              THEN (s_a * 1.0 / n_a - s_b * 1.0 / n_b)
+                   / SQRT(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)) END AS z,
+         CASE WHEN pool * (1.0 - pool) > 0
+              THEN LEAST(GREATEST(2.0 * (1.0 - (0.5 * (1.0
+                   + {_SQL_ERF.format(y=f"({_Z_ABS_SQL}/SQRT(2.0))")}))), 0.0), 1.0)
+              END AS p_value
+  FROM w
+)
+SELECT event_type, n_a, n_b,
+       FLOOR(rate_a * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS rate_a,
+       FLOOR(rate_b * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS rate_b,
+       FLOOR(z * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS z,
+       FLOOR(p_value * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS p_value
+FROM p
+"""
+
+
+def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson independence of event_type × user-parity cohort: the 5×2
+    table has df = 4 (EVEN by fixture design), so the p-value is the exact
+    finite-sum survival function — for df 4 simply ``e^{−χ²/2}(1 + χ²/2)``,
+    which the oracle states verbatim."""
+    from .functions.stats import chi2_independence
+
+    ev = _events(spark, sf_dir).select(
+        F.lit("all").alias("family"),
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+    )
+    out = chi2_independence(
+        ev, group_cols=["family"], row_col="event_type", col_col="cohort"
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "family", "n", "df", _g("chi2").alias("chi2"),
+        _g("p_value").alias("p_value"),
+    )
+
+
+_SQL_CHI2 = """
+WITH cells AS (
+  SELECT 'all' AS family, event_type, user_id % 2 AS cohort, COUNT(*) AS o
+  FROM events GROUP BY 1, 2, 3
+),
+marg AS (
+  SELECT *,
+    SUM(o) OVER (PARTITION BY family, event_type) AS rt,
+    SUM(o) OVER (PARTITION BY family, cohort) AS ct,
+    SUM(o) OVER (PARTITION BY family) AS n
+  FROM cells
+),
+agg AS (
+  SELECT family, CAST(MAX(n) AS BIGINT) AS n,
+         CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT cohort) - 1)
+              AS BIGINT) AS df,
+         SUM((o - rt * ct * 1.0 / n) * (o - rt * ct * 1.0 / n)
+             / (rt * ct * 1.0 / n)) AS chi2
+  FROM marg GROUP BY 1
+)
+SELECT family, n, df,
+       FLOOR(chi2 * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS chi2,
+       FLOOR(LEAST(GREATEST(EXP(-chi2 / 2.0) * (1.0 + chi2 / 2.0), 0.0), 1.0)
+             * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS p_value
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5223,6 +5345,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
     "events_attribution": QueryDef(q_events_attribution, _SQL_ATTRIBUTION),
     "segment_target_encode": QueryDef(q_segment_target_encode, _SQL_TARGET_ENCODE),
+    "events_ztest": QueryDef(q_events_ztest, _SQL_ZTEST),
+    "events_chi2": QueryDef(q_events_chi2, _SQL_CHI2),
 }
 
 

@@ -722,3 +722,80 @@ def test_ols_fit_exact_recovery_and_numpy_parity(spark):
     assert 0.9 < nr["r2"] < 1.0
 
     assert out["s"]["intercept"] is None and out["s"]["coef"] is None
+
+
+def test_chi2_even_df_sf_matches_scalar_series(spark):
+    """The even-df chi-square survival function: exact finite-sum parity
+    with scalar math across df 2..10 and a range of x."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.functions.stats import chi2_sf_even_df_expr
+
+    cases = [(x, d) for x in (0.0, 0.5, 1.0, 3.84, 9.49, 25.0) for d in (2, 4, 6, 10)]
+    df = spark.createDataFrame(cases, "x double, dof int")
+    got = {
+        (r["x"], r["dof"]): r["p"]
+        for r in df.select(
+            "x", "dof",
+            chi2_sf_even_df_expr(F.col("x"), F.col("dof") / 2).alias("p"),
+        ).collect()
+    }
+    for x, d in cases:
+        half = d // 2
+        term, s = 1.0, 1.0
+        for k in range(1, half):
+            term *= (x / 2) / k
+            s += term
+        p_ref = min(max(math.exp(-x / 2) * s, 0.0), 1.0)
+        assert got[(x, d)] == pytest.approx(p_ref, abs=1e-12), (x, d)
+
+
+def test_proportions_z_and_chi2_independence(spark):
+    """Planted contingency behavior: the z-test flags a real rate gap and
+    passes a null one; chi2 independence is ~0 for an independent table and
+    large for a dependent one, with the df=2 exact p agreeing with the
+    closed form; degenerate single-level tables gate NULL."""
+    from etl_for_all_studies_spark.functions.stats import (
+        chi2_independence,
+        proportions_z_test,
+    )
+
+    rows = []
+    for i in range(400):  # cohort 0 converts 30%, cohort 1 converts 50%
+        rows.append(("gap", 0, 1 if i % 10 < 3 else 0))
+        rows.append(("gap", 1, 1 if i % 10 < 5 else 0))
+        rows.append(("null", 0, 1 if i % 10 < 4 else 0))
+        rows.append(("null", 1, 1 if (i + 5) % 10 < 4 else 0))
+    zdf = spark.createDataFrame(rows, "grp string, cohort int, conv int")
+    z = {
+        r["grp"]: r.asDict()
+        for r in proportions_z_test(
+            zdf, group_cols=["grp"], cohort_col="cohort", success_col="conv",
+            cohort_a=0, cohort_b=1,
+        ).collect()
+    }
+    assert z["gap"]["rate_a"] == pytest.approx(0.3) and z["gap"]["rate_b"] == pytest.approx(0.5)
+    assert z["gap"]["p_value"] < 1e-6
+    assert z["null"]["p_value"] > 0.9  # identical 40% rates
+
+    # chi2: rows A/B/C vs cols X/Y — dependent table (A→X, B→Y) vs independent
+    dep = [("d", "A", "X")] * 50 + [("d", "A", "Y")] * 5
+    dep += [("d", "B", "X")] * 5 + [("d", "B", "Y")] * 50
+    dep += [("d", "C", "X")] * 27 + [("d", "C", "Y")] * 28
+    ind = [("i", r, c) for r in ("A", "B") for c in ("X", "Y") for _ in range(25)]
+    deg = [("z", "A", "X"), ("z", "A", "Y")]  # single row level → df 0
+    cdf = spark.createDataFrame(dep + ind + deg, "grp string, r string, c string")
+    chi = {
+        row["grp"]: row.asDict()
+        for row in chi2_independence(
+            cdf, group_cols=["grp"], row_col="r", col_col="c"
+        ).collect()
+    }
+    assert chi["d"]["df"] == 2 and chi["d"]["p_value"] < 1e-10
+    # df=2 exact closed form: P(X>x) = e^{-x/2}
+    assert chi["d"]["p_value"] == pytest.approx(
+        math.exp(-chi["d"]["chi2"] / 2), abs=1e-12
+    )
+    assert chi["i"]["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert chi["i"]["p_value"] == pytest.approx(1.0, abs=1e-9)
+    assert chi["z"]["df"] is None and chi["z"]["p_value"] is None
