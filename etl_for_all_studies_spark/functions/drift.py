@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def psi(
@@ -99,4 +100,79 @@ def psi(
     )
 
 
-__all__ = ["psi"]
+def benford_test(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """First-digit Benford conformity per group — the classic
+    fabricated-numbers screen (accounting/fraud audits): natural
+    multiplicative data has first-digit shares ``log₁₀(1 + 1/d)``; human-
+    invented numbers don't. Reports the χ² goodness-of-fit against the
+    Benford distribution with df = 8 (9 digits − 1 — even, so the exact
+    finite-sum survival function applies) plus the max absolute share
+    deviation (the quick-look statistic auditors quote).
+
+    One (group, digit) count aggregation over a narrow projection; the
+    Benford expectation is a literal array. Zero/NULL/non-positive values
+    are excluded (they have no leading digit).
+
+    Output: group_cols + (n, chi2, p_value, max_dev).
+    """
+    from .stats import chi2_sf_even_df_expr
+
+    # arithmetic first digit: ⌊|x| / 10^⌊log₁₀|x|⌋⌋ — engine-portable (a
+    # string cast would hit scientific-notation rendering differences)
+    ax = F.abs(F.col(value_col)).cast("double")
+    digit = F.least(
+        F.greatest(
+            F.floor(ax / F.pow(F.lit(10.0), F.floor(F.log10(ax)))).cast("int"),
+            F.lit(1),
+        ),
+        F.lit(9),  # clamp guards last-ulp log10 rounding at powers of ten
+    )
+    base = df.where(
+        F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) >= 1)
+    ).select(*group_cols, digit.alias("__d"))
+    counts = base.groupBy(*group_cols, "__d").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    import math as _math
+
+    expected = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+    exp_share = F.element_at(
+        F.array(*[F.lit(expected[d]) for d in range(1, 10)]), F.col("__d")
+    )
+    w_g = Window.partitionBy(*group_cols)
+    with_n = counts.withColumn("__n", F.sum("o").over(w_g))
+    term = (
+        (F.col("o") - F.col("__n") * exp_share)
+        * (F.col("o") - F.col("__n") * exp_share)
+        / (F.col("__n") * exp_share)
+    )
+    dev = F.abs(F.col("o") / F.col("__n") - exp_share)
+    agg = with_n.groupBy(*group_cols).agg(
+        F.max("__n").alias("n"),
+        F.sum(term).alias("chi2"),
+        F.max(dev).alias("max_dev"),
+    )
+    # digits that never occur contribute n·p_d to chi2 (O = 0) — add the
+    # missing-digit mass analytically instead of densifying the table
+    present_mass = with_n.groupBy(*group_cols).agg(
+        F.sum(exp_share).alias("__mass")
+    )
+    out = agg.join(present_mass, group_cols).select(
+        *group_cols, "n",
+        (F.col("chi2") + F.col("n") * (F.lit(1.0) - F.col("__mass"))).alias("chi2"),
+        "max_dev",
+    )
+    p = chi2_sf_even_df_expr(F.col("chi2"), F.lit(4.0))  # df = 8
+    return out.select(
+        *group_cols, "n", "chi2",
+        F.when(F.col("n") > 0, p).alias("p_value"),
+        "max_dev",
+    )
+
+
+__all__ = ["benford_test", "psi"]

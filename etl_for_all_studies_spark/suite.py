@@ -5236,6 +5236,125 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Benford first-digit conformity + revenue concentration
+# --------------------------------------------------------------------------
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford screen on order totals (``functions/drift.py``):
+    arithmetic digit extraction (string casts hit scientific-notation
+    rendering differences), χ² against the Benford shares with missing-
+    digit mass added analytically, df=8 exact finite-sum p. TPC-H prices
+    are ~uniform, NOT Benford — the expected verdict is non-conformity
+    (p ≈ 0), which is itself the point of the screen."""
+    from .functions.drift import benford_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.lit("all").alias("family"), "o_totalprice"
+    )
+    out = benford_test(orders, group_cols=["family"], value_col="o_totalprice")
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "family", "n", _g("chi2").alias("chi2"),
+        _g("p_value").alias("p_value"), _g("max_dev").alias("max_dev"),
+    )
+
+
+_SQL_BENFORD = """
+WITH vals AS (
+  SELECT 'all' AS family, ABS(o_totalprice) AS ax FROM orders
+  WHERE o_totalprice IS NOT NULL AND ABS(o_totalprice) >= 1
+),
+digits AS (
+  SELECT family,
+         LEAST(GREATEST(CAST(FLOOR(ax / POWER(10.0, FLOOR(LOG10(ax)))) AS INTEGER), 1), 9) AS d
+  FROM vals
+),
+counts AS (SELECT family, d, COUNT(*) AS o FROM digits GROUP BY 1, 2),
+withn AS (
+  SELECT *, SUM(o) OVER (PARTITION BY family) AS n,
+         LOG10(1.0 + 1.0 / d) AS p_d
+  FROM counts
+),
+agg AS (
+  SELECT family, CAST(MAX(n) AS BIGINT) AS n,
+         SUM((o - n * p_d) * (o - n * p_d) / (n * p_d)) AS chi2_present,
+         SUM(p_d) AS mass,
+         MAX(ABS(o * 1.0 / n - p_d)) AS max_dev
+  FROM withn GROUP BY 1
+),
+fin AS (
+  SELECT family, n, chi2_present + n * (1.0 - mass) AS chi2, max_dev FROM agg
+)
+SELECT family, n,
+       FLOOR(chi2 * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS chi2,
+       FLOOR(LEAST(GREATEST(
+         EXP(-chi2 / 2.0) * (1.0 + chi2 / 2.0 + POWER(chi2 / 2.0, 2) / 2.0
+                             + POWER(chi2 / 2.0, 3) / 6.0),
+         0.0), 1.0) * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS p_value,
+       FLOOR(max_dev * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS max_dev
+FROM fin
+"""
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini + Herfindahl of customer revenue per market segment
+    (``functions/inequality.py``): one rank window (total order via
+    custkey) + one aggregation per metric pair."""
+    from .functions.inequality import concentration
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .join(
+            cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+            "o_custkey",
+        )
+    )
+    out = concentration(
+        rev, group_cols=["c_mktsegment"], value_col="revenue",
+        id_col="o_custkey",
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "c_mktsegment", "n", F.round("total", 2).alias("total"),
+        _g("gini").alias("gini"), _g("hhi").alias("hhi"),
+    )
+
+
+_SQL_CONCENTRATION = """
+WITH rev AS (
+  SELECT o.o_custkey, c.c_mktsegment, SUM(o.o_totalprice) AS revenue
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, CAST(revenue AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue ASC, o_custkey ASC) AS i
+  FROM rev
+),
+agg AS (
+  SELECT c_mktsegment, COUNT(*) AS n, SUM(v) AS total,
+         SUM(i * v) AS iw, SUM(v * v) AS sq
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment, n, ROUND(total, 2) AS total,
+       FLOOR((2.0 * iw / (n * total) - (n + 1) * 1.0 / n) * 1000000.0 + 0.5001)
+         / 1000000.0 + 0.0 AS gini,
+       FLOOR((sq / (total * total)) * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS hhi
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5347,6 +5466,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "segment_target_encode": QueryDef(q_segment_target_encode, _SQL_TARGET_ENCODE),
     "events_ztest": QueryDef(q_events_ztest, _SQL_ZTEST),
     "events_chi2": QueryDef(q_events_chi2, _SQL_CHI2),
+    "orders_benford": QueryDef(q_orders_benford, _SQL_BENFORD),
+    "revenue_concentration": QueryDef(q_revenue_concentration, _SQL_CONCENTRATION),
 }
 
 

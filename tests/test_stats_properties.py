@@ -799,3 +799,46 @@ def test_proportions_z_and_chi2_independence(spark):
     assert chi["i"]["chi2"] == pytest.approx(0.0, abs=1e-9)
     assert chi["i"]["p_value"] == pytest.approx(1.0, abs=1e-9)
     assert chi["z"]["df"] is None and chi["z"]["p_value"] is None
+
+
+def test_benford_conforming_vs_uniform(spark):
+    """Benford screen: log-uniform (multiplicative) data conforms (large p,
+    tiny max_dev); uniform data flunks (p ~ 0); digits replay in Python."""
+    import random
+
+    from etl_for_all_studies_spark.functions.drift import benford_test
+
+    rng = random.Random(5)
+    conforming = [("b", 10 ** rng.uniform(0, 4)) for _ in range(5000)]
+    uniform = [("u", rng.uniform(1, 10_000)) for _ in range(5000)]
+    df = spark.createDataFrame(conforming + uniform, "grp string, v double")
+    got = {
+        r["grp"]: r.asDict()
+        for r in benford_test(df, group_cols=["grp"], value_col="v").collect()
+    }
+    assert got["b"]["p_value"] > 0.01 and got["b"]["max_dev"] < 0.02
+    assert got["u"]["p_value"] < 1e-6
+    assert got["b"]["n"] == 5000
+
+
+def test_concentration_gini_hhi_known_distributions(spark):
+    """Gini/HHI closed cases: perfectly equal values → gini 0, hhi 1/n;
+    one unit owns everything → gini (n−1)/n, hhi 1; ties are
+    order-invariant; negative values gate NULL."""
+    from etl_for_all_studies_spark.functions.inequality import concentration
+
+    equal = [("eq", i, 5.0) for i in range(10)]
+    monop = [("mono", i, 0.0) for i in range(9)] + [("mono", 9, 100.0)]
+    neg = [("neg", 0, -1.0), ("neg", 1, 2.0)]
+    df = spark.createDataFrame(equal + monop + neg, "grp string, id long, v double")
+    got = {
+        r["grp"]: r.asDict()
+        for r in concentration(
+            df, group_cols=["grp"], value_col="v", id_col="id"
+        ).collect()
+    }
+    assert got["eq"]["gini"] == pytest.approx(0.0, abs=1e-12)
+    assert got["eq"]["hhi"] == pytest.approx(0.1, abs=1e-12)
+    assert got["mono"]["gini"] == pytest.approx(0.9, abs=1e-12)
+    assert got["mono"]["hhi"] == pytest.approx(1.0, abs=1e-12)
+    assert got["neg"]["gini"] is None and got["neg"]["hhi"] is None
