@@ -15,6 +15,14 @@ question. Two standard scalars per group:
 
 Negative values are rejected (Gini is defined for non-negative
 distributions); zero-total groups gate to NULL.
+
+Scale bound, stated honestly: the Gini identity needs a per-group RANK —
+a window sort whose partition is the whole group, i.e. one task per group.
+Fine for segment/region/source groupings (few, large-but-sortable groups);
+for a single planet-scale group, switch to the bucketed Lorenz
+approximation (quantile edges from ``percentile``, trapezoid area — same
+machinery as ``functions/drift.py``'s PSI buckets) rather than this exact
+form. HHI has no such bound (pure aggregation).
 """
 from __future__ import annotations
 
