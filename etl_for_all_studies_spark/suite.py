@@ -5355,6 +5355,92 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# behavioral analytics: event-type transition matrix + per-user entropy
+# --------------------------------------------------------------------------
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    consecutive event pair within a user's timeline (one lag window per
+    user, total (ts, id) order), count transitions and the row-normalized
+    probability P(next | current). The user-journey primitive behind
+    "where do people go after a view?"."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("cur")
+    return counts.select(
+        "cur", "nxt", "n",
+        ((F.floor((F.col("n") / F.sum("n").over(w_row)) * 1000000.0
+                  + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("p"),
+    )
+
+
+_SQL_TRANSITIONS = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_id
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us ASC, event_id ASC) AS nxt
+  FROM ev
+),
+counts AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       FLOOR((n * 1.0 / SUM(n) OVER (PARTITION BY cur)) * 1000000.0 + 0.5001)
+         / 1000000.0 + 0.0 AS p
+FROM counts
+"""
+
+
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy (nats) of each user's
+    event-type mix — two keyed aggregations ((user, type) counts → per-user
+    −Σ p ln p), no windows. Bots/scripted users show near-zero entropy;
+    the per-user scalar feeds anomaly screens."""
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log("c")).alias("__clogc"),
+    )
+    # −Σ (c/n)·ln(c/n) = ln n − (Σ c·ln c)/n  — one pass, no second join
+    ent = F.log("n") - F.col("__clogc") / F.col("n")
+    return per_user.select(
+        "user_id", "n",
+        ((F.floor(ent * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("entropy"),
+    )
+
+
+_SQL_ENTROPY = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, SUM(c * LN(c)) AS clogc
+  FROM per_type GROUP BY 1
+)
+SELECT user_id, n,
+       FLOOR((LN(n) - clogc / n) * 1000000.0 + 0.5001) / 1000000.0 + 0.0
+         AS entropy
+FROM per_user
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5468,6 +5554,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_chi2": QueryDef(q_events_chi2, _SQL_CHI2),
     "orders_benford": QueryDef(q_orders_benford, _SQL_BENFORD),
     "revenue_concentration": QueryDef(q_revenue_concentration, _SQL_CONCENTRATION),
+    "events_transitions": QueryDef(q_events_transitions, _SQL_TRANSITIONS),
+    "user_entropy": QueryDef(q_user_entropy, _SQL_ENTROPY),
 }
 
 
