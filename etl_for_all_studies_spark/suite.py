@@ -5441,6 +5441,128 @@ FROM per_user
 
 
 # --------------------------------------------------------------------------
+# RFM segmentation + Pareto/ABC classification
+# --------------------------------------------------------------------------
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic CRM scoring: per customer Recency (days since last order at
+    the dataset horizon), Frequency (#orders), Monetary (revenue), each
+    quintile-scored with ``ntile(5)`` over a (metric, custkey)-totalized
+    order, concatenated to the familiar '545'-style segment code. One
+    aggregation + three windows over the AGGREGATED per-customer table.
+    Scale bound, stated honestly: a global ntile is a single-task sort of
+    the customer dim — fine into the tens of millions; for billions,
+    switch to percentile-edge bucketing (one aggregation + a comparison
+    fold, the PSI machinery) which changes only tie handling at quintile
+    boundaries."""
+    from pyspark.sql.window import Window
+
+    horizon = F.lit("2001-09-01").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(horizon, F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    def score(col, asc):
+        order = (F.col(col).asc() if asc else F.col(col).desc())
+        return F.ntile(5).over(
+            Window.orderBy(order, F.col("o_custkey").asc())
+        )
+    # recency: smaller is better → descending ntile gives 5 to most recent
+    out = rfm.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        score("recency_days", False).alias("r_score"),
+        score("frequency", True).alias("f_score"),
+        score("monetary", True).alias("m_score"),
+    )
+    return out.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("segment"),
+    )
+
+
+_SQL_RFM = """
+WITH rfm AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-09-01')
+           AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT *,
+    NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey ASC) AS r_score,
+    NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
+    NTILE(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_score
+  FROM rfm
+)
+SELECT o_custkey, CAST(recency_days AS INTEGER) AS recency_days,
+       frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
+def q_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification: customers sorted by revenue descending,
+    class A while the cumulative share ≤ 80%, B to 95%, else C — the
+    inventory/CRM 80-20 cut as one cumulative window over the aggregated
+    table (never over raw orders). The cumulative share is inherently
+    sequential — same single-task bound and the same percentile-edge
+    escape hatch as the RFM query's ntile."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy()
+    # the grand total's partial-agg order differs across engines; the 1e-6
+    # share grid makes the class boundary order-independent (the same
+    # discipline as orders_above_avg's quantized threshold)
+    share = F.floor(
+        (F.sum("revenue").over(w) / F.sum("revenue").over(w_tot)) * 1000000.0
+        + F.lit(0.5001)
+    )
+    out = rev.select(
+        "o_custkey",
+        F.round("revenue", 2).alias("revenue"),
+        F.when(share <= 800000, F.lit("A"))
+        .when(share <= 950000, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    return out
+
+
+_SQL_ABC = """
+WITH rev AS (
+  SELECT o_custkey, SUM(o_totalprice) AS revenue FROM orders GROUP BY 1
+),
+s AS (
+  SELECT o_custkey, revenue,
+         FLOOR((SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / SUM(revenue) OVER ()) * 1000000.0 + 0.5001) AS cum_share_q
+  FROM rev
+)
+SELECT o_custkey, ROUND(revenue, 2) AS revenue,
+       CASE WHEN cum_share_q <= 800000 THEN 'A'
+            WHEN cum_share_q <= 950000 THEN 'B'
+            ELSE 'C' END AS abc
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5556,6 +5678,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "revenue_concentration": QueryDef(q_revenue_concentration, _SQL_CONCENTRATION),
     "events_transitions": QueryDef(q_events_transitions, _SQL_TRANSITIONS),
     "user_entropy": QueryDef(q_user_entropy, _SQL_ENTROPY),
+    "customer_rfm": QueryDef(q_customer_rfm, _SQL_RFM),
+    "customer_abc": QueryDef(q_customer_abc, _SQL_ABC),
 }
 
 
