@@ -5563,6 +5563,123 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# n-gram novelty scoring + rolling z-score anomaly flags
+# --------------------------------------------------------------------------
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty score per document: the fraction of its distinct word
+    trigrams that occur in NO other document (df = 1). High novelty ⇒
+    unique content; low ⇒ boilerplate/template text — the inverse signal
+    of the repetition filters. One gram explode, one df aggregation keyed
+    by gram, one per-doc rollup; same shuffle shape as vocab profiling."""
+    from .operators.contamination import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("g")
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_grams", "n_unique",
+        ((F.floor((F.col("n_unique") / F.col("n_grams")) * 1000000.0
+                  + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("novelty"),
+    )
+
+
+_SQL_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(TRIM(LOWER(text)), '\\s+') AS t
+  FROM documents WHERE TRIM(text) != ''
+),
+grams AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+  )) AS g
+  FROM toks
+),
+dfc AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM grams JOIN dfc USING (g) GROUP BY 1
+)
+SELECT doc_id, n_grams, n_unique,
+       FLOOR((n_unique * 1.0 / n_grams) * 1000000.0 + 0.5001) / 1000000.0
+         + 0.0 AS novelty
+FROM per_doc
+"""
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event's value against its
+    user's trailing 20 observations (mean/stddev over a ROWS frame with a
+    total (ts, id) order); |z| ≥ 3 flags. One shuffle on user serves both
+    frame aggregates; warm-up rows (< 5 prior points) are unflaggable by
+    construction and excluded. Output is the flagged rows only — sparse by
+    design."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    cnt = F.count("value").over(w)
+    z = (F.col("value") - mu) / sd
+    # quantize BEFORE the threshold: sliding-frame aggregates may sum in
+    # different orders across engines, and the flag must not depend on
+    # last-ulp noise at |z| = 3
+    zq = (F.floor(z * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+    out = ev.select(
+        "event_id", "user_id", "ts_us", "value",
+        F.when((cnt >= 5) & (sd > 0), zq).alias("z"),
+    ).where(F.abs(F.col("z")) >= 3)
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.round("value", 2).alias("value"), "z",
+    )
+
+
+_SQL_ANOMALY = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events
+),
+roll AS (
+  SELECT *,
+    AVG(value) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+    STDDEV_SAMP(value) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+    COUNT(value) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS cnt
+  FROM ev
+),
+flagged AS (
+  SELECT event_id, user_id, ts_us, value,
+         CASE WHEN cnt >= 5 AND sd > 0
+              THEN FLOOR(((value - mu) / sd) * 1000000.0 + 0.5001)
+                   / 1000000.0 + 0.0 END AS z
+  FROM roll
+)
+SELECT event_id, user_id, ts_us, ROUND(value, 2) AS value, z
+FROM flagged WHERE ABS(z) >= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5680,6 +5797,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "user_entropy": QueryDef(q_user_entropy, _SQL_ENTROPY),
     "customer_rfm": QueryDef(q_customer_rfm, _SQL_RFM),
     "customer_abc": QueryDef(q_customer_abc, _SQL_ABC),
+    "doc_novelty": QueryDef(q_doc_novelty, _SQL_NOVELTY),
+    "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
 }
 
 
