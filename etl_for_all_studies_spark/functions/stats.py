@@ -561,6 +561,58 @@ def ks_two_sample(
     )
 
 
+def weighted_quantile(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    q: float,
+    id_col: str,
+) -> DataFrame:
+    """Per-group weighted q-quantile: the smallest value whose cumulative
+    weight share reaches ``q`` (the left-continuous inverse of the weighted
+    ECDF — survey statistics' standard definition, and the right "median
+    document length in TOKENS" when documents weigh differently).
+
+    One rank window over (value, id) + a cumulative weight frame + a
+    min_by over qualifying rows — all sharing the group shuffle.
+    Non-positive/NULL weights are excluded; empty groups vanish.
+    """
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).cast("double").alias("__w"),
+        F.col(id_col).alias("__id"),
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__v").asc(), F.col("__id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    # cumulative share on the 1e-6 grid: the qualifying-row decision must
+    # not hinge on last-ulp summation order (the suite's boundary
+    # discipline, applied inside the operator since the decision IS the
+    # result here)
+    share = F.floor(
+        (F.sum("__w").over(w_cum) / F.sum("__w").over(w_tot)) * 1000000.0
+        + F.lit(0.5001)
+    ) / 1000000.0
+    stepped = base.withColumn("__share", share)
+    return (
+        stepped.where(F.col("__share") >= q)
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").alias(f"wq_{int(q * 100)}"),
+            F.count(F.lit(1)).alias("__dummy"),
+        )
+        .drop("__dummy")
+    )
+
+
 def proportions_z_test(
     df: DataFrame,
     *,
@@ -710,5 +762,6 @@ __all__ = [
     "proportions_z_test",
     "spearman_p_value_expr",
     "spearman_p_value_t_expr",
+    "weighted_quantile",
     "welch_t_test",
 ]

@@ -5685,6 +5685,45 @@ FROM flagged WHERE ABS(z) >= 3
 
 
 # --------------------------------------------------------------------------
+# weighted quantiles (token-mass median)
+# --------------------------------------------------------------------------
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass median document length per source: the length at which
+    half the source's CHARACTER MASS sits in shorter docs — the weighted
+    quantile (``functions/stats.py::weighted_quantile``), which diverges
+    from the plain median exactly when lengths are skewed. The cumulative
+    share is grid-quantized inside the operator so the qualifying-row
+    decision is engine-independent."""
+    from .functions.stats import weighted_quantile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_quantile(
+        docs, group_cols=["source"], value_col="n_chars",
+        weight_col="n_chars", q=0.5, id_col="doc_id",
+    )
+    return out.select("source", F.col("wq_50").cast("long").alias("wq_50"))
+
+
+_SQL_WEIGHTED_MEDIAN = """
+WITH base AS (
+  SELECT source, n_chars AS v, CAST(n_chars AS DOUBLE) AS w, doc_id
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+stepped AS (
+  SELECT source, v,
+    FLOOR((SUM(w) OVER (PARTITION BY source ORDER BY v ASC, doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / SUM(w) OVER (PARTITION BY source)) * 1000000.0 + 0.5001)
+      / 1000000.0 AS share
+  FROM base
+)
+SELECT source, CAST(MIN(v) AS BIGINT) AS wq_50
+FROM stepped WHERE share >= 0.5 GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5804,6 +5843,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "customer_abc": QueryDef(q_customer_abc, _SQL_ABC),
     "doc_novelty": QueryDef(q_doc_novelty, _SQL_NOVELTY),
     "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
+    "weighted_median": QueryDef(q_weighted_median, _SQL_WEIGHTED_MEDIAN),
 }
 
 

@@ -842,3 +842,27 @@ def test_concentration_gini_hhi_known_distributions(spark):
     assert got["mono"]["gini"] == pytest.approx(0.9, abs=1e-12)
     assert got["mono"]["hhi"] == pytest.approx(1.0, abs=1e-12)
     assert got["neg"]["gini"] is None and got["neg"]["hhi"] is None
+
+
+def test_weighted_quantile_known_cases(spark):
+    """Weighted quantile: unit weights reduce to the plain left-continuous
+    quantile; a dominant weight drags the median to its value; non-positive
+    weights are excluded."""
+    from etl_for_all_studies_spark.functions.stats import weighted_quantile
+
+    unit = [("u", v, 1.0, i) for i, v in enumerate([1.0, 2.0, 3.0, 4.0])]
+    heavy = [("h", 1.0, 1.0, 0), ("h", 2.0, 1.0, 1), ("h", 100.0, 50.0, 2)]
+    bad = [("b", 5.0, 0.0, 0), ("b", 7.0, -2.0, 1), ("b", 9.0, 3.0, 2)]
+    df = spark.createDataFrame(
+        unit + heavy + bad, "grp string, v double, w double, id long"
+    )
+    got = {
+        r["grp"]: r["wq_50"]
+        for r in weighted_quantile(
+            df, group_cols=["grp"], value_col="v", weight_col="w",
+            q=0.5, id_col="id",
+        ).collect()
+    }
+    assert got["u"] == 2.0   # cum shares .25,.5,.75,1 → first ≥ .5 is v=2
+    assert got["h"] == 100.0  # 50/52 of the mass sits on the heavy value
+    assert got["b"] == 9.0    # only the positive-weight row remains
