@@ -613,6 +613,41 @@ def weighted_quantile(
     )
 
 
+def auc_score(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-group ROC AUC via the rank identity — the ML ranking-quality
+    metric, computed exactly without thresholds or curve construction:
+
+        AUC = (Σ rank(score | positive) − n₊(n₊+1)/2) / (n₊ · n₋)
+
+    with AVERAGE ranks over the combined scores (ties counted ½ — matching
+    the trapezoidal ROC and the Mann–Whitney U it is equivalent to).
+    One sort per group on the engine's rank primitive + one aggregation.
+
+    ``label_col`` is 0/1. Single-class groups gate NULL (AUC undefined).
+    Output: group_cols + (n_pos, n_neg, auc).
+    """
+    ranked = df.withColumn("__r", average_rank(group_cols, score_col))
+    is_pos = F.col(label_col) == 1
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.when(is_pos, F.lit(1))).alias("n_pos"),
+        F.count(F.when(~is_pos, F.lit(1))).alias("n_neg"),
+        F.sum(F.when(is_pos, F.col("__r"))).alias("__rp"),
+    )
+    ok = (F.col("n_pos") >= 1) & (F.col("n_neg") >= 1)
+    auc = (
+        F.col("__rp") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        *group_cols, "n_pos", "n_neg", F.when(ok, auc).alias("auc")
+    )
+
+
 def proportions_z_test(
     df: DataFrame,
     *,
@@ -749,6 +784,7 @@ def chi2_independence(
 
 
 __all__ = [
+    "auc_score",
     "average_rank",
     "benjamini_hochberg",
     "betainc_expr",

@@ -5724,6 +5724,61 @@ FROM stepped WHERE share >= 0.5 GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# ROC AUC via the rank identity
+# --------------------------------------------------------------------------
+
+def q_events_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type AUC of the props.k score predicting value > 50
+    (``functions/stats.py::auc_score``): the exact tie-aware rank identity
+    — one shared sort, no curve construction. On independent synthetic
+    fields the expected verdict is AUC ~ 0.5 (no signal), which the metric
+    states honestly."""
+    from .functions.stats import auc_score
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("value") > 50).cast("int").alias("label"),
+        F.get_json_object(F.col("props"), "$.k").try_cast("long").alias("score"),
+    ).where(F.col("score").isNotNull())
+    out = auc_score(
+        ev, group_cols=["event_type"], label_col="label", score_col="score"
+    )
+    return out.select(
+        "event_type", "n_pos", "n_neg",
+        ((F.floor(F.col("auc") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("auc"),
+    )
+
+
+_SQL_AUC = """
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN value > 50 THEN 1 ELSE 0 END AS label,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS score
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+ranked AS (
+  SELECT *,
+         RANK() OVER (PARTITION BY event_type ORDER BY score ASC)
+           + (COUNT(*) OVER (PARTITION BY event_type, score) - 1) / 2.0 AS r
+  FROM base
+),
+agg AS (
+  SELECT event_type,
+         COUNT(CASE WHEN label = 1 THEN 1 END) AS n_pos,
+         COUNT(CASE WHEN label = 0 THEN 1 END) AS n_neg,
+         SUM(CASE WHEN label = 1 THEN r END) AS rp
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_pos, n_neg,
+       FLOOR(((rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+             * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS auc
+FROM agg WHERE n_pos >= 1 AND n_neg >= 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5844,6 +5899,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "doc_novelty": QueryDef(q_doc_novelty, _SQL_NOVELTY),
     "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
     "weighted_median": QueryDef(q_weighted_median, _SQL_WEIGHTED_MEDIAN),
+    "events_auc": QueryDef(q_events_auc, _SQL_AUC),
 }
 
 

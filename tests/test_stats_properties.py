@@ -866,3 +866,39 @@ def test_weighted_quantile_known_cases(spark):
     assert got["u"] == 2.0   # cum shares .25,.5,.75,1 → first ≥ .5 is v=2
     assert got["h"] == 100.0  # 50/52 of the mass sits on the heavy value
     assert got["b"] == 9.0    # only the positive-weight row remains
+
+
+def test_auc_rank_identity_known_cases(spark):
+    """AUC: perfect ranking → 1, inverted → 0, random/constant scores →
+    0.5 via tie-averaging, single-class groups gate NULL; parity with a
+    direct pairwise P(score+ > score−) + ½·P(tie) computation."""
+    from etl_for_all_studies_spark.functions.stats import auc_score
+
+    perfect = [("p", 1, 10.0), ("p", 1, 9.0), ("p", 0, 2.0), ("p", 0, 1.0)]
+    inverted = [("i", 0, 10.0), ("i", 0, 9.0), ("i", 1, 2.0), ("i", 1, 1.0)]
+    tied = [("t", lab, 5.0) for lab in (1, 1, 0, 0)]
+    mixed = [("m", 1, 3.0), ("m", 1, 1.0), ("m", 0, 2.0), ("m", 0, 2.0),
+             ("m", 1, 2.0)]
+    mono = [("o", 1, 1.0), ("o", 1, 2.0)]
+    df = spark.createDataFrame(
+        perfect + inverted + tied + mixed + mono,
+        "grp string, label int, score double",
+    )
+    got = {
+        r["grp"]: r.asDict()
+        for r in auc_score(
+            df, group_cols=["grp"], label_col="label", score_col="score"
+        ).collect()
+    }
+    assert got["p"]["auc"] == pytest.approx(1.0, abs=1e-12)
+    assert got["i"]["auc"] == pytest.approx(0.0, abs=1e-12)
+    assert got["t"]["auc"] == pytest.approx(0.5, abs=1e-12)
+    assert got["o"]["auc"] is None
+
+    # pairwise oracle for the mixed group
+    pos = [3.0, 1.0, 2.0]
+    neg = [2.0, 2.0]
+    wins = sum(1 for a in pos for b in neg if a > b)
+    ties = sum(1 for a in pos for b in neg if a == b)
+    auc_ref = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got["m"]["auc"] == pytest.approx(auc_ref, abs=1e-12)
