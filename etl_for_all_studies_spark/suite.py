@@ -5779,6 +5779,62 @@ FROM agg WHERE n_pos >= 1 AND n_neg >= 1
 
 
 # --------------------------------------------------------------------------
+# probability calibration: reliability buckets + Brier score
+# --------------------------------------------------------------------------
+
+def q_events_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram data + Brier score per event type, treating
+    props.k/100 as a pseudo-probability for the value>50 label: fixed-width
+    probability deciles (bucket edges are constants — no quantile coupling
+    between engines), per-bucket predicted-vs-observed rates, and the
+    bucket's Brier contribution. The full-table Brier is the
+    count-weighted sum of the contributions — recoverable from this output,
+    so one query serves both the curve and the scalar."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("value") > 50).cast("double").alias("label"),
+        (F.get_json_object(F.col("props"), "$.k").try_cast("long") / 100.0)
+        .alias("p"),
+    ).where(F.col("p").isNotNull())
+    bucket = F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9))
+    out = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("p").alias("mean_p"),
+        F.avg("label").alias("obs_rate"),
+        F.avg((F.col("p") - F.col("label")) * (F.col("p") - F.col("label")))
+        .alias("brier"),
+    )
+
+    def _g(c):
+        return (F.floor(F.col(c) * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+
+    return out.select(
+        "event_type", "bucket", "n",
+        _g("mean_p").alias("mean_p"), _g("obs_rate").alias("obs_rate"),
+        _g("brier").alias("brier"),
+    )
+
+
+_SQL_CALIBRATION = """
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS label,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) / 100.0 AS p
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+)
+SELECT event_type,
+       LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bucket,
+       COUNT(*) AS n,
+       FLOOR(AVG(p) * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS mean_p,
+       FLOOR(AVG(label) * 1000000.0 + 0.5001) / 1000000.0 + 0.0 AS obs_rate,
+       FLOOR(AVG((p - label) * (p - label)) * 1000000.0 + 0.5001) / 1000000.0
+         + 0.0 AS brier
+FROM base GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5900,6 +5956,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
     "weighted_median": QueryDef(q_weighted_median, _SQL_WEIGHTED_MEDIAN),
     "events_auc": QueryDef(q_events_auc, _SQL_AUC),
+    "events_calibration": QueryDef(q_events_calibration, _SQL_CALIBRATION),
 }
 
 
