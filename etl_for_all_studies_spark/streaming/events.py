@@ -161,6 +161,77 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+ANOMALY_SCHEMA = (
+    "user_id long, event_id long, ts_us long, value double, z double"
+)
+_ANOM_STATE_SCHEMA = "n long, mean double, m2 double"
+
+
+def _anomaly_group(
+    key: tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user expanding-window anomaly scoring with Welford state.
+
+    State = (n, mean, M2) of ALL past values — three numbers regardless of
+    history length, the textbook single-pass variance recurrence. Each new
+    event is scored against the state BEFORE it updates it (an outlier must
+    not vaccinate itself by inflating the variance it is judged by), then
+    folded in. Same chunk-concat-and-sort discipline as
+    :func:`_sessionize_group`.
+    """
+    (user_id,) = key
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    flagged: list[tuple[int, int, int, float, float]] = []
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for eid, ts, value in zip(pdf["event_id"], pdf["ts"], pdf["value"]):
+            ts_us = int(ts.value) // 1_000
+            v = float(value) if value == value else 0.0
+            if n >= 5:
+                var = m2 / (n - 1)
+                if var > 0:
+                    z = (v - mean) / var ** 0.5
+                    if abs(z) >= 3.0:
+                        flagged.append((user_id, int(eid), ts_us, v, z))
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+    state.update((n, mean, m2))
+    if flagged:
+        yield pd.DataFrame(
+            flagged, columns=["user_id", "event_id", "ts_us", "value", "z"]
+        )
+
+
+def stream_anomaly_flags(events: DataFrame) -> DataFrame:
+    """Streaming expanding-window anomaly detector: flag events ≥ 3σ from
+    their user's running distribution (``applyInPandasWithState`` with the
+    O(1) Welford state — the fourth canonical stateful shape here, after
+    windowed agg, sessionization, and dedup). The batch twin is an
+    expanding ``rowsBetween(unboundedPreceding, -1)`` window — parity
+    pinned in ``test_streaming.py`` including state carried across
+    micro-batches. Warm-up (< 5 priors) and zero-variance histories are
+    unflaggable by construction.
+    """
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anomaly_group,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=_ANOM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once ingestion dedup: drop re-delivered ``event_id``s.
 
@@ -330,4 +401,5 @@ __all__ = [
     "run_to_memory_sink",
     "session_aggregates",
     "sessionize",
+    "stream_anomaly_flags",
 ]

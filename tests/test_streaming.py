@@ -675,3 +675,60 @@ def test_vacuum_table_keeps_live_and_recent_versions(spark, tmp_path):
     with open(os.path.join(table, "_VERSION"), "w") as fh:
         fh.write("2")
     assert vacuum_table(table, keep_last=1) == []  # v=3 newest, v=2 live → both kept
+
+
+def test_stream_anomaly_flags_match_expanding_batch_twin(spark, tmp_path):
+    """Stateful Welford anomaly detector: flags agree with the batch
+    expanding-window twin, including a spike arriving in a LATER micro-batch
+    (the Welford state crosses the batch boundary); warm-up rows and the
+    spike's self-exclusion are honored."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_for_all_studies_spark.streaming.events import (
+        EVENT_SCHEMA,
+        read_events_stream,
+        run_to_memory_sink,
+        stream_anomaly_flags,
+    )
+
+    d = tmp_path / "anom_in"
+    d.mkdir()
+    # user 1: ten calm values in batch 1, a spike in batch 2
+    calm = [(i * 60, 1, "click", 10.0 + (i % 3)) for i in range(10)]
+    _write_events(d / "f1.parquet", calm)
+    _write_events(
+        d / "f2.parquet",
+        [(700, 1, "click", 500.0), (760, 1, "click", 10.5)],
+        start_id=10,
+    )
+    stream = read_events_stream(spark, str(d))
+    run_to_memory_sink(stream_anomaly_flags(stream), "anom_stream")
+    got = {
+        r["event_id"]: r["z"]
+        for r in spark.sql("SELECT * FROM anom_stream").collect()
+    }
+    assert set(got) == {10}  # only the spike; its follower is judged by a
+    # distribution the spike itself inflated — and survives
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(str(d))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    cnt = F.count("value").over(w)
+    twin = (
+        batch.select(
+            "event_id",
+            F.when((cnt >= 5) & (sd > 0), (F.col("value") - mu) / sd).alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= 3)
+        .collect()
+    )
+    twin_map = {r["event_id"]: r["z"] for r in twin}
+    assert set(twin_map) == set(got)
+    for eid in got:
+        assert got[eid] == pytest.approx(twin_map[eid], abs=1e-9)
