@@ -115,8 +115,10 @@ def benford_test(
     deviation (the quick-look statistic auditors quote).
 
     One (group, digit) count aggregation over a narrow projection; the
-    Benford expectation is a literal array. Zero/NULL/non-positive values
-    are excluded (they have no leading digit).
+    Benford expectation is a literal array. Only zero/NULL values are
+    excluded (no leading digit); negatives contribute through |x| and
+    fractional magnitudes in (0, 1) keep their true first significant
+    digit (0.023 → 2) via the arithmetic extraction below.
 
     Output: group_cols + (n, chi2, p_value, max_dev).
     """
@@ -133,7 +135,7 @@ def benford_test(
         F.lit(9),  # clamp guards last-ulp log10 rounding at powers of ten
     )
     base = df.where(
-        F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) >= 1)
+        F.col(value_col).isNotNull() & (F.col(value_col) != 0)
     ).select(*group_cols, digit.alias("__d"))
     counts = base.groupBy(*group_cols, "__d").agg(
         F.count(F.lit(1)).alias("o")

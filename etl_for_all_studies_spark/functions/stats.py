@@ -346,6 +346,115 @@ def benjamini_hochberg(
     return with_raw.withColumn(q_col, q).drop("__bh_raw")
 
 
+def benjamini_hochberg_scalable(
+    df: DataFrame,
+    p_col: str = "p_value",
+    q_col: str = "q_value",
+    family_cols: list[str] | None = None,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """BH q-values with NO per-family single-partition sort — the wide-gene
+    companion to :func:`benjamini_hochberg`, bit-identical output.
+
+    The classic window form partitions rank + running-min by family: one
+    20k-gene study's pair family is ~2×10⁸ rows funneled into ONE window
+    task — re-serializing exactly the fan-out ``mode="block"`` spread across
+    reducers. This form keeps every stage partitioned by
+    (family, p-bucket), parallelism = families × ``num_buckets``:
+
+    1. per-family ``approx_percentile`` p-value edges (ONE aggregation;
+       edges affect only load balance, never values — ranks stay exact);
+    2. bucket assignment by comparison fold against the broadcast edges;
+    3. local ``row_number`` per (family, bucket) + per-bucket counts →
+       cumulative offsets (tiny families×B table, broadcast back) — the
+       same per-partition-offset global numbering ``operators/dims.py``
+       uses for dim_sample keys. Global rank j = local rank + offset;
+    4. ``raw_j = p_j·m/j``; q = suffix-min of raw from the least-significant
+       end, computed as min(within-bucket suffix-min via a descending
+       window, all-later-buckets min via a tiny broadcast) — two passes,
+       no global window anywhere.
+
+    Tie note: suffix-min over row_number order is tie-invariant (among equal
+    p the largest-j row has the smallest raw, and every tied row's suffix
+    contains it or starts at it), so arbitrary tie placement across bucket
+    edges is safe. NULL/NaN p rows keep NULL q and are excluded from m.
+    """
+    fam = family_cols or []
+    valid = F.col(p_col).isNotNull() & ~F.isnan(F.col(p_col))
+    dfv = df.where(valid)
+    dfi = df.where(~F.coalesce(valid, F.lit(False)))
+    if not fam:
+        df = df.withColumn("__bh_fam", F.lit(1))
+        dfv = dfv.withColumn("__bh_fam", F.lit(1))
+        dfi = dfi.withColumn("__bh_fam", F.lit(1))
+        fam = ["__bh_fam"]
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    edges = dfv.groupBy(*fam).agg(
+        F.percentile_approx(F.col(p_col), qs).alias("__edges"),
+        F.count(F.lit(1)).alias("__m"),
+    )
+    # bucket = #edges strictly below p — a comparison fold over ≤ B−1
+    # literals per row, codegen'd; ascending in p by construction
+    bucketed = dfv.join(F.broadcast(edges), fam).withColumn(
+        "__bkt",
+        F.aggregate(
+            "__edges",
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col(p_col) > e, 1).otherwise(0),
+        ),
+    ).drop("__edges")
+
+    w_local = Window.partitionBy(*fam, "__bkt").orderBy(F.col(p_col).asc())
+    ranked = bucketed.withColumn("__lj", F.row_number().over(w_local))
+
+    counts = bucketed.groupBy(*fam, "__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy(*fam)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *fam, "__bkt", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
+    )
+    ranked = ranked.join(F.broadcast(offsets), [*fam, "__bkt"])
+    raw = (F.col(p_col) * F.col("__m") / (F.col("__lj") + F.col("__off"))).alias(
+        "__raw"
+    )
+    with_raw = ranked.select("*", raw)
+
+    # pass 1: suffix-min WITHIN the bucket (descending rank order)
+    w_sfx = (
+        Window.partitionBy(*fam, "__bkt")
+        .orderBy(F.col("__lj").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_sfx = with_raw.withColumn("__sfx", F.min("__raw").over(w_sfx))
+    # pass 2: min over all LATER buckets (tiny families×B table)
+    bmin = with_raw.groupBy(*fam, "__bkt").agg(F.min("__raw").alias("__bm"))
+    w_later = (
+        Window.partitionBy(*fam)
+        .orderBy(F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    later = bmin.select(
+        *fam, "__bkt", F.min("__bm").over(w_later).alias("__later")
+    )
+    out_cols = [c for c in df.columns if c != "__bh_fam"]
+    qv = F.least(
+        F.least(F.col("__sfx"), F.coalesce(F.col("__later"), F.lit(1.0))),
+        F.lit(1.0),
+    )
+    done = (
+        with_sfx.join(F.broadcast(later), [*fam, "__bkt"])
+        .select(*out_cols, qv.alias(q_col))
+    )
+    skipped = dfi.select(
+        *out_cols, F.lit(None).cast("double").alias(q_col)
+    )
+    return done.unionByName(skipped)
+
+
 def welch_t_test(
     df: DataFrame,
     *,
@@ -752,11 +861,16 @@ def chi2_independence(
     )
     e = F.col("rt") * F.col("ct") / F.col("n")
     term = (F.col("o") - e) * (F.col("o") - e) / e
+    # Empty (row, col) cells never appear in `cells`, but each contributes
+    # (0 − E)²/E = E to χ². Since Σ_all-cells E = n exactly, the missing
+    # mass is n − Σ_present E — added analytically (same technique as
+    # benford_test's missing-digit correction) instead of materializing
+    # the full r×c grid.
     agg = with_marg.groupBy(*group_cols).agg(
         F.max("n").alias("n"),
         F.count_distinct(F.col(row_col)).alias("__r"),
         F.count_distinct(F.col(col_col)).alias("__c"),
-        F.sum(term).alias("chi2"),
+        (F.sum(term) + (F.max("n") - F.sum(e))).alias("chi2"),
     )
     dof = ((F.col("__r") - 1) * (F.col("__c") - 1)).cast("long")
     ok = dof >= 1

@@ -39,14 +39,22 @@ def target_encode_loo(
     (SQL grouping semantics) — encode-before-imputing is the caller's
     ordering decision.
     """
-    cat = df.groupBy(category_col).agg(
-        F.sum(label_col).alias("__s"),
-        F.count(label_col).alias("__n"),
+    # NULL categories form a real group under SQL grouping semantics, but a
+    # plain equi-join would never match the NULL key back to its rows —
+    # null-safe equality (<=>) keeps the join a hash join AND routes the
+    # NULL group's rows to the NULL group's aggregate.
+    cat = (
+        df.groupBy(category_col)
+        .agg(
+            F.sum(label_col).alias("__s"),
+            F.count(label_col).alias("__n"),
+        )
+        .withColumnRenamed(category_col, "__cat")
     )
     prior_row = df.agg(F.avg(label_col).alias("__prior"))
-    joined = df.join(F.broadcast(cat), [category_col], "left").join(
-        F.broadcast(prior_row)
-    )
+    joined = df.join(
+        F.broadcast(cat), F.col(category_col).eqNullSafe(F.col("__cat")), "left"
+    ).join(F.broadcast(prior_row))
     has_label = F.col(label_col).isNotNull()
     num = F.when(
         has_label, F.col("__s") - F.col(label_col)

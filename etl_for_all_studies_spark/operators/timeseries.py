@@ -113,7 +113,11 @@ def gap_fill_locf(
         "bucket",
         F.last("last_value", ignorenulls=True).over(w).alias("value"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.when(F.col("last_value").isNull(), F.lit(1))
+        # gap_filled marks SPINE MISSES (no events in the bucket), detected
+        # from n_events being NULL before the coalesce — NOT from
+        # last_value nullability, which would mislabel an observed bucket
+        # whose latest event carries a NULL value.
+        F.when(F.col("n_events").isNull(), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("gap_filled"),

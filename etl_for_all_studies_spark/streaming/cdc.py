@@ -10,11 +10,14 @@ carrying source progress.
 Crash-safety without a table format: versioned snapshot directories plus a
 last-written pointer file (``_VERSION``). A commit writes ``v=<batch_id>/``
 first and flips the pointer second (atomic rename); readers resolve the
-pointer, so a crash mid-write leaves the previous version live. Replays are
-harmless by *algebra*, not bookkeeping: changelog rows carry absolute
-values, so ``apply(apply(S, C), C) = apply(S, C)`` — re-merging an
-already-applied batch onto the already-committed state reproduces the same
-state bit-for-bit, and rewriting ``v=<batch_id>`` is overwrite-idempotent.
+pointer, so a crash mid-write leaves the previous version live. Replays
+(crash between pointer flip and checkpoint commit) are detected by the
+pointer itself: a batch whose id the live pointer already reached is
+durably applied and is skipped outright — re-merging would lazily read
+``v=<batch_id>`` while overwriting that same directory, which Spark
+forbids. For a crash BEFORE the flip the previous version is still live
+and the merge replays cleanly by algebra: changelog rows carry absolute
+values, so ``apply(apply(S, C), C) = apply(S, C)``.
 
 Scale notes: each micro-batch pays ONE full-outer join of (current state ⋈
 batch-winners) — the batch side is reduced to one winner per key before the
@@ -35,15 +38,22 @@ from ..operators.diff import apply_changelog
 _VERSION_FILE = "_VERSION"
 
 
-def read_table_state(
-    spark: SparkSession, table_dir: str
-) -> DataFrame | None:
-    """Current committed snapshot, or None before the first commit."""
+def _live_version(table_dir: str) -> int | None:
+    """Committed version id from the pointer file, or None pre-commit."""
     pointer = os.path.join(table_dir, _VERSION_FILE)
     if not os.path.exists(pointer):
         return None
     with open(pointer) as fh:
-        version = fh.read().strip()
+        return int(fh.read().strip())
+
+
+def read_table_state(
+    spark: SparkSession, table_dir: str
+) -> DataFrame | None:
+    """Current committed snapshot, or None before the first commit."""
+    version = _live_version(table_dir)
+    if version is None:
+        return None
     return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
 
 
@@ -76,6 +86,15 @@ def stream_apply_changelog(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Replay guard for the crash window between the _VERSION flip and
+        # the streaming-checkpoint commit: if the live pointer already
+        # reached batch_id, v=<batch_id> was FULLY written (the pointer
+        # flips only after a successful snapshot write), so re-merging
+        # would lazily read v=<batch_id> and then overwrite the very
+        # directory being read. Skip — the batch is durably applied.
+        live = _live_version(table_dir)
+        if live is not None and live >= batch_id:
+            return
         base = read_table_state(spark, table_dir)
         if base is None:
             base = batch_df.select(*value_cols).limit(0)

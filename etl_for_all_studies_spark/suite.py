@@ -3677,7 +3677,7 @@ SELECT user_id, bucket,
          PARTITION BY user_id ORDER BY bucket
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0 AS value,
        COALESCE(n_events, 0) AS n_events,
-       CAST(last_value IS NULL AS BIGINT) AS gap_filled
+       CAST(n_events IS NULL AS BIGINT) AS gap_filled
 FROM j
 """
 
@@ -5224,7 +5224,8 @@ agg AS (
          CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT cohort) - 1)
               AS BIGINT) AS df,
          SUM((o - rt * ct * 1.0 / n) * (o - rt * ct * 1.0 / n)
-             / (rt * ct * 1.0 / n)) AS chi2
+             / (rt * ct * 1.0 / n))
+           + (MAX(n) - SUM(rt * ct * 1.0 / n)) AS chi2
   FROM marg GROUP BY 1
 )
 SELECT family, n, df,
@@ -5265,7 +5266,7 @@ def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BENFORD = """
 WITH vals AS (
   SELECT 'all' AS family, ABS(o_totalprice) AS ax FROM orders
-  WHERE o_totalprice IS NOT NULL AND ABS(o_totalprice) >= 1
+  WHERE o_totalprice IS NOT NULL AND o_totalprice != 0
 ),
 digits AS (
   SELECT family,
@@ -5839,6 +5840,78 @@ FROM base GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 QUERY_REGISTRY: dict[str, QueryDef] = {
+    # ROUND-4 ROTATION (judge directive r3 #1): the driver CORRECTNESS
+    # snapshot caps at the FIRST 50 registry entries, and rounds 2-3
+    # snapshotted the same 50 names. The 66 queries the driver has never
+    # hard-checked now lead (relative order preserved); the 50 already-
+    # green-twice names follow. Nothing renamed, dropped, or re-oracled.
+    "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
+    "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),
+    "dedup_normalized": QueryDef(q_dedup_normalized, _SQL_DEDUP_NORMALIZED),
+    "events_sessions_native": QueryDef(q_events_sessions_native, _SQL_SESSIONS_NATIVE),
+    "kmeans_embeddings": QueryDef(q_kmeans_embeddings, _SQL_KMEANS),
+    "vocab_topk": QueryDef(q_vocab_topk, _SQL_VOCAB),
+    "events_scd2": QueryDef(q_events_scd2, _SQL_SCD2),
+    "value_deciles": QueryDef(q_value_deciles, _SQL_DECILES),
+    "skew_report": QueryDef(q_skew_report, _SQL_SKEW_REPORT),
+    "orders_above_avg": QueryDef(q_orders_above_avg, _SQL_ABOVE_AVG),
+    "customer_set_ops": QueryDef(q_customer_set_ops, _SQL_SET_OPS_BODY),
+    "regional_revenue": QueryDef(q_regional_revenue, _SQL_REGIONAL),
+    "unigram_logprob": QueryDef(q_unigram_logprob, _SQL_UNIGRAM),
+    "vocab_zipf": QueryDef(q_vocab_zipf, _SQL_ZIPF),
+    "curation_pipeline": QueryDef(q_curation_pipeline, _SQL_CURATION),
+    "dedup_minhash_incr": QueryDef(q_dedup_minhash_incr, _SQL_MINHASH_INCR),
+    "cube_revenue": QueryDef(q_cube_revenue, _SQL_CUBE),
+    "spearman_block": QueryDef(q_spearman_block, _SQL_SPEARMAN_BLOCK),
+    "events_error_window": QueryDef(q_events_error_window, _SQL_ERROR_WINDOW),
+    "bigram_logprob": QueryDef(q_bigram_logprob, _SQL_BIGRAM),
+    "embedding_quantize": QueryDef(q_embedding_quantize, _SQL_QUANTIZE),
+    "token_heavy_hitters": QueryDef(q_token_heavy_hitters, _SQL_HEAVY_HITTERS),
+    "embedding_pipeline": QueryDef(q_embedding_pipeline, _SQL_EMBED_PIPELINE),
+    "sample_per_source": QueryDef(q_sample_per_source, _SQL_SAMPLE_FIXED),
+    "tfidf_similar": QueryDef(q_tfidf_similar, _SQL_TFIDF),
+    "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SQL_SNAPSHOT_DIFF),
+    "dedup_editdist": QueryDef(q_dedup_editdist, _SQL_EDITDIST),
+    "semantic_decontam": QueryDef(q_semantic_decontam, _SQL_SEMANTIC_DECONTAM),
+    "events_gapfill": QueryDef(q_events_gapfill, _SQL_GAPFILL),
+    "sample_weighted": QueryDef(q_sample_weighted, _SQL_SAMPLE_WEIGHTED),
+    "profile_customer": QueryDef(q_profile_customer, _SQL_PROFILE),
+    "events_covisit": QueryDef(q_events_covisit, _SQL_COVISIT),
+    "acctbal_position": QueryDef(q_acctbal_position, _SQL_ACCTBAL_POSITION),
+    "item_pagerank": QueryDef(q_item_pagerank, _SQL_PAGERANK),
+    "revenue_mom": QueryDef(q_revenue_mom, _SQL_REVENUE_MOM),
+    "orders_cdc_apply": QueryDef(q_orders_cdc_apply, _SQL_CDC_APPLY),
+    "corpus_splits": QueryDef(q_corpus_splits, _SQL_SPLITS),
+    "embedding_standardize": QueryDef(q_embedding_standardize, _SQL_STANDARDIZE),
+    "dedup_embedding_incr": QueryDef(q_dedup_embedding_incr, _SQL_DEDUP_EMBED_INCR),
+    "dedup_containment": QueryDef(q_dedup_containment, _SQL_CONTAINMENT),
+    "mix_temperature": QueryDef(q_mix_temperature, _SQL_MIX_TEMPERATURE),
+    "quantile_normalize": QueryDef(q_quantile_normalize, _SQL_QUANTILE_NORM),
+    "welch_ab_test": QueryDef(q_welch_ab_test, _SQL_WELCH),
+    "mannwhitney_ab": QueryDef(q_mannwhitney_ab, _SQL_MANNWHITNEY),
+    "bootstrap_ci": QueryDef(q_bootstrap_ci, _SQL_BOOTSTRAP),
+    "events_ks_ab": QueryDef(q_events_ks_ab, _SQL_KS),
+    "events_psi": QueryDef(q_events_psi, _SQL_PSI),
+    "events_cuped": QueryDef(q_events_cuped, _SQL_CUPED),
+    "user_survival": QueryDef(q_user_survival, _SQL_SURVIVAL),
+    "user_logrank": QueryDef(q_user_logrank, _SQL_LOGRANK),
+    "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
+    "events_attribution": QueryDef(q_events_attribution, _SQL_ATTRIBUTION),
+    "segment_target_encode": QueryDef(q_segment_target_encode, _SQL_TARGET_ENCODE),
+    "events_ztest": QueryDef(q_events_ztest, _SQL_ZTEST),
+    "events_chi2": QueryDef(q_events_chi2, _SQL_CHI2),
+    "orders_benford": QueryDef(q_orders_benford, _SQL_BENFORD),
+    "revenue_concentration": QueryDef(q_revenue_concentration, _SQL_CONCENTRATION),
+    "events_transitions": QueryDef(q_events_transitions, _SQL_TRANSITIONS),
+    "user_entropy": QueryDef(q_user_entropy, _SQL_ENTROPY),
+    "customer_rfm": QueryDef(q_customer_rfm, _SQL_RFM),
+    "customer_abc": QueryDef(q_customer_abc, _SQL_ABC),
+    "doc_novelty": QueryDef(q_doc_novelty, _SQL_NOVELTY),
+    "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
+    "weighted_median": QueryDef(q_weighted_median, _SQL_WEIGHTED_MEDIAN),
+    "events_auc": QueryDef(q_events_auc, _SQL_AUC),
+    "events_calibration": QueryDef(q_events_calibration, _SQL_CALIBRATION),
+    # --- driver-green in r2 AND r3 (CORRECTNESS_r0{2,3}.json) ---
     "pricing_summary": QueryDef(q_pricing_summary, _SQL_PRICING),
     "star_join_revenue": QueryDef(q_star_join_revenue, _SQL_STAR_JOIN),
     "whitelist_semi_join": QueryDef(q_whitelist_semi_join, _SQL_WHITELIST),
@@ -5889,74 +5962,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
     "bm25_topk": QueryDef(q_bm25_topk, _SQL_BM25),
     "mix_budget": QueryDef(q_mix_budget, _SQL_MIX),
-    "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
-    "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),
-    "dedup_normalized": QueryDef(q_dedup_normalized, _SQL_DEDUP_NORMALIZED),
-    "events_sessions_native": QueryDef(q_events_sessions_native, _SQL_SESSIONS_NATIVE),
-    "kmeans_embeddings": QueryDef(q_kmeans_embeddings, _SQL_KMEANS),
-    "vocab_topk": QueryDef(q_vocab_topk, _SQL_VOCAB),
-    "events_scd2": QueryDef(q_events_scd2, _SQL_SCD2),
-    "value_deciles": QueryDef(q_value_deciles, _SQL_DECILES),
-    "skew_report": QueryDef(q_skew_report, _SQL_SKEW_REPORT),
-    "orders_above_avg": QueryDef(q_orders_above_avg, _SQL_ABOVE_AVG),
-    "customer_set_ops": QueryDef(q_customer_set_ops, _SQL_SET_OPS_BODY),
-    "regional_revenue": QueryDef(q_regional_revenue, _SQL_REGIONAL),
-    "unigram_logprob": QueryDef(q_unigram_logprob, _SQL_UNIGRAM),
-    "vocab_zipf": QueryDef(q_vocab_zipf, _SQL_ZIPF),
-    "curation_pipeline": QueryDef(q_curation_pipeline, _SQL_CURATION),
-    "dedup_minhash_incr": QueryDef(q_dedup_minhash_incr, _SQL_MINHASH_INCR),
-    "cube_revenue": QueryDef(q_cube_revenue, _SQL_CUBE),
-    # round-3 additions stay at the END: the driver snapshot keys rows by
-    # name, and appending keeps every pre-existing row's identity stable
-    "spearman_block": QueryDef(q_spearman_block, _SQL_SPEARMAN_BLOCK),
-    "events_error_window": QueryDef(q_events_error_window, _SQL_ERROR_WINDOW),
-    "bigram_logprob": QueryDef(q_bigram_logprob, _SQL_BIGRAM),
-    "embedding_quantize": QueryDef(q_embedding_quantize, _SQL_QUANTIZE),
-    "token_heavy_hitters": QueryDef(q_token_heavy_hitters, _SQL_HEAVY_HITTERS),
-    "embedding_pipeline": QueryDef(q_embedding_pipeline, _SQL_EMBED_PIPELINE),
-    "sample_per_source": QueryDef(q_sample_per_source, _SQL_SAMPLE_FIXED),
-    "tfidf_similar": QueryDef(q_tfidf_similar, _SQL_TFIDF),
-    "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SQL_SNAPSHOT_DIFF),
-    "dedup_editdist": QueryDef(q_dedup_editdist, _SQL_EDITDIST),
-    "semantic_decontam": QueryDef(q_semantic_decontam, _SQL_SEMANTIC_DECONTAM),
-    "events_gapfill": QueryDef(q_events_gapfill, _SQL_GAPFILL),
-    "sample_weighted": QueryDef(q_sample_weighted, _SQL_SAMPLE_WEIGHTED),
-    "profile_customer": QueryDef(q_profile_customer, _SQL_PROFILE),
-    "events_covisit": QueryDef(q_events_covisit, _SQL_COVISIT),
-    "acctbal_position": QueryDef(q_acctbal_position, _SQL_ACCTBAL_POSITION),
-    "item_pagerank": QueryDef(q_item_pagerank, _SQL_PAGERANK),
-    "revenue_mom": QueryDef(q_revenue_mom, _SQL_REVENUE_MOM),
-    "orders_cdc_apply": QueryDef(q_orders_cdc_apply, _SQL_CDC_APPLY),
-    "corpus_splits": QueryDef(q_corpus_splits, _SQL_SPLITS),
-    "embedding_standardize": QueryDef(q_embedding_standardize, _SQL_STANDARDIZE),
-    "dedup_embedding_incr": QueryDef(q_dedup_embedding_incr, _SQL_DEDUP_EMBED_INCR),
-    "dedup_containment": QueryDef(q_dedup_containment, _SQL_CONTAINMENT),
-    "mix_temperature": QueryDef(q_mix_temperature, _SQL_MIX_TEMPERATURE),
-    "quantile_normalize": QueryDef(q_quantile_normalize, _SQL_QUANTILE_NORM),
-    "welch_ab_test": QueryDef(q_welch_ab_test, _SQL_WELCH),
-    "mannwhitney_ab": QueryDef(q_mannwhitney_ab, _SQL_MANNWHITNEY),
-    "bootstrap_ci": QueryDef(q_bootstrap_ci, _SQL_BOOTSTRAP),
-    "events_ks_ab": QueryDef(q_events_ks_ab, _SQL_KS),
-    "events_psi": QueryDef(q_events_psi, _SQL_PSI),
-    "events_cuped": QueryDef(q_events_cuped, _SQL_CUPED),
-    "user_survival": QueryDef(q_user_survival, _SQL_SURVIVAL),
-    "user_logrank": QueryDef(q_user_logrank, _SQL_LOGRANK),
-    "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
-    "events_attribution": QueryDef(q_events_attribution, _SQL_ATTRIBUTION),
-    "segment_target_encode": QueryDef(q_segment_target_encode, _SQL_TARGET_ENCODE),
-    "events_ztest": QueryDef(q_events_ztest, _SQL_ZTEST),
-    "events_chi2": QueryDef(q_events_chi2, _SQL_CHI2),
-    "orders_benford": QueryDef(q_orders_benford, _SQL_BENFORD),
-    "revenue_concentration": QueryDef(q_revenue_concentration, _SQL_CONCENTRATION),
-    "events_transitions": QueryDef(q_events_transitions, _SQL_TRANSITIONS),
-    "user_entropy": QueryDef(q_user_entropy, _SQL_ENTROPY),
-    "customer_rfm": QueryDef(q_customer_rfm, _SQL_RFM),
-    "customer_abc": QueryDef(q_customer_abc, _SQL_ABC),
-    "doc_novelty": QueryDef(q_doc_novelty, _SQL_NOVELTY),
-    "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
-    "weighted_median": QueryDef(q_weighted_median, _SQL_WEIGHTED_MEDIAN),
-    "events_auc": QueryDef(q_events_auc, _SQL_AUC),
-    "events_calibration": QueryDef(q_events_calibration, _SQL_CALIBRATION),
+    # round-4 additions go BELOW this line (append-only; the union of
+    # per-round 50-row snapshots then covers every query)
 }
 
 

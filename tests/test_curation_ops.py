@@ -596,10 +596,11 @@ def test_target_encode_loo_leakage_free_and_smoothed(spark):
         (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
         (4, "b", 100.0),                 # singleton
         (5, "a", None),                  # NULL label
+        (6, None, 40.0), (7, None, 60.0),  # NULL category = its own group
     ]
     df = spark.createDataFrame(rows, "id long, cat string, y double")
     m = 4.0
-    prior = (10 + 20 + 30 + 100) / 4
+    prior = (10 + 20 + 30 + 100 + 40 + 60) / 6
     got = {
         r["id"]: r["te"]
         for r in target_encode_loo(
@@ -612,3 +613,7 @@ def test_target_encode_loo_leakage_free_and_smoothed(spark):
     assert got[4] == pytest.approx((100 - 100 + m * prior) / (0 + m), abs=1e-12)
     assert got[4] == pytest.approx(prior, abs=1e-12)  # singleton → pure prior
     assert got[5] == pytest.approx((60 + m * prior) / (3 + m), abs=1e-12)
+    # NULL-category rows encode against the NULL group (null-safe join),
+    # NOT te=NULL: each sees the OTHER null-cat row's label, LOO-style
+    assert got[6] == pytest.approx((100 - 40 + m * prior) / (1 + m), abs=1e-12)
+    assert got[7] == pytest.approx((100 - 60 + m * prior) / (1 + m), abs=1e-12)

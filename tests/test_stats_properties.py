@@ -800,6 +800,19 @@ def test_proportions_z_and_chi2_independence(spark):
     assert chi["i"]["p_value"] == pytest.approx(1.0, abs=1e-9)
     assert chi["z"]["df"] is None and chi["z"]["p_value"] is None
 
+    # sparse table with EMPTY cells: [[5,0],[0,5]] — the zero-count cells
+    # never appear in the grouped cell table, but each contributes its full
+    # expected mass E to chi2. Correct value is 10.0 (perfect association,
+    # n=10), NOT 5.0 (the observed-cells-only sum).
+    sparse = [("s", "A", "X")] * 5 + [("s", "B", "Y")] * 5
+    sdf = spark.createDataFrame(sparse, "grp string, r string, c string")
+    s = chi2_independence(
+        sdf, group_cols=["grp"], row_col="r", col_col="c"
+    ).collect()[0].asDict()
+    assert s["chi2"] == pytest.approx(10.0, abs=1e-9)
+    # df=1 exact erf form: p = 2(1 - Phi(sqrt(chi2)))
+    assert s["p_value"] == pytest.approx(0.001565402, abs=1e-6)
+
 
 def test_benford_conforming_vs_uniform(spark):
     """Benford screen: log-uniform (multiplicative) data conforms (large p,
@@ -819,6 +832,16 @@ def test_benford_conforming_vs_uniform(spark):
     assert got["b"]["p_value"] > 0.01 and got["b"]["max_dev"] < 0.02
     assert got["u"]["p_value"] < 1e-6
     assert got["b"]["n"] == 5000
+
+    # fractional magnitudes in (0, 1) are IN scope (0.023 → digit 2) and
+    # scale-invariance holds: dividing a conforming sample by 1000 pushes
+    # every value below 1 yet must produce the identical digit table.
+    frac = [("f", v / 1000.0) for _, v in conforming]
+    zeros = [("f", 0.0), ("f", None)]
+    fdf = spark.createDataFrame(frac + zeros, "grp string, v double")
+    f = benford_test(fdf, group_cols=["grp"], value_col="v").collect()[0].asDict()
+    assert f["n"] == 5000  # zero/NULL excluded, fractions kept
+    assert f["chi2"] == pytest.approx(got["b"]["chi2"], rel=1e-9)
 
 
 def test_concentration_gini_hhi_known_distributions(spark):

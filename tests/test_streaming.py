@@ -527,6 +527,50 @@ def test_stream_apply_changelog_versions_and_exactly_once(spark, tmp_path):
     assert {r["id"]: (r["name"], r["price"]) for r in replay.collect()} == s2
 
 
+def test_stream_apply_changelog_crash_window_replay_is_skipped(spark, tmp_path):
+    """Crash between the _VERSION flip and the streaming-checkpoint commit:
+    on restart the source replays the batch whose snapshot is ALREADY live.
+    The apply must short-circuit (pointer >= batch_id) — the naive path
+    would lazily read v=<id> while overwriting it, which Spark forbids —
+    and the table state must be unchanged."""
+    import json as _json
+    import shutil
+
+    from etl_for_all_studies_spark.streaming.cdc import (
+        read_table_state,
+        stream_apply_changelog,
+    )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, name string, price double, op string, seq long"
+    rows = [(1, "a", 10.0, "U", 1), (2, "b", 20.0, "U", 2)]
+    (src / "c1.jsonl").write_text(
+        "\n".join(
+            _json.dumps(dict(zip(["id", "name", "price", "op", "seq"], r)))
+            for r in rows
+        )
+    )
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src))
+
+    # simulate the crash: snapshot ckpt BEFORE the run, restore it AFTER —
+    # the table keeps v=0 + pointer, but source progress is lost, so the
+    # restarted query re-delivers batch 0 against an already-live v=0
+    stream_apply_changelog(stream(), table, ckpt, keys=["id"])
+    before = {r["id"]: (r["name"], r["price"])
+              for r in read_table_state(spark, table).collect()}
+    shutil.rmtree(ckpt)  # lose checkpoint entirely → batch 0 replays
+
+    stream_apply_changelog(stream(), table, ckpt, keys=["id"])
+    after = {r["id"]: (r["name"], r["price"])
+             for r in read_table_state(spark, table).collect()}
+    assert after == before == {1: ("a", 10.0), 2: ("b", 20.0)}
+
+
 def test_stream_left_outer_attribution_emits_orphans_after_watermark(spark, tmp_path):
     """Left-outer watermarked interval join: matched clicks attribute like
     the inner form; an unmatched click is emitted with NULL view columns —

@@ -36,6 +36,19 @@ def test_gap_fill_locf_fills_and_marks(spark):
     assert out[(2, 10)] == {"key": 2, "bucket": 10, "value": 7.0, "n_events": 1, "gap_filled": 0}
 
 
+def test_gap_fill_locf_null_valued_event_is_not_a_gap(spark):
+    # a bucket whose latest event carries a NULL value is OBSERVED
+    # (n_events > 0, gap_filled = 0); only true spine misses are flagged
+    rows = [(1, 1, 5, 10.0), (2, 1, 25, None), (3, 1, 45, 40.0)]
+    out = {
+        r["bucket"]: r.asDict()
+        for r in gap_fill_locf(_df(spark, rows), bucket_width=10).collect()
+    }
+    assert out[2] == {"key": 1, "bucket": 2, "value": 10.0, "n_events": 1, "gap_filled": 0}
+    assert out[1] == {"key": 1, "bucket": 1, "value": 10.0, "n_events": 0, "gap_filled": 1}
+    assert out[3]["gap_filled"] == 1 and out[4]["gap_filled"] == 0
+
+
 def test_resample_last_tie_breaks_on_seq(spark):
     # identical timestamps in one bucket: higher event_id wins
     rows = [(1, 1, 50, 1.0), (2, 1, 50, 2.0), (3, 1, 50, 3.0)]
