@@ -389,6 +389,10 @@ def benjamini_hochberg_scalable(
         dfi = dfi.withColumn("__bh_fam", F.lit(1))
         fam = ["__bh_fam"]
 
+    # bucket edges never affect VALUES (only load balance), so the
+    # degenerate num_buckets=1 is silently promoted to 2 — an empty
+    # percentile list has no aggregate form
+    num_buckets = max(2, num_buckets)
     qs = [i / num_buckets for i in range(1, num_buckets)]
     edges = dfv.groupBy(*fam).agg(
         F.percentile_approx(F.col(p_col), qs).alias("__edges"),
@@ -408,7 +412,13 @@ def benjamini_hochberg_scalable(
     w_local = Window.partitionBy(*fam, "__bkt").orderBy(F.col(p_col).asc())
     ranked = bucketed.withColumn("__lj", F.row_number().over(w_local))
 
-    counts = bucketed.groupBy(*fam, "__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    # narrow projection before the re-aggregation: keeps the plan cheap AND
+    # gives the self-join branch distinct attribute lineage
+    counts = (
+        bucketed.select(*fam, "__bkt")
+        .groupBy(*fam, "__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     w_off = (
         Window.partitionBy(*fam)
         .orderBy("__bkt")
@@ -901,6 +911,7 @@ __all__ = [
     "auc_score",
     "average_rank",
     "benjamini_hochberg",
+    "benjamini_hochberg_scalable",
     "betainc_expr",
     "chi2_independence",
     "chi2_sf_even_df_expr",

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions.stats import (
     average_rank,
     benjamini_hochberg,
+    benjamini_hochberg_scalable,
     spearman_p_value_expr,
     spearman_p_value_t_expr,
 )
@@ -365,9 +366,19 @@ def compute_gene_pair_correlations(
         )
     )
 
-    with_q = benjamini_hochberg(
-        stats, p_col="p_value", q_col="q_value", family_cols=["study_key"]
-    )
+    # q-values: block mode's pair families are n_genes²/2 rows — the classic
+    # per-family window would funnel exactly the fan-out _block_pairs spread
+    # across reducers back into ONE task. The bucketed BH keeps every stage
+    # partitioned by (study, p-bucket) with bit-identical output (pinned by
+    # test_bh_scalable_matches_classic_and_oracle).
+    if mode == "block":
+        with_q = benjamini_hochberg_scalable(
+            stats, p_col="p_value", q_col="q_value", family_cols=["study_key"]
+        )
+    else:
+        with_q = benjamini_hochberg(
+            stats, p_col="p_value", q_col="q_value", family_cols=["study_key"]
+        )
 
     return with_q.select(
         "gene_a_key",

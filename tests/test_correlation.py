@@ -253,6 +253,40 @@ def test_block_join_is_keyed_by_block_columns(spark):
     assert "blk_a" in plan and "blk_b" in plan
 
 
+def test_block_mode_bh_windows_are_bucket_partitioned(spark):
+    """Plan shape: block mode's q-value step must NOT re-serialize the pair
+    family into one window task — every window over the pair table that is
+    partitioned by study_key alone is forbidden (the bucketed BH partitions
+    by (study_key, __bkt) instead). Detected on the optimized plan text:
+    a windowspecdefinition whose FIRST argument is study_key and whose
+    SECOND argument is already a sort item (ASC/DESC) is a per-family
+    single-partition window."""
+    import re
+
+    df = _to_df(spark, CANONICAL)
+    block = compute_gene_pair_correlations(df, mode="block", n_blocks=4, computed_at="x")
+    plan = block._jdf.queryExecution().optimizedPlan().toString()
+    per_family_only = [
+        m
+        for m in re.findall(
+            r"windowspecdefinition\(study_key#\d+L?, ([A-Za-z_]+)#\d+L? (?:ASC|DESC)",
+            plan,
+        )
+        # windows over the tiny families×B bucket-count table sort by __bkt
+        # and are bounded by construction; any other sort column means a
+        # window over the quadratic pair table partitioned by family alone
+        if m != "__bkt"
+    ]
+    assert not per_family_only, per_family_only
+    # and the bucketed windows ARE present
+    assert "__bkt" in plan and "__lj" in plan
+    # the classic path keeps the cheap per-family window for reference-
+    # envelope families (dense mode unchanged)
+    dense = compute_gene_pair_correlations(df, mode="dense", computed_at="x")
+    dplan = dense._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bkt" not in dplan
+
+
 def test_auto_mode_routes_wide_dense_to_block(spark):
     """auto with a low wide_gene_threshold must route a dense study through
     the block plan and still equal exact-mode results; the dense-sized study
