@@ -378,29 +378,34 @@ def benjamini_hochberg_scalable(
     p the largest-j row has the smallest raw, and every tied row's suffix
     contains it or starts at it), so arbitrary tie placement across bucket
     edges is safe. NULL/NaN p rows keep NULL q and are excluded from m.
+
+    NULL family-key values are real families (the classic
+    ``Window.partitionBy`` form keeps them); plain equi-joins would silently
+    drop those rows, so every groupBy/join/window below keys on ONE struct
+    surrogate of the family columns — struct equality is null-safe (NULL
+    fields compare equal), preserving the bit-identical contract even when
+    e.g. ``study_key`` is NULL.
     """
     fam = family_cols or []
     valid = F.col(p_col).isNotNull() & ~F.isnan(F.col(p_col))
     dfv = df.where(valid)
     dfi = df.where(~F.coalesce(valid, F.lit(False)))
-    if not fam:
-        df = df.withColumn("__bh_fam", F.lit(1))
-        dfv = dfv.withColumn("__bh_fam", F.lit(1))
-        dfi = dfi.withColumn("__bh_fam", F.lit(1))
-        fam = ["__bh_fam"]
+    key = "__bh_fk"
+    fam_key = F.struct(*fam) if fam else F.lit(1)
+    dfv = dfv.withColumn(key, fam_key)
 
     # bucket edges never affect VALUES (only load balance), so the
     # degenerate num_buckets=1 is silently promoted to 2 — an empty
     # percentile list has no aggregate form
     num_buckets = max(2, num_buckets)
     qs = [i / num_buckets for i in range(1, num_buckets)]
-    edges = dfv.groupBy(*fam).agg(
+    edges = dfv.groupBy(key).agg(
         F.percentile_approx(F.col(p_col), qs).alias("__edges"),
         F.count(F.lit(1)).alias("__m"),
     )
     # bucket = #edges strictly below p — a comparison fold over ≤ B−1
     # literals per row, codegen'd; ascending in p by construction
-    bucketed = dfv.join(F.broadcast(edges), fam).withColumn(
+    bucketed = dfv.join(F.broadcast(edges), key).withColumn(
         "__bkt",
         F.aggregate(
             "__edges",
@@ -409,25 +414,25 @@ def benjamini_hochberg_scalable(
         ),
     ).drop("__edges")
 
-    w_local = Window.partitionBy(*fam, "__bkt").orderBy(F.col(p_col).asc())
+    w_local = Window.partitionBy(key, "__bkt").orderBy(F.col(p_col).asc())
     ranked = bucketed.withColumn("__lj", F.row_number().over(w_local))
 
     # narrow projection before the re-aggregation: keeps the plan cheap AND
     # gives the self-join branch distinct attribute lineage
     counts = (
-        bucketed.select(*fam, "__bkt")
-        .groupBy(*fam, "__bkt")
+        bucketed.select(key, "__bkt")
+        .groupBy(key, "__bkt")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     w_off = (
-        Window.partitionBy(*fam)
+        Window.partitionBy(key)
         .orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        *fam, "__bkt", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
+        key, "__bkt", F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off")
     )
-    ranked = ranked.join(F.broadcast(offsets), [*fam, "__bkt"])
+    ranked = ranked.join(F.broadcast(offsets), [key, "__bkt"])
     raw = (F.col(p_col) * F.col("__m") / (F.col("__lj") + F.col("__off"))).alias(
         "__raw"
     )
@@ -435,28 +440,28 @@ def benjamini_hochberg_scalable(
 
     # pass 1: suffix-min WITHIN the bucket (descending rank order)
     w_sfx = (
-        Window.partitionBy(*fam, "__bkt")
+        Window.partitionBy(key, "__bkt")
         .orderBy(F.col("__lj").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_sfx = with_raw.withColumn("__sfx", F.min("__raw").over(w_sfx))
     # pass 2: min over all LATER buckets (tiny families×B table)
-    bmin = with_raw.groupBy(*fam, "__bkt").agg(F.min("__raw").alias("__bm"))
+    bmin = with_raw.groupBy(key, "__bkt").agg(F.min("__raw").alias("__bm"))
     w_later = (
-        Window.partitionBy(*fam)
+        Window.partitionBy(key)
         .orderBy(F.col("__bkt").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     later = bmin.select(
-        *fam, "__bkt", F.min("__bm").over(w_later).alias("__later")
+        key, "__bkt", F.min("__bm").over(w_later).alias("__later")
     )
-    out_cols = [c for c in df.columns if c != "__bh_fam"]
+    out_cols = list(df.columns)
     qv = F.least(
         F.least(F.col("__sfx"), F.coalesce(F.col("__later"), F.lit(1.0))),
         F.lit(1.0),
     )
     done = (
-        with_sfx.join(F.broadcast(later), [*fam, "__bkt"])
+        with_sfx.join(F.broadcast(later), [key, "__bkt"])
         .select(*out_cols, qv.alias(q_col))
     )
     skipped = dfi.select(

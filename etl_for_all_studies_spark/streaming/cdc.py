@@ -87,14 +87,29 @@ def stream_apply_changelog(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # Replay guard for the crash window between the _VERSION flip and
-        # the streaming-checkpoint commit: if the live pointer already
-        # reached batch_id, v=<batch_id> was FULLY written (the pointer
-        # flips only after a successful snapshot write), so re-merging
-        # would lazily read v=<batch_id> and then overwrite the very
+        # the streaming-checkpoint commit: if the live pointer EQUALS
+        # batch_id, v=<batch_id> was FULLY written (the pointer flips only
+        # after a successful snapshot write) and the replayed batch is
+        # byte-identical (same checkpointed source offsets), so re-merging
+        # would lazily read v=<batch_id> while overwriting the very
         # directory being read. Skip — the batch is durably applied.
+        # live > batch_id is NOT that window: batch ids restart at 0 when
+        # the checkpoint is lost/recreated, and if the source has since
+        # accumulated new files, the replayed low-id batch carries NEW rows
+        # — skipping would silently drop them forever (the fresh checkpoint
+        # then marks those files processed). That is a checkpoint/table
+        # mismatch only an operator can resolve: fail loudly.
         live = _live_version(table_dir)
-        if live is not None and live >= batch_id:
+        if live is not None and live == batch_id:
             return
+        if live is not None and live > batch_id:
+            raise RuntimeError(
+                f"changelog checkpoint/table mismatch: table {table_dir!r} is "
+                f"at version {live} but the stream delivered batch "
+                f"{batch_id} — the streaming checkpoint was lost or points "
+                "at a different table. Restore the matching checkpoint, or "
+                "rebuild the table from a fresh checkpoint+full changelog."
+            )
         base = read_table_state(spark, table_dir)
         if base is None:
             base = batch_df.select(*value_cols).limit(0)

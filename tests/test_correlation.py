@@ -266,10 +266,19 @@ def test_block_mode_bh_windows_are_bucket_partitioned(spark):
     df = _to_df(spark, CANONICAL)
     block = compute_gene_pair_correlations(df, mode="block", n_blocks=4, computed_at="x")
     plan = block._jdf.queryExecution().optimizedPlan().toString()
+    # guard-the-guard: if a Spark upgrade changes the plan-string format and
+    # the windowspecdefinition pattern stops matching anything, the per-
+    # family assertion below would pass vacuously — fail loudly instead
+    all_specs = re.findall(
+        r"windowspecdefinition\(([A-Za-z_][A-Za-z0-9_]*)#\d+",
+        plan,
+    )
+    assert all_specs, "no windowspecdefinition parsed — plan format drifted"
     per_family_only = [
         m
         for m in re.findall(
-            r"windowspecdefinition\(study_key#\d+L?, ([A-Za-z_]+)#\d+L? (?:ASC|DESC)",
+            r"windowspecdefinition\((?:study_key|__bh_fk)#\d+L?,"
+            r" ([A-Za-z_][A-Za-z0-9_]*)#\d+L? (?:ASC|DESC)",
             plan,
         )
         # windows over the tiny families×B bucket-count table sort by __bkt

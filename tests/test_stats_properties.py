@@ -160,8 +160,10 @@ def test_bh_scalable_matches_classic_and_oracle(spark):
 
     rng = random.Random(17)
     rows, expected = [], {}
-    for fam in range(12):
-        n = rng.randint(0, 40)
+    # fam=None is a REAL family (Window.partitionBy keeps NULL partitions);
+    # the bucketed form's joins must not drop it (null-safe struct key)
+    for fam in [*range(12), None]:
+        n = rng.randint(0, 40) if fam is not None else 7
         ps = []
         for _ in range(n):
             r = rng.random()

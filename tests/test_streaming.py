@@ -571,6 +571,56 @@ def test_stream_apply_changelog_crash_window_replay_is_skipped(spark, tmp_path):
     assert after == before == {1: ("a", 10.0), 2: ("b", 20.0)}
 
 
+def test_stream_apply_changelog_checkpoint_loss_with_new_data_fails_loudly(
+    spark, tmp_path
+):
+    """Checkpoint loss with NEW source files accumulated since: batch ids
+    restart at 0, so the replayed batch 0 carries old+new rows while the
+    table pointer is already past it. Silently skipping would drop the new
+    changes forever (the fresh checkpoint then marks those files
+    processed) — the apply must raise instead (live > batch_id)."""
+    import json as _json
+    import shutil
+
+    import pytest as _pytest
+
+    from etl_for_all_studies_spark.streaming.cdc import (
+        read_table_state,
+        stream_apply_changelog,
+    )
+
+    src = tmp_path / "changes_mismatch"
+    src.mkdir()
+    table = str(tmp_path / "table_mismatch")
+    ckpt = str(tmp_path / "ckpt_mismatch")
+    schema = "id long, name string, price double, op string, seq long"
+
+    def write(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps(dict(zip(["id", "name", "price", "op", "seq"], r)))
+                for r in rows
+            )
+        )
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src))
+
+    write("c1.jsonl", [(1, "a", 10.0, "U", 1)])
+    stream_apply_changelog(stream(), table, ckpt, keys=["id"])  # batch 0
+    write("c2.jsonl", [(2, "b", 20.0, "U", 2)])
+    stream_apply_changelog(stream(), table, ckpt, keys=["id"])  # batch 1
+    assert {r["id"] for r in read_table_state(spark, table).collect()} == {1, 2}
+
+    shutil.rmtree(ckpt)  # checkpoint lost entirely
+    write("c3.jsonl", [(3, "c", 30.0, "U", 3)])  # NEW data since the loss
+    # restarted query re-delivers EVERYTHING as batch 0 while live == 1
+    with _pytest.raises(Exception, match="checkpoint/table mismatch"):
+        stream_apply_changelog(stream(), table, ckpt, keys=["id"])
+    # table untouched — operator decides how to reconcile
+    assert {r["id"] for r in read_table_state(spark, table).collect()} == {1, 2}
+
+
 def test_stream_left_outer_attribution_emits_orphans_after_watermark(spark, tmp_path):
     """Left-outer watermarked interval join: matched clicks attribute like
     the inner form; an unmatched click is emitted with NULL view columns —
