@@ -9,19 +9,32 @@ splittable:
 
 1. ``repartitionByRange`` on the order key — a distributed sort: each task
    owns one contiguous key range (the same exchange a global ``orderBy``
-   plans, WITHOUT the subsequent single-partition window);
+   plans, WITHOUT the subsequent single-partition window). The frame is
+   ``localCheckpoint``-ed: the lineage below branches (local ranks + range
+   stats), and both the sampled range boundaries and ``spark_partition_id``
+   are documented as potentially inconsistent across re-evaluations —
+   without pinning, the offsets could be computed against a DIFFERENT
+   partitioning than the local ranks. The checkpoint writes once what the
+   global sort would have shuffled anyway (this operator is meant for
+   AGGREGATED tables — per-customer, per-term — not raw facts); on a real
+   cluster swap for reliable ``.checkpoint()`` if executor loss must be
+   survivable mid-query.
 2. per-range ``row_number`` / running sums via a window partitioned by the
    range id — parallelism = number of ranges;
-3. a TINY per-range stats table (one row per range: row count, value sums,
-   first key) ordered by each range's first key → cumulative offsets;
-4. broadcast the offsets back: ``global = local + offset``.
+3. per-range counts/value sums → ONE tiny stats table (one row per range,
+   ≤ ``num_partitions`` rows — bounded by CONFIG, not data) collected to
+   the driver; cumulative offsets are a Python prefix sum over it. Range
+   partition INDEX is the sort order (``RangePartitioner`` numbers ranges
+   ascending in the given ordering, pinned by the checkpoint), so no
+   driver-side key comparisons are needed. No window over the stats table
+   either — a ``partitionBy(lit(0))`` guard would be constant-folded back
+   into the single-task shape this operator exists to avoid.
+4. broadcast the offsets back: ``global = local + offset``; grand totals
+   ride along as literals.
 
 This is the same per-partition-offset numbering ``operators/dims.py`` uses
 for dim_sample keys, generalized to any total order plus running sums.
-Values are EXACT — range bounds (sampled) affect only load balance, and
-ordering the stats table by each range's first row key (not the physical
-partition id) keeps the offsets correct even if the runtime renumbers or
-coalesces partitions.
+Values are EXACT — range bounds (sampled) affect only load balance.
 
 The order key must be a total order (include a unique tiebreaker column)
 for deterministic output — the same requirement the global-window form has.
@@ -30,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def attach_global_order(
@@ -60,69 +74,80 @@ def attach_global_order(
     n_part = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    rp = df.repartitionByRange(n_part, *sort_exprs).withColumn(
-        "__go_pid", F.spark_partition_id()
+    rp = (
+        df.repartitionByRange(n_part, *sort_exprs)
+        .withColumn("__go_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_local = Window.partitionBy("__go_pid").orderBy(*sort_exprs)
     w_run = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = rp.withColumn("__go_lr", F.row_number().over(w_local))
+    local = rp
+    if rank_col or running_sum:
+        local = local.withColumn("__go_lr", F.row_number().over(w_local))
     for out, val in running_sum.items():
         local = local.withColumn(f"__go_run_{out}", F.sum(val).over(w_run))
 
-    sum_aggs = [F.sum(val).alias(f"__go_s_{out}") for out, val in
-                {**running_sum, **total_sum_cols}.items()]
-    stats = local.groupBy("__go_pid").agg(
+    sum_items = list({**running_sum, **total_sum_cols}.items())
+    sum_aggs = [F.sum(val).alias(f"__go_s_{out}") for out, val in sum_items]
+    stats_df = rp.groupBy("__go_pid").agg(
         F.count(F.lit(1)).alias("__go_c"), *sum_aggs
     )
-    # each range's FIRST row key orders the stats table — robust to any
-    # physical partition renumbering; ranges never interleave by construction
-    firsts = local.where(F.col("__go_lr") == 1).select(
-        "__go_pid", *[F.col(c).alias(f"__go_k_{c}") for c, _ in order]
-    )
-    stats = stats.join(firsts, "__go_pid")
-    # the stats table is tiny (one row per range) — but partition the
-    # windows by a literal anyway so no stage ever carries the
-    # "No Partition Defined for Window" single-task signature
-    w_prev = (
-        Window.partitionBy(F.lit(0))
-        .orderBy(
+    stats_types = {f.name: f.dataType for f in stats_df.schema.fields}
+    # ≤ n_part rows — bounded by configuration, never by data volume
+    stats = sorted(stats_df.collect(), key=lambda r: r["__go_pid"])
+
+    # driver-side prefix sums (exclusive): range i's offset = totals of all
+    # EARLIER ranges; empty ranges simply have no stats row and no rows to
+    # join back to
+    off_rows: list[tuple] = []
+    cum_c = 0
+    cum_s: dict[str, object] = {out: None for out in running_sum}
+    for r in stats:
+        off_rows.append(
+            (r["__go_pid"], cum_c, *[cum_s[out] for out in running_sum])
+        )
+        cum_c += r["__go_c"]
+        for out in running_sum:
+            v = r[f"__go_s_{out}"]
+            if v is not None:
+                cum_s[out] = v if cum_s[out] is None else cum_s[out] + v
+    totals = {}
+    for out, _ in sum_items:
+        vals = [r[f"__go_s_{out}"] for r in stats if r[f"__go_s_{out}"] is not None]
+        acc = None
+        for v in vals:
+            acc = v if acc is None else acc + v
+        totals[out] = acc
+
+    off_schema = T.StructType(
+        [
+            T.StructField("__go_pid", T.IntegerType()),
+            T.StructField("__go_off", T.LongType()),
             *[
-                (F.col(f"__go_k_{c}").asc() if asc else F.col(f"__go_k_{c}").desc())
-                for c, asc in order
-            ]
-        )
-        .rowsBetween(Window.unboundedPreceding, -1)
+                T.StructField(f"__go_off_{out}", stats_types[f"__go_s_{out}"])
+                for out in running_sum
+            ],
+        ]
     )
-    w_all = Window.partitionBy(F.lit(0))
-    off_cols = [
-        "__go_pid",
-        F.coalesce(F.sum("__go_c").over(w_prev), F.lit(0)).alias("__go_off"),
-    ]
-    for out in running_sum:
-        off_cols.append(
-            F.coalesce(F.sum(f"__go_s_{out}").over(w_prev), F.lit(0)).alias(
-                f"__go_off_{out}"
-            )
-        )
-    if total_count_col:
-        off_cols.append(F.sum("__go_c").over(w_all).alias(total_count_col))
-    for out, _ in total_sum_cols.items():
-        off_cols.append(F.sum(f"__go_s_{out}").over(w_all).alias(out))
-    offsets = stats.select(*off_cols)
+    offsets = df.sparkSession.createDataFrame(off_rows, off_schema)
 
     joined = local.join(F.broadcast(offsets), "__go_pid")
     out_cols = list(df.columns)
     proj: list[Column | str] = list(out_cols)
     if rank_col:
         proj.append((F.col("__go_lr") + F.col("__go_off")).alias(rank_col))
-    for out, _ in running_sum.items():
+    for out in running_sum:
+        run = F.col(f"__go_run_{out}")
+        off = F.col(f"__go_off_{out}")
         proj.append(
-            (F.col(f"__go_run_{out}") + F.col(f"__go_off_{out}")).alias(out)
+            F.when(off.isNull(), run).otherwise(run + off).alias(out)
         )
     if total_count_col:
-        proj.append(total_count_col)
-    for out in total_sum_cols:
-        proj.append(out)
+        proj.append(F.lit(cum_c).cast("long").alias(total_count_col))
+    for out, _ in total_sum_cols.items():
+        proj.append(
+            F.lit(totals[out]).cast(stats_types[f"__go_s_{out}"]).alias(out)
+        )
     return joined.select(*proj)
 
 

@@ -2899,21 +2899,24 @@ def q_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-tail diagnostics for the corpus vocabulary: OLS fit of
     log₁₀ frequency against log₁₀ rank via the native regression aggregate
     family (``regr_slope``/``regr_intercept``/``regr_r2``) — a Zipfian
-    corpus has slope ≈ −1. The ranking window totally orders the vocabulary
-    (bounded, Zipf-small vs the token stream); the regression itself is one
-    map-side-combinable aggregate — the moment sums are associative, so this
-    scales exactly like avg/var."""
+    corpus has slope ≈ −1. The vocabulary is Zipf-small vs the token stream
+    but still unbounded at crawl scale (hundreds of millions of types with
+    web noise), so the total-order rank comes from ``attach_global_order``
+    — a range-partitioned distributed rank on (count desc, term asc); the
+    huge count=1 tie mass is spread across ranges by the term tiebreaker —
+    never a single-task global window. The regression itself is one
+    map-side-combinable aggregate — the moment sums are associative, so
+    this scales exactly like avg/var."""
     from .functions.hashing import word_tokens as _wt
+    from .operators.globalorder import attach_global_order
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(_wt(F.lower(F.col("text")))).alias("w")
     ).where(F.col("w") != "")
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    from pyspark.sql import Window
-
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+    ranked = attach_global_order(
+        freq, order=[("c", False), ("w", True)], rank_col="r"
     )
     lr = ranked.select(
         F.log10(F.col("c").cast("double")).alias("lf"),
@@ -5448,15 +5451,15 @@ FROM per_user
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic CRM scoring: per customer Recency (days since last order at
     the dataset horizon), Frequency (#orders), Monetary (revenue), each
-    quintile-scored with ``ntile(5)`` over a (metric, custkey)-totalized
-    order, concatenated to the familiar '545'-style segment code. One
-    aggregation + three windows over the AGGREGATED per-customer table.
-    Scale bound, stated honestly: a global ntile is a single-task sort of
-    the customer dim — fine into the tens of millions; for billions,
-    switch to percentile-edge bucketing (one aggregation + a comparison
-    fold, the PSI machinery) which changes only tie handling at quintile
-    boundaries."""
-    from pyspark.sql.window import Window
+    quintile-scored over a (metric, custkey)-totalized order, concatenated
+    to the familiar '545'-style segment code. One aggregation, then each
+    metric's quintile comes from ``attach_global_order`` — a range-
+    partitioned distributed rank (every stage splittable, no single-task
+    global window; ties on the small-integer frequency are spread across
+    ranges by the custkey tiebreaker) — and ``ntile_from_rank``, the exact
+    arithmetic form of SQL NTILE(5). The oracle keeps the global-window
+    NTILE formulation; outputs are bit-identical."""
+    from .operators.globalorder import attach_global_order, ntile_from_rank
 
     horizon = F.lit("2001-09-01").cast("timestamp")
     orders = _t(spark, sf_dir, "orders")
@@ -5465,18 +5468,22 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    def score(col, asc):
-        order = (F.col(col).asc() if asc else F.col(col).desc())
-        return F.ntile(5).over(
-            Window.orderBy(order, F.col("o_custkey").asc())
+
+    # recency: smaller is better → descending rank gives 5 to most recent
+    def score(df, col, asc, out):
+        d = attach_global_order(
+            df,
+            order=[(col, asc), ("o_custkey", True)],
+            rank_col="__r",
+            total_count_col="__n",
         )
-    # recency: smaller is better → descending ntile gives 5 to most recent
-    out = rfm.select(
-        "o_custkey", "recency_days", "frequency", "monetary",
-        score("recency_days", False).alias("r_score"),
-        score("frequency", True).alias("f_score"),
-        score("monetary", True).alias("m_score"),
-    )
+        return d.withColumn(
+            out, ntile_from_rank(F.col("__r"), F.col("__n"), 5)
+        ).drop("__r", "__n")
+
+    out = score(rfm, "recency_days", False, "r_score")
+    out = score(out, "frequency", True, "f_score")
+    out = score(out, "monetary", True, "m_score")
     return out.select(
         "o_custkey", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
@@ -5511,29 +5518,32 @@ FROM scored
 def q_customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC classification: customers sorted by revenue descending,
     class A while the cumulative share ≤ 80%, B to 95%, else C — the
-    inventory/CRM 80-20 cut as one cumulative window over the aggregated
-    table (never over raw orders). The cumulative share is inherently
-    sequential — same single-task bound and the same percentile-edge
-    escape hatch as the RFM query's ntile."""
-    from pyspark.sql.window import Window
+    inventory/CRM 80-20 cut over the AGGREGATED per-customer table (never
+    over raw orders). The running revenue sum comes from
+    ``attach_global_order`` (range-partitioned local running sums + tiny
+    broadcast offsets) instead of a single-task global window — every
+    stage splittable. The cumulative share is quantized to a 1e-6 grid
+    before the class cut so the boundary decision is independent of
+    summation order across engines AND across the partial-sum grouping the
+    distributed form introduces (same discipline as orders_above_avg's
+    quantized threshold)."""
+    from .operators.globalorder import attach_global_order
 
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("revenue")
     )
-    w = (
-        Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = attach_global_order(
+        rev,
+        order=[("revenue", False), ("o_custkey", True)],
+        rank_col=None,
+        running_sum={"__cum": "revenue"},
+        total_sum_cols={"__tot": "revenue"},
     )
-    w_tot = Window.partitionBy()
-    # the grand total's partial-agg order differs across engines; the 1e-6
-    # share grid makes the class boundary order-independent (the same
-    # discipline as orders_above_avg's quantized threshold)
     share = F.floor(
-        (F.sum("revenue").over(w) / F.sum("revenue").over(w_tot)) * 1000000.0
-        + F.lit(0.5001)
+        (F.col("__cum") / F.col("__tot")) * 1000000.0 + F.lit(0.5001)
     )
-    out = rev.select(
+    out = d.select(
         "o_custkey",
         F.round("revenue", 2).alias("revenue"),
         F.when(share <= 800000, F.lit("A"))
