@@ -5846,15 +5846,102 @@ FROM base GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# expanding-window anomaly flags — the batch twin of the stateful streaming
+# detector (streaming/events.py::stream_anomaly_flags)
+# --------------------------------------------------------------------------
+
+def q_events_anomaly_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window anomaly flags: each event's value against ALL of its
+    user's prior observations (the batch twin of the streaming Welford
+    detector ``stream_anomaly_flags`` — parity across micro-batches is
+    pinned in ``test_streaming.py``; this registry entry gives the batch
+    form its own oracle row). Frame is ``rowsBetween(unboundedPreceding,
+    -1)`` per user over a total (ts, id) order — keyed by user, so the
+    window parallelism is the user count, and per-user history is the
+    bounded dimension. Warm-up rows (< 5 priors) and zero-variance
+    histories are unflaggable by construction; z is quantized BEFORE the
+    |z| ≥ 3 threshold so the flag decision is engine-independent."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    cnt = F.count("value").over(w)
+    z = (F.col("value") - mu) / sd
+    zq = (F.floor(z * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)
+    out = ev.select(
+        "event_id", "user_id", "ts_us", "value",
+        F.when((cnt >= 5) & (sd > 0), zq).alias("z"),
+    ).where(F.abs(F.col("z")) >= 3)
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.round("value", 2).alias("value"), "z",
+    )
+
+
+_SQL_ANOMALY_EXPANDING = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events
+),
+roll AS (
+  SELECT *,
+    AVG(value) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mu,
+    STDDEV_SAMP(value) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sd,
+    COUNT(value) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cnt
+  FROM ev
+),
+flagged AS (
+  SELECT event_id, user_id, ts_us, value,
+         CASE WHEN cnt >= 5 AND sd > 0
+              THEN FLOOR(((value - mu) / sd) * 1000000.0 + 0.5001)
+                   / 1000000.0 + 0.0 END AS z
+  FROM roll
+)
+SELECT event_id, user_id, ts_us, ROUND(value, 2) AS value, z
+FROM flagged WHERE ABS(z) >= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 QUERY_REGISTRY: dict[str, QueryDef] = {
-    # ROUND-4 ROTATION (judge directive r3 #1): the driver CORRECTNESS
-    # snapshot caps at the FIRST 50 registry entries, and rounds 2-3
-    # snapshotted the same 50 names. The 66 queries the driver has never
-    # hard-checked now lead (relative order preserved); the 50 already-
-    # green-twice names follow. Nothing renamed, dropped, or re-oracled.
+    # ROUND-5 ROTATION (judge directive r4 #2): the driver CORRECTNESS
+    # snapshot caps at the FIRST 50 registry entries. The 16 round-3
+    # stats queries that were never driver-checked (judge-gate-green in
+    # r4) now LEAD, completing the 116/116 driver-checked union; the
+    # round-5 addition follows them (still inside the snapshot window);
+    # then every already-driver-green name in its prior relative order.
+    # Nothing renamed, dropped, or re-oracled.
+    "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
+    "events_attribution": QueryDef(q_events_attribution, _SQL_ATTRIBUTION),
+    "segment_target_encode": QueryDef(q_segment_target_encode, _SQL_TARGET_ENCODE),
+    "events_ztest": QueryDef(q_events_ztest, _SQL_ZTEST),
+    "events_chi2": QueryDef(q_events_chi2, _SQL_CHI2),
+    "orders_benford": QueryDef(q_orders_benford, _SQL_BENFORD),
+    "revenue_concentration": QueryDef(q_revenue_concentration, _SQL_CONCENTRATION),
+    "events_transitions": QueryDef(q_events_transitions, _SQL_TRANSITIONS),
+    "user_entropy": QueryDef(q_user_entropy, _SQL_ENTROPY),
+    "customer_rfm": QueryDef(q_customer_rfm, _SQL_RFM),
+    "customer_abc": QueryDef(q_customer_abc, _SQL_ABC),
+    "doc_novelty": QueryDef(q_doc_novelty, _SQL_NOVELTY),
+    "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
+    "weighted_median": QueryDef(q_weighted_median, _SQL_WEIGHTED_MEDIAN),
+    "events_auc": QueryDef(q_events_auc, _SQL_AUC),
+    "events_calibration": QueryDef(q_events_calibration, _SQL_CALIBRATION),
+    # --- round-5 addition (append-after-rotated-block rule, r4 #8) ---
+    "events_anomaly_expanding": QueryDef(q_events_anomaly_expanding, _SQL_ANOMALY_EXPANDING),
+    # --- driver-green in earlier rounds (CORRECTNESS_r0{2,3,4}.json) ---
     "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
     "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),
     "dedup_normalized": QueryDef(q_dedup_normalized, _SQL_DEDUP_NORMALIZED),
@@ -5905,23 +5992,6 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_cuped": QueryDef(q_events_cuped, _SQL_CUPED),
     "user_survival": QueryDef(q_user_survival, _SQL_SURVIVAL),
     "user_logrank": QueryDef(q_user_logrank, _SQL_LOGRANK),
-    "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
-    "events_attribution": QueryDef(q_events_attribution, _SQL_ATTRIBUTION),
-    "segment_target_encode": QueryDef(q_segment_target_encode, _SQL_TARGET_ENCODE),
-    "events_ztest": QueryDef(q_events_ztest, _SQL_ZTEST),
-    "events_chi2": QueryDef(q_events_chi2, _SQL_CHI2),
-    "orders_benford": QueryDef(q_orders_benford, _SQL_BENFORD),
-    "revenue_concentration": QueryDef(q_revenue_concentration, _SQL_CONCENTRATION),
-    "events_transitions": QueryDef(q_events_transitions, _SQL_TRANSITIONS),
-    "user_entropy": QueryDef(q_user_entropy, _SQL_ENTROPY),
-    "customer_rfm": QueryDef(q_customer_rfm, _SQL_RFM),
-    "customer_abc": QueryDef(q_customer_abc, _SQL_ABC),
-    "doc_novelty": QueryDef(q_doc_novelty, _SQL_NOVELTY),
-    "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
-    "weighted_median": QueryDef(q_weighted_median, _SQL_WEIGHTED_MEDIAN),
-    "events_auc": QueryDef(q_events_auc, _SQL_AUC),
-    "events_calibration": QueryDef(q_events_calibration, _SQL_CALIBRATION),
-    # --- driver-green in r2 AND r3 (CORRECTNESS_r0{2,3}.json) ---
     "pricing_summary": QueryDef(q_pricing_summary, _SQL_PRICING),
     "star_join_revenue": QueryDef(q_star_join_revenue, _SQL_STAR_JOIN),
     "whitelist_semi_join": QueryDef(q_whitelist_semi_join, _SQL_WHITELIST),
@@ -5972,8 +6042,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
     "bm25_topk": QueryDef(q_bm25_topk, _SQL_BM25),
     "mix_budget": QueryDef(q_mix_budget, _SQL_MIX),
-    # round-4 additions go BELOW this line (append-only; the union of
-    # per-round 50-row snapshots then covers every query)
+    # future additions go BELOW this line (append-only)
 }
 
 
