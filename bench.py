@@ -100,7 +100,7 @@ def main() -> None:
     # ETL throughput on the reference's own GSE9006-shaped envelope — in the
     # bench JSON so BENCH_r{N}.json carries round-over-round ETL regressions,
     # not just query timings (reference anchor: 78 records/s, BASELINE.md).
-    from tools.bench_etl import run_etl_bench
+    from tools.bench_etl import run_etl_bench, run_wide_gene_bench
 
     try:
         etl = run_etl_bench(spark)
@@ -108,20 +108,33 @@ def main() -> None:
         etl = {"error": f"{type(exc).__name__}: {exc}"}
     spark.catalog.clearCache()
 
+    # wide-gene leg: a 2k-gene dense study through the FULL block-mode plan
+    # (bucketed pair join + bucket-partitioned BH) — the beyond-envelope
+    # correlation path measured end-to-end, 2M pair rows with ρ/p/q each run
+    try:
+        wide = run_wide_gene_bench(spark)
+    except Exception as exc:
+        wide = {"error": f"{type(exc).__name__}: {exc}"}
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "etl": etl,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "etl": etl,
+        "wide_gene": wide,
+    }
+    # the stdout line gets tail-truncated in the driver's BENCH artifact
+    # (only ~69 of the timings survived in r3/r4), so the COMPLETE table is
+    # also written to a committed results file — the auditable record
+    out_path = pathlib.Path(__file__).resolve().parent / "bench_results" / "bench_full.json"
+    out_path.parent.mkdir(exist_ok=True)
+    out_path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -5912,6 +5912,114 @@ FROM flagged WHERE ABS(z) >= 3
 
 
 # --------------------------------------------------------------------------
+# linear classifier inference — the quality/domain-filter stage of a
+# production curation pipeline (CCNet/fastText shape) as pure DataFrame ops
+# --------------------------------------------------------------------------
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear-classifier inference over hashed bag-of-words
+    (``operators/classifier.py``): portable-hash each token into a 4096-
+    bucket feature space, broadcast-join the (feature → weight) table
+    (bounded by construction), one map-side-combinable per-doc aggregation,
+    sigmoid on the mean. The weights here are the deterministic demo table
+    (arithmetic in both engines) — production drops in any trained linear
+    model. Score quantized on the 1e-6 grid: the per-doc weight sum
+    reassociates across engines."""
+    from .operators.classifier import demo_weights, linear_classifier_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = linear_classifier_scores(
+        docs, demo_weights(spark, n_features=4096), n_features=4096
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        ((F.floor(F.col("score") * 1000000.0 + F.lit(0.5001)) / 1000000.0)
+         + F.lit(0.0)).alias("score"),
+    )
+
+
+_SQL_CLASSIFIER = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(TRIM(text)), '\\s+')) AS w
+  FROM documents
+),
+toks_ne AS (SELECT doc_id, w FROM toks WHERE w != ''),
+feats AS (
+  SELECT doc_id, ({_SQL_POLY_HASH.format(s="w")}) % 4096 AS feat
+  FROM toks_ne
+),
+wts AS (
+  SELECT range AS feat,
+         ((range * 2654435761) % 1000003) / 1000003.0 - 0.5 AS weight
+  FROM range(4096)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(weight) AS s
+  FROM feats JOIN wts USING (feat) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       FLOOR((1.0 / (1.0 + exp(-(s / n_tokens)))) * 1000000.0 + 0.5001)
+         / 1000000.0 + 0.0 AS score
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# leakage-safe splits — duplicate groups never straddle train/val/test
+# --------------------------------------------------------------------------
+
+def q_splits_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test assignment: the split hash is computed on
+    the CANONICAL-TEXT digest, not the doc id, so byte-identical and
+    trivial-variant duplicates (case/punctuation/whitespace noise) always
+    land in the SAME split — the eval-leakage guard a per-doc hash split
+    lacks (a train/test pair of near-identical docs silently inflates eval
+    scores). Same linear shape as ``corpus_splits``: one projection, no
+    shuffle; the per-split rollup here exists to aggregate the evidence.
+    For fuzzy near-dup safety, compose with the MinHash cluster keeper id
+    as the key instead (``plans/curation.py`` wiring)."""
+    from .operators.sampling import assign_splits
+    from .operators.textops import canonicalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "__grp", F.md5(canonicalize_text(F.col("text")))
+    )
+    out = assign_splits(
+        keyed, key_col="__grp",
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("__grp")).alias("n_groups"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )
+
+
+_SQL_SPLITS_SAFE = f"""
+WITH b AS (
+  SELECT source,
+    md5(TRIM(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS grp
+  FROM documents
+),
+h AS (
+  SELECT source, grp,
+    (({_SQL_POLY_HASH.format(s="grp")}) * 7919 + 104729)
+      % 1000000007 % 1000000 AS hv
+  FROM b
+)
+SELECT CASE WHEN hv < 900000 THEN 'train'
+            WHEN hv < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT grp) AS n_groups,
+       COUNT(DISTINCT source) AS n_sources
+FROM h GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5941,6 +6049,8 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_calibration": QueryDef(q_events_calibration, _SQL_CALIBRATION),
     # --- round-5 addition (append-after-rotated-block rule, r4 #8) ---
     "events_anomaly_expanding": QueryDef(q_events_anomaly_expanding, _SQL_ANOMALY_EXPANDING),
+    "classifier_score": QueryDef(q_classifier_score, _SQL_CLASSIFIER),
+    "splits_leakage_safe": QueryDef(q_splits_leakage_safe, _SQL_SPLITS_SAFE),
     # --- driver-green in earlier rounds (CORRECTNESS_r0{2,3,4}.json) ---
     "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
     "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),

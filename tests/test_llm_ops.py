@@ -793,3 +793,95 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert (1, 2) not in jac  # the score Jaccard-threshold dedup misses
+
+
+def test_linear_classifier_scores_match_python_reference(spark):
+    """Classifier inference = sigmoid(mean of hashed-bucket weights): pinned
+    against a direct Python reimplementation (same portable hash), including
+    absent-bucket→0 and the mean-pool length invariance."""
+    from etl_for_all_studies_spark.operators.classifier import (
+        demo_weights,
+        linear_classifier_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "THE  QUICK   BROWN FOX"),  # case/space noise, same tokens
+            (3, "lorem ipsum dolor sit amet consectetur"),
+            (4, "single"),
+            (5, "single single single single"),  # mean-pool: same score as 4
+        ],
+        "doc_id long, text string",
+    )
+    n_feat = 64  # small space → guaranteed collisions exercised
+    w = demo_weights(spark, n_features=n_feat)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"])
+        for r in linear_classifier_scores(docs, w, n_features=n_feat).collect()
+    }
+
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * 131 + ord(c)) % 1_000_000_007
+        return h
+
+    def weight(f):
+        return ((f * 2654435761) % 1000003) / 1000003.0 - 0.5
+
+    import math
+
+    for doc_id, text in [(1, "the quick brown fox"),
+                         (3, "lorem ipsum dolor sit amet consectetur"),
+                         (4, "single")]:
+        toks = text.lower().split()
+        s = sum(weight(poly(t) % n_feat) for t in toks)
+        exp = 1.0 / (1.0 + math.exp(-(s / len(toks))))
+        assert got[doc_id][0] == len(toks)
+        assert got[doc_id][1] == pytest.approx(exp, abs=1e-12), doc_id
+    # tokenizer normalization: whitespace/case noise scores identically
+    assert got[2] == got[1]
+    # mean pooling: repeating one token leaves the score unchanged
+    assert got[5][1] == pytest.approx(got[4][1], abs=1e-12)
+    assert got[5][0] == 4
+
+
+def test_linear_classifier_absent_buckets_default_zero(spark):
+    from etl_for_all_studies_spark.operators.classifier import (
+        linear_classifier_scores,
+    )
+
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    empty_w = spark.createDataFrame([], "feat long, weight double")
+    rows = linear_classifier_scores(docs, empty_w, n_features=16).collect()
+    assert rows[0]["score"] == pytest.approx(0.5, abs=1e-12)  # sigmoid(0)
+
+
+def test_leakage_safe_splits_never_straddle_duplicate_groups(spark):
+    """The property the query exists for: canonical-duplicate docs ALWAYS
+    share a split (a doc-id-keyed split puts ~10% of dup pairs astride the
+    train/eval boundary)."""
+    from etl_for_all_studies_spark.operators.sampling import assign_splits
+    from etl_for_all_studies_spark.operators.textops import canonicalize_text
+
+    rows = []
+    for i in range(200):
+        base = f"document number {i} with shared body text"
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base.upper() + "!!!"))  # trivial variant
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    keyed = docs.withColumn("__grp", F.md5(canonicalize_text(F.col("text"))))
+    out = assign_splits(
+        keyed, key_col="__grp",
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    spanning = (
+        out.groupBy("__grp")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert spanning == 0
+    # and the split is not degenerate: both eval bands exist at n=200 groups
+    assert out.select("split").distinct().count() >= 2

@@ -73,9 +73,16 @@ def run_etl_bench(spark, n_samples: int = 163, n_genes: int = 20_000) -> dict:
         # warehouse — a rerun into the same one would idempotently append
         # zero facts and measure the dedup anti-join instead of the load.
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-        etl_s = corr_s = None
+        # ADAPTIVE extension (same policy as bench.py's suite loop): when the
+        # N repeats still disagree by >2x, the window clearly overlapped a
+        # container load spike — take up to max_extra more samples so min()
+        # is a believable steady-state, not the least-bad of two noisy shots
+        max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
+        etl_times: list[float] = []
+        corr_times: list[float] = []
         res = corr = None
-        for i in range(repeats):
+        i = 0
+        while i < repeats + max_extra:
             cfg = config_from_dict(
                 {
                     "warehouse": {"path": str(root / f"wh{i}")},
@@ -88,12 +95,19 @@ def run_etl_bench(spark, n_samples: int = 163, n_genes: int = 20_000) -> dict:
             )
             t0 = time.monotonic()
             res = run_pipeline(cfg, spark=spark)
-            el = time.monotonic() - t0
-            etl_s = el if etl_s is None else min(etl_s, el)
+            etl_times.append(time.monotonic() - t0)
             t0 = time.monotonic()
             corr = run_correlation_job(cfg, spark=spark)
-            el = time.monotonic() - t0
-            corr_s = el if corr_s is None else min(corr_s, el)
+            corr_times.append(time.monotonic() - t0)
+            i += 1
+            if (
+                i >= repeats
+                and max(etl_times) <= 2.0 * min(etl_times)
+                and max(corr_times) <= 2.0 * min(corr_times)
+            ):
+                break
+        etl_s = min(etl_times)
+        corr_s = min(corr_times)
         return {
             "metric": "etl_records_per_second",
             "value": round(res.fact_rows_written / etl_s, 1),
@@ -104,10 +118,88 @@ def run_etl_bench(spark, n_samples: int = 163, n_genes: int = 20_000) -> dict:
             "corr_sec": round(corr_s, 2),
             "n_samples": n_samples,
             "n_genes": n_genes,
+            "repeats": len(etl_times),
+            "etl_sec_all": [round(t, 2) for t in etl_times],
+            "corr_sec_all": [round(t, 2) for t in corr_times],
             "reference_anchor_records_per_second": 78,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def run_wide_gene_bench(
+    spark, n_genes: int = 2_000, n_samples: int = 8, n_blocks: int = 8
+) -> dict:
+    """Wide-gene END-TO-END leg: a dense ``n_genes``-gene study through the
+    FULL ``mode="block"`` correlation plan — bucketed pair enumeration AND
+    ``benjamini_hochberg_scalable`` q-values (the round-4 bucket-partitioned
+    BH measured where it matters, not just the pair join of
+    ``tools/bench_block_pairs.py``). The output is the complete correlation
+    schema (ρ, p, q per pair) materialized to a noop sink; pair count =
+    n_genes·(n_genes−1)/2 rows through every stage including the
+    (family × p-bucket)-partitioned FDR ranking."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.plans.correlation import (
+        compute_gene_pair_correlations,
+    )
+
+    e = (
+        spark.range(n_genes)
+        .select(F.col("id").alias("gene_key"))
+        .crossJoin(
+            spark.range(n_samples).select(
+                F.concat(F.lit("S"), F.col("id")).alias("gsm_accession")
+            )
+        )
+        .select(
+            F.lit(1).cast("long").alias("study_key"),
+            "gene_key",
+            "gsm_accession",
+            # deterministic pseudo-expression with enough variety that no
+            # gene is constant (constant series are gated out of the output)
+            (
+                F.pmod(
+                    F.col("gene_key") * 37 + F.length("gsm_accession") * 11
+                    + F.pmod(F.col("gene_key") * 13, F.lit(7)) * F.length("gsm_accession"),
+                    F.lit(97),
+                ).cast("double")
+            ).alias("expression_value"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    e.count()
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    times: list[float] = []
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        corr = compute_gene_pair_correlations(
+            e,
+            min_samples=2,
+            mode="block",
+            n_blocks=n_blocks,
+            computed_at="fixed",
+        )
+        corr.write.format("noop").mode("overwrite").save()
+        times.append(time.monotonic() - t0)
+    e.unpersist()
+    pairs = n_genes * (n_genes - 1) // 2
+    best = min(times)
+    return {
+        "metric": "wide_gene_block_corr",
+        "value": round(best, 2),
+        "unit": "sec",
+        "n_genes": n_genes,
+        "n_samples": n_samples,
+        "n_blocks": n_blocks,
+        "pair_rows": pairs,
+        "pairs_per_second": round(pairs / best, 1),
+        "repeats": len(times),
+        "sec_all": [round(t, 2) for t in times],
+    }
 
 
 def run_multi_study_bench(
