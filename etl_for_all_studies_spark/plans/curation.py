@@ -131,4 +131,28 @@ def curate_corpus(
     )
 
 
-__all__ = ["CurationResult", "curate_corpus"]
+def leakage_safe_splits(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Near-dup-cluster-aware train/val/test assignment: the split hash is
+    keyed on the CLUSTER id (the deterministic min-doc-id component label
+    from :func:`~..operators.dedup_graph.dedup_clusters`), so every member
+    of a near-dup cluster — not just trivial canonical variants — lands in
+    the SAME split. This closes the eval-leakage hole a per-doc (or even
+    canonical-digest) split leaves open: a paraphrased or lightly-edited
+    duplicate of a training doc can otherwise sit in the test set. One
+    broadcast-free equi-join on doc_id + a narrow projection; the suite's
+    ``splits_leakage_safe`` query demonstrates the cheaper digest-keyed
+    form, this is the fuzzy-safe composition over a curation run's
+    ``clusters`` audit frame."""
+    from ..operators.sampling import assign_splits
+
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    keyed = docs.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+    return assign_splits(keyed, key_col="cluster_id", fractions=fractions)
+
+
+__all__ = ["CurationResult", "curate_corpus", "leakage_safe_splits"]

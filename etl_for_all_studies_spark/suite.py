@@ -5977,8 +5977,9 @@ def q_splits_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacks (a train/test pair of near-identical docs silently inflates eval
     scores). Same linear shape as ``corpus_splits``: one projection, no
     shuffle; the per-split rollup here exists to aggregate the evidence.
-    For fuzzy near-dup safety, compose with the MinHash cluster keeper id
-    as the key instead (``plans/curation.py`` wiring)."""
+    For fuzzy near-dup safety, key on the MinHash cluster id instead —
+    ``plans/curation.py::leakage_safe_splits`` composes that over a
+    curation run's ``clusters`` audit frame."""
     from .operators.sampling import assign_splits
     from .operators.textops import canonicalize_text
 

@@ -46,3 +46,57 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     # deterministic rerun: same kept set, same shard deal
     res2 = curate_corpus(docs, rules=rules, eval_docs=ev)
     assert sorted(r["doc_id"] for r in res2.kept.select("doc_id").collect()) == kept_ids
+
+
+def test_leakage_safe_splits_key_on_cluster_id(spark):
+    """Fuzzy-safe splits: every member of a near-dup CLUSTER (exact dups +
+    MinHash pairs, via connected components) gets the same split label, and
+    the assignment replays the portable hash of the cluster id exactly."""
+    from etl_for_all_studies_spark.operators.quality import QualityRules
+    from etl_for_all_studies_spark.plans.curation import (
+        curate_corpus,
+        leakage_safe_splits,
+    )
+
+    bodies = []
+    for i in range(30):
+        bodies.append(
+            f"unique document family {i} with the usual shared filler words "
+            f"and a few family-specific tokens tok{i}a tok{i}b tok{i}c the"
+        )
+    rows = []
+    for i, b in enumerate(bodies):
+        rows.append((3 * i, b))
+        rows.append((3 * i + 1, b))            # exact dup
+        rows.append((3 * i + 2, b + " tail"))  # near dup
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = QualityRules(min_words=3, max_words=200, min_mean_word_len=1.0,
+                         max_mean_word_len=20.0, min_type_token_ratio=0.05,
+                         min_stopword_ratio=0.0)
+    res = curate_corpus(docs, rules=rules)
+    out = leakage_safe_splits(docs, res.clusters)
+    # no cluster straddles splits
+    spanning = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert spanning == 0
+    # all three members of each family share one label
+    fam = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(fam) == 90
+    for i in range(30):
+        assert fam[3 * i] == fam[3 * i + 1] == fam[3 * i + 2], i
+    # portable replay: split is the pure hash function of the cluster id
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * 131 + ord(c)) % 1_000_000_007
+        return h
+
+    cid = {r["doc_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    for d, split in fam.items():
+        hv = (poly(str(cid[d])) * 7919 + 104729) % 1_000_000_007 % 1_000_000
+        exp = "train" if hv < 900000 else ("val" if hv < 950000 else "test")
+        assert split == exp, d
