@@ -352,6 +352,7 @@ def benjamini_hochberg_scalable(
     q_col: str = "q_value",
     family_cols: list[str] | None = None,
     num_buckets: int = 64,
+    scope=None,
 ) -> DataFrame:
     """BH q-values with NO per-family single-partition sort — the wide-gene
     companion to :func:`benjamini_hochberg`, bit-identical output.
@@ -386,6 +387,17 @@ def benjamini_hochberg_scalable(
     fields compare equal), preserving the bit-identical contract even when
     e.g. ``study_key`` is NULL.
     """
+    from ..caching import persist as _persist
+
+    # materialization barrier on the INPUT: the stages below consume it five
+    # ways (invalid-row union branch, percentile edges, bucketed rank,
+    # bucket counts, bucket minima) and Catalyst reuses no exchange across
+    # them once column pruning diverges — without the barrier the caller's
+    # entire upstream (for block-mode correlation: the quadratic pair join +
+    # aggregation) recomputes once per branch. Default MEMORY_AND_DISK, so a
+    # 100 TB-scale pair table spills instead of evicting; release via
+    # ``scope`` (caching.CacheScope) or the harness (bench clearCache).
+    df = _persist(df, scope)
     fam = family_cols or []
     valid = F.col(p_col).isNotNull() & ~F.isnan(F.col(p_col))
     dfv = df.where(valid)
@@ -444,9 +456,19 @@ def benjamini_hochberg_scalable(
         .orderBy(F.col("__lj").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_sfx = with_raw.withColumn("__sfx", F.min("__raw").over(w_sfx))
-    # pass 2: min over all LATER buckets (tiny families×B table)
-    bmin = with_raw.groupBy(key, "__bkt").agg(F.min("__raw").alias("__bm"))
+    # second barrier: the windowed frame feeds both the bucket-minima
+    # derivation and the final join — without it the (fam, bucket) sort
+    # executes once per consumer; with it the window runs exactly once
+    with_sfx = _persist(
+        with_raw.withColumn("__sfx", F.min("__raw").over(w_sfx)), scope
+    )
+    # pass 2: min over all LATER buckets (tiny families×B table). A
+    # bucket's minimum is simply the suffix-min at its rank-1 row (the last
+    # row of the descending-rank frame spans the whole bucket) — a filter
+    # on the cached window output, not a second aggregation over the pairs
+    bmin = with_sfx.where(F.col("__lj") == 1).select(
+        key, "__bkt", F.col("__sfx").alias("__bm")
+    )
     w_later = (
         Window.partitionBy(key)
         .orderBy(F.col("__bkt").desc())

@@ -188,6 +188,7 @@ def compute_gene_pair_correlations(
     pvalue_dist: str = "normal",
     n_blocks: int = 8,
     wide_gene_threshold: int = 1024,
+    scope=None,
 ) -> DataFrame:
     """Long-form expression → fact_gene_pair_corr rows.
 
@@ -244,7 +245,7 @@ def compute_gene_pair_correlations(
                 compute_gene_pair_correlations(
                     e.where(F.col("study_key").isin(wide_keys)),
                     min_samples=min_samples, mode="block", computed_at=ts,
-                    pvalue_dist=pvalue_dist, n_blocks=n_blocks,
+                    pvalue_dist=pvalue_dist, n_blocks=n_blocks, scope=scope,
                 )
             )
         if ragged_keys:
@@ -373,7 +374,8 @@ def compute_gene_pair_correlations(
     # test_bh_scalable_matches_classic_and_oracle).
     if mode == "block":
         with_q = benjamini_hochberg_scalable(
-            stats, p_col="p_value", q_col="q_value", family_cols=["study_key"]
+            stats, p_col="p_value", q_col="q_value", family_cols=["study_key"],
+            scope=scope,
         )
     else:
         with_q = benjamini_hochberg(

@@ -88,20 +88,27 @@ def run_correlation_job(
         .select("study_key", "gene_key", "gsm_accession", "expression_value")
     )
 
-    corr = compute_gene_pair_correlations(
-        expression,
-        min_samples=config.processing.min_samples,
-        mode=mode,
-        pvalue_dist=pvalue_dist,
-    ).persist()  # computed once, used for both the count and the write
+    from ..caching import CacheScope
 
-    counts = {
-        row["study_key"]: row["cnt"]
-        for row in corr.groupBy("study_key").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    empty = [k for k in target_keys if k not in counts]
-    wh.overwrite_study_partitions("fact_gene_pair_corr", corr, empty_studies=empty)
-    corr.unpersist()
+    with CacheScope() as scope:
+        corr = scope.persist(
+            compute_gene_pair_correlations(
+                expression,
+                min_samples=config.processing.min_samples,
+                mode=mode,
+                pvalue_dist=pvalue_dist,
+                scope=scope,  # releases block-mode's BH barrier with the job
+            )
+        )  # computed once, used for both the count and the write
+
+        counts = {
+            row["study_key"]: row["cnt"]
+            for row in corr.groupBy("study_key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        empty = [k for k in target_keys if k not in counts]
+        wh.overwrite_study_partitions("fact_gene_pair_corr", corr, empty_studies=empty)
 
     by_accession = {acc: counts.get(key, 0) for key, acc in targets}
     elapsed = time.monotonic() - t0
