@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
-from ..functions.hashing import MOD, char_shingles, poly_hash, word_tokens
+from ..functions.hashing import BASE, MOD, char_shingles, poly_hash, word_tokens
 
 # fixed universal-hash family for MinHash (a, b pairs; deterministic)
 MINHASH_SEEDS: list[tuple[int, int]] = [
@@ -226,19 +226,50 @@ def minhash_signatures(
     shuffle: signatures are embarrassingly parallel per document.
     """
     seeds = MINHASH_SEEDS[:num_hashes]
-    shingles = char_shingles(F.col(text_col), k)
-    # materialize the hashed-shingle array first: HOF expressions get no
-    # common-subexpression elimination, so without this barrier the poly hash
-    # would be re-inlined (and re-evaluated) inside all ``num_hashes``
+    # Hash every k-shingle from ONE per-doc codepoint array: codepoints are
+    # computed once (length ops) and each position's hash is a k-step fold
+    # of array lookups — the naive form (substring per position, then a
+    # char-split per substring inside the hash) re-materializes k strings
+    # per position and measured ~2× slower on the sf0.1 corpus. Duplicate
+    # shingles are NOT deduped here: min() over the hash multiset equals
+    # min() over the distinct set, so signatures are bit-identical to
+    # hashing ``char_shingles`` (the Jaccard-verify path keeps the distinct
+    # arrays — set semantics matter there).
+    # Materialize the hashed-shingle array first: HOF expressions get no
+    # common-subexpression elimination, so without this barrier the poly
+    # hash would be re-inlined (and re-evaluated) inside all ``num_hashes``
     # array_min branches — a num_hashes× blowup of the dominant cost.
     # Shingle-less docs (len < k) are excluded: their signature would be all
     # NULL, and Spark's structural array equality would band-match every such
     # doc pairwise (0/0 Jaccard); they can only be exact dups, never fuzzy.
+    txt = F.col(text_col)
+    cps = F.transform(F.split(txt, ""), lambda c: F.ascii(c).cast("long"))
+    # the codepoint array MUST be materialized before the per-position fold
+    # references it: HOF lambdas get no common-subexpression elimination, so
+    # an inline ``cps`` would be re-evaluated (a full O(len) pass) for every
+    # single fold step — O(len²·k) per document. Behind the barrier it is a
+    # plain column reference, one array lookup per step.
+    cps_df = persist(
+        docs.select("doc_id", cps.alias("__cps")).where(
+            F.length(txt) >= F.lit(k)
+        ),
+        scope,
+    )
+    arr = F.col("__cps")
+    positions = F.sequence(F.lit(1), F.size(arr) - F.lit(k - 1))
+    shingle_hashes = F.transform(
+        positions,
+        lambda i: F.aggregate(
+            F.sequence(i, i + F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * F.lit(BASE) + F.element_at(arr, j))
+            % F.lit(MOD),
+        ),
+    )
     hashed = persist(
-        docs.select(
-            "doc_id",
-            F.transform(shingles, lambda s: _poly_hash_inline(s)).alias("hh"),
-        ).where(F.size(F.col("hh")) > 0),
+        cps_df.select("doc_id", shingle_hashes.alias("hh")).where(
+            F.size(F.col("hh")) > 0
+        ),
         scope,
     )
     sig = F.array(
