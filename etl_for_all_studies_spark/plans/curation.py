@@ -35,7 +35,7 @@ import dataclasses
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import CacheScope
+from ..caching import CacheScope, persist
 from ..operators.contamination import decontaminate
 from ..operators.dedup import minhash_dedup
 from ..operators.dedup_graph import dedup_clusters, select_cluster_keepers
@@ -96,6 +96,12 @@ def curate_corpus(
         decon = decontaminate(passed, eval_docs, n=decontaminate_n)
         contaminated = decon.where(F.col("contaminated") == 1).select("doc_id")
         clean = passed.join(contaminated, "doc_id", "left_anti")
+    # barrier: ``clean`` feeds four branches (MinHash pairs, the cluster
+    # node set, the keeper scoring join, the final keep semi-join) and its
+    # lineage carries the HOF-heavy quality annotations — without the
+    # persist the quality pass re-executes once per branch (measured ~3.3 s
+    # per execution at sf0.1, the dominant curation_pipeline cost)
+    clean = persist(clean, scope)
 
     pairs = minhash_dedup(
         clean, bands=minhash_bands, verify_threshold=verify_threshold, scope=scope
