@@ -97,6 +97,7 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -114,7 +115,8 @@ def ngram_jaccard_pairs(
     the exact (but Σdf²-unbounded) semantics.
     """
     stats = _shingle_pair_stats(
-        docs, text_col=text_col, k=k, max_shingle_df=max_shingle_df
+        docs, text_col=text_col, k=k, max_shingle_df=max_shingle_df,
+        scope=scope,
     )
     return (
         stats.withColumn(
@@ -133,10 +135,16 @@ def _shingle_pair_stats(
     text_col: str,
     k: int,
     max_shingle_df: int | None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Shared co-occurrence core for set-similarity scores: (doc_a, doc_b,
     common, size_a, size_b) for every pair sharing ≥1 (kept) shingle."""
-    sh = shingle_sets(docs, text_col, k)
+    # barrier: the exploded shingle frame (a HOF-built array per doc) feeds
+    # the df-cap aggregate plus three join branches (sizes, both pair
+    # sides); without the persist the shingle construction re-executes per
+    # branch — the same no-CSE-for-HOFs cost the MinHash signature barrier
+    # exists for
+    sh = persist(shingle_sets(docs, text_col, k), scope)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -177,6 +185,7 @@ def ngram_containment_pairs(
     k: int = 5,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-SUPERSET pairs by max-containment: ``C = common /
     min(|A|, |B|)`` — the score Jaccard systematically misses. A short doc
@@ -190,7 +199,8 @@ def ngram_containment_pairs(
     → lower id.
     """
     stats = _shingle_pair_stats(
-        docs, text_col=text_col, k=k, max_shingle_df=max_shingle_df
+        docs, text_col=text_col, k=k, max_shingle_df=max_shingle_df,
+        scope=scope,
     )
     return (
         stats.withColumn(
