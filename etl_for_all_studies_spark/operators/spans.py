@@ -1,0 +1,113 @@
+"""Exact-substring duplicate spans — corpus-wide repeated token windows.
+
+The span-level companion to document-level dedup (Lee et al., 2022,
+"Deduplicating Training Data Makes Language Models Better"): even after
+near-dup removal, corpora carry *repeated passages* (boilerplate headers,
+license blocks, quoted chunks) inside otherwise-unique documents. The
+remedy is to find every token window that occurs more than once in the
+whole corpus and merge the hits into contiguous spans a trimmer can cut.
+
+The suffix-array formulation of the paper is replaced by the Spark-native
+shape — every stage linear and keyed:
+
+1. per-doc token-hash array (portable polynomial hash per token), persisted
+   — the same no-CSE-for-HOFs barrier the MinHash signatures use;
+2. rolling window hash per start position: a ``w``-step fold of array
+   lookups (O(tokens·w) per doc, embarrassingly parallel);
+3. ONE corpus-wide groupBy on the window hash → occurrence counts; windows
+   with count > 1 are duplicated (within-doc repeats count too);
+4. per-doc gaps-and-islands merge of overlapping/touching hit windows into
+   spans — a window partitioned by doc_id (per-doc history is the bounded
+   dimension, same contract as the event-stream operators).
+
+The corpus-wide shuffle is keyed by the window hash — cardinality ≈ total
+token count, the same scale as every other token-keyed aggregation here
+(vocab, BM25, LM scoring). Hash collisions (~n²/2p for p ≈ 2³¹) can merge
+unrelated windows; at the paper's scale a 64-bit+ hash (or verify pass)
+is the production hardening — the portable prime keeps every decision
+DuckDB-replayable, which is the correctness contract this repo optimizes.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..caching import CacheScope, persist
+from ..functions.hashing import BASE, MOD, poly_hash, word_tokens
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    *,
+    w: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """(id, span_start, span_end, n_windows) — maximal merged spans of
+    corpus-duplicated ``w``-token windows, 1-based inclusive token positions.
+
+    A window starting at position p covers tokens [p, p+w-1]; two hit
+    windows merge when they overlap **or touch** (next start ≤ prev end+1),
+    so a trimmer sees one contiguous duplicated region. Tokenization is the
+    suite-standard lowercase whitespace split.
+    """
+    toks = word_tokens(F.lower(F.col(text_col)))
+    th = F.transform(toks, lambda t: poly_hash(t))
+    # barrier: the rolling fold below references the token-hash array once
+    # per window step — inline, the whole O(tokens) hash pass would re-run
+    # per step (no CSE inside HOF lambdas)
+    hashed = persist(
+        docs.select(F.col(id_col), th.alias("__th")).where(
+            F.size(th) >= F.lit(w)
+        ),
+        scope,
+    )
+    arr = F.col("__th")
+    positions = F.sequence(F.lit(1), F.size(arr) - F.lit(w - 1))
+    win = hashed.select(
+        id_col,
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.aggregate(
+                        F.sequence(i, i + F.lit(w - 1)),
+                        F.lit(0).cast("long"),
+                        lambda acc, j: (acc * F.lit(BASE) + F.element_at(arr, j))
+                        % F.lit(MOD),
+                    ).alias("h"),
+                ),
+            )
+        ).alias("ph"),
+    ).select(id_col, F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+
+    counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+    hits = win.join(counts.where(F.col("__c") > 1), "h").select(id_col, "pos")
+
+    # gaps-and-islands per doc: a new span starts when this window clears
+    # the furthest end any earlier window reached (+1 merges touching spans)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(w_prev)
+    new_span = (
+        prev_end.isNull() | (F.col("pos") > prev_end + F.lit(1))
+    ).cast("long")
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = hits.withColumn("__isl", F.sum(new_span).over(w_run))
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(w - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("__isl")
+
+
+__all__ = ["duplicated_spans"]

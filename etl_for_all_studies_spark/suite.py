@@ -6021,6 +6021,70 @@ FROM h GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# exact-substring duplicate spans — corpus-wide repeated token windows
+# --------------------------------------------------------------------------
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (Lee et al. 2022 shape,
+    ``operators/spans.py``): every 8-token window occurring more than once
+    in the corpus, merged per doc into maximal contiguous spans a trimmer
+    can cut. Rolling window hashes fold over a persisted token-hash array
+    (the MinHash no-CSE barrier pattern); the only corpus-wide shuffle is
+    the window-hash occurrence count — token-stream scale, same as vocab
+    profiling. The oracle replays the identical rolling hash + island
+    merge in SQL, pinning every span boundary."""
+    from .operators.spans import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, w=8).select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    )
+
+
+_SQL_DUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t
+  FROM documents WHERE TRIM(text) != ''
+),
+th AS (
+  SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         len(t) AS n
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h
+  FROM th WHERE n >= 8
+),
+wh AS (
+  SELECT doc_id, pos,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
+                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+  FROM wins
+),
+cnt AS (SELECT hh, COUNT(*) AS c FROM wh GROUP BY 1),
+hits AS (SELECT doc_id, pos FROM wh JOIN cnt USING (hh) WHERE c > 1),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS ns
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, g
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -6052,6 +6116,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_anomaly_expanding": QueryDef(q_events_anomaly_expanding, _SQL_ANOMALY_EXPANDING),
     "classifier_score": QueryDef(q_classifier_score, _SQL_CLASSIFIER),
     "splits_leakage_safe": QueryDef(q_splits_leakage_safe, _SQL_SPLITS_SAFE),
+    "dup_spans": QueryDef(q_dup_spans, _SQL_DUP_SPANS),
     # --- driver-green in earlier rounds (CORRECTNESS_r0{2,3,4}.json) ---
     "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
     "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),

@@ -885,3 +885,58 @@ def test_leakage_safe_splits_never_straddle_duplicate_groups(spark):
     assert spanning == 0
     # and the split is not degenerate: both eval bands exist at n=200 groups
     assert out.select("split").distinct().count() >= 2
+
+
+def test_duplicated_spans_exact_boundaries_and_merging(spark):
+    """Span semantics pinned by construction: a shared 10-token passage
+    planted in two docs at known offsets must come back as ONE merged span
+    with exact [start, end] token positions; unique text yields nothing;
+    within-doc repetition counts as duplication too."""
+    from etl_for_all_studies_spark.operators.spans import duplicated_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    u = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            # shared passage at tokens 6..15 (after 5 unique tokens)
+            (1, u("one", 5) + " " + shared + " " + u("tail", 4)),
+            # same passage opening the doc: tokens 1..10
+            (2, shared + " " + u("two", 7)),
+            # fully unique doc: no spans
+            (3, u("three", 30)),
+            # within-doc repeat: the same 8 tokens twice, back to back
+            (4, u("x", 8) + " " + u("x", 8) + " " + u("yy", 6)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in duplicated_spans(docs, w=8).collect()
+    }
+    # doc 1: windows 6,7,8 hit (8-token windows inside tokens 6..15) → one
+    # span covering exactly the shared passage
+    assert (1, 6, 15) in out and out[(1, 6, 15)] == 3
+    # doc 2: windows 1,2,3 → span 1..10
+    assert (2, 1, 10) in out and out[(2, 1, 10)] == 3
+    # doc 4: "x0..x7 x0..x7" — every window over the 16-token repeat region
+    # matches another window in the doc, one merged span 1..16
+    assert (4, 1, 16) in out
+    # doc 3 clean
+    assert not any(k[0] == 3 for k in out)
+
+
+def test_duplicated_spans_no_unpartitioned_window(spark):
+    from planlint import unpartitioned_windows
+
+    from etl_for_all_studies_spark.operators.spans import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 20) for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        duplicated_spans(docs, w=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert unpartitioned_windows(plan) == []
