@@ -26,6 +26,13 @@ token count, the same scale as every other token-keyed aggregation here
 unrelated windows; at the paper's scale a 64-bit+ hash (or verify pass)
 is the production hardening — the portable prime keeps every decision
 DuckDB-replayable, which is the correctness contract this repo optimizes.
+
+:func:`duplicated_spans_incremental` is the per-crawl-batch form: the new
+batch's windows are checked against the warehouse's accumulated
+window-hash table (semi-join) plus themselves — per-batch cost tracks the
+BATCH token count, never the corpus history (the same new-vs-seen contract
+as ``dedup.incremental_new_documents`` and the incremental MinHash/IVF
+paths).
 """
 from __future__ import annotations
 
@@ -36,7 +43,7 @@ from ..caching import CacheScope, persist
 from ..functions.hashing import BASE, MOD, poly_hash, word_tokens
 
 
-def duplicated_spans(
+def window_hashes(
     docs: DataFrame,
     *,
     w: int = 50,
@@ -44,13 +51,10 @@ def duplicated_spans(
     id_col: str = "doc_id",
     scope: CacheScope | None = None,
 ) -> DataFrame:
-    """(id, span_start, span_end, n_windows) — maximal merged spans of
-    corpus-duplicated ``w``-token windows, 1-based inclusive token positions.
-
-    A window starting at position p covers tokens [p, p+w-1]; two hit
-    windows merge when they overlap **or touch** (next start ≤ prev end+1),
-    so a trimmer sees one contiguous duplicated region. Tokenization is the
-    suite-standard lowercase whitespace split.
+    """(id, pos, h) — rolling portable hash of every ``w``-token window
+    (1-based start positions; lowercase whitespace tokenization). The frame
+    the corpus-level and incremental span detectors share; its distinct
+    ``h`` column is also the warehouse state the incremental form accrues.
     """
     toks = word_tokens(F.lower(F.col(text_col)))
     th = F.transform(toks, lambda t: poly_hash(t))
@@ -65,7 +69,7 @@ def duplicated_spans(
     )
     arr = F.col("__th")
     positions = F.sequence(F.lit(1), F.size(arr) - F.lit(w - 1))
-    win = hashed.select(
+    return hashed.select(
         id_col,
         F.explode(
             F.transform(
@@ -83,11 +87,11 @@ def duplicated_spans(
         ).alias("ph"),
     ).select(id_col, F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
 
-    counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
-    hits = win.join(counts.where(F.col("__c") > 1), "h").select(id_col, "pos")
 
-    # gaps-and-islands per doc: a new span starts when this window clears
-    # the furthest end any earlier window reached (+1 merges touching spans)
+def _merge_hit_windows(hits: DataFrame, *, w: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of (id, pos) hit windows into maximal spans:
+    a new span starts when this window clears the furthest end any earlier
+    window reached (+1 merges touching spans)."""
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -110,4 +114,71 @@ def duplicated_spans(
     ).drop("__isl")
 
 
-__all__ = ["duplicated_spans"]
+def duplicated_spans(
+    docs: DataFrame,
+    *,
+    w: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """(id, span_start, span_end, n_windows) — maximal merged spans of
+    corpus-duplicated ``w``-token windows, 1-based inclusive token positions.
+
+    A window starting at position p covers tokens [p, p+w-1]; two hit
+    windows merge when they overlap **or touch** (next start ≤ prev end+1),
+    so a trimmer sees one contiguous duplicated region. Tokenization is the
+    suite-standard lowercase whitespace split.
+    """
+    win = window_hashes(
+        docs, w=w, text_col=text_col, id_col=id_col, scope=scope
+    )
+    counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+    hits = win.join(counts.where(F.col("__c") > 1), "h").select(id_col, "pos")
+    return _merge_hit_windows(hits, w=w, id_col=id_col)
+
+
+def duplicated_spans_incremental(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    *,
+    w: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Per-batch duplicate spans: windows of the NEW batch that already
+    occur in the accumulated corpus (``seen_hashes``: one ``h`` column, the
+    distinct window hashes of everything ingested so far) **or** more than
+    once within the batch itself — merged into spans exactly like
+    :func:`duplicated_spans`.
+
+    Cost contract: one pass over the batch + a semi-join against the seen
+    table keyed by hash (at warehouse scale a hash-bucketed table, so the
+    join co-locates) — per-batch work tracks the batch, never history².
+    After trimming, append ``window_hashes(new_docs).select("h").distinct()``
+    to the seen table — the same accrual contract as the incremental
+    MinHash and embedding-IVF paths.
+    """
+    win = persist(
+        window_hashes(
+            new_docs, w=w, text_col=text_col, id_col=id_col, scope=scope
+        ),
+        scope,
+    )
+    counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+    in_batch = win.join(counts.where(F.col("__c") > 1), "h").select(
+        id_col, "pos"
+    )
+    vs_seen = win.join(
+        seen_hashes.select("h").distinct(), "h", "left_semi"
+    ).select(id_col, "pos")
+    hits = in_batch.unionByName(vs_seen).distinct()
+    return _merge_hit_windows(hits, w=w, id_col=id_col)
+
+
+__all__ = [
+    "duplicated_spans",
+    "duplicated_spans_incremental",
+    "window_hashes",
+]

@@ -6085,6 +6085,83 @@ FROM grp GROUP BY doc_id, g
 
 
 # --------------------------------------------------------------------------
+# incremental duplicate spans — per-crawl-batch vs the accumulated corpus
+# --------------------------------------------------------------------------
+
+def q_dup_spans_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch span dedup (same new-vs-seen framing as
+    ``dedup_incremental``): docs ≥ 250 are the arriving batch, the distinct
+    window hashes of docs < 250 are the warehouse's accumulated span state.
+    A batch window is flagged if it already occurs in the corpus (hash
+    semi-join) or repeats within the batch; hits merge into spans exactly
+    like ``dup_spans``. Per-batch cost tracks the batch token count, never
+    history² — the accrual contract shared with incremental MinHash/IVF."""
+    from .operators.spans import duplicated_spans_incremental, window_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = (
+        window_hashes(docs.where(F.col("doc_id") < 250), w=8)
+        .select("h")
+        .distinct()
+    )
+    out = duplicated_spans_incremental(
+        docs.where(F.col("doc_id") >= 250), seen, w=8
+    )
+    return out.select("doc_id", "span_start", "span_end", "n_windows")
+
+
+_SQL_DUP_SPANS_INCR = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t
+  FROM documents WHERE TRIM(text) != ''
+),
+th AS (
+  SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         len(t) AS n
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h
+  FROM th WHERE n >= 8
+),
+wh AS (
+  SELECT doc_id, pos,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
+                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+  FROM wins
+),
+seen AS (SELECT DISTINCT hh FROM wh WHERE doc_id < 250),
+batch AS (SELECT doc_id, pos, hh FROM wh WHERE doc_id >= 250),
+cnt AS (SELECT hh, COUNT(*) AS c FROM batch GROUP BY 1),
+hits AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT b.doc_id, b.pos FROM batch b JOIN cnt USING (hh) WHERE c > 1
+    UNION ALL
+    SELECT b.doc_id, b.pos FROM batch b SEMI JOIN seen USING (hh)
+  )
+),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS ns
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, g
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -6117,6 +6194,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "classifier_score": QueryDef(q_classifier_score, _SQL_CLASSIFIER),
     "splits_leakage_safe": QueryDef(q_splits_leakage_safe, _SQL_SPLITS_SAFE),
     "dup_spans": QueryDef(q_dup_spans, _SQL_DUP_SPANS),
+    "dup_spans_incr": QueryDef(q_dup_spans_incr, _SQL_DUP_SPANS_INCR),
     # --- driver-green in earlier rounds (CORRECTNESS_r0{2,3,4}.json) ---
     "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
     "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),

@@ -940,3 +940,45 @@ def test_duplicated_spans_no_unpartitioned_window(spark):
         .toString()
     )
     assert unpartitioned_windows(plan) == []
+
+
+def test_duplicated_spans_incremental_vs_seen_and_in_batch(spark):
+    """Incremental span detection: a batch window is flagged when it exists
+    in the seen corpus OR repeats within the batch; batch-unique text
+    passes; the full-corpus form agrees on the union."""
+    from etl_for_all_studies_spark.operators.spans import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+        window_hashes,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    u = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    corpus = spark.createDataFrame(
+        [(1, u("old", 6) + " " + shared)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            # tokens 4..13 replay the corpus passage
+            (10, u("n", 3) + " " + shared + " " + u("m", 5)),
+            (11, u("fresh", 25)),                      # clean
+            (12, u("z", 8) + " " + u("z", 8)),         # in-batch repeat only
+        ],
+        "doc_id long, text string",
+    )
+    seen = window_hashes(corpus, w=8).select("h").distinct()
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans_incremental(batch, seen, w=8).collect()
+    }
+    assert (10, 4, 13) in out          # vs-seen hit, exact boundaries
+    assert (12, 1, 16) in out          # in-batch repeat
+    assert not any(d == 11 for d, *_ in out)
+    # consistency: running the FULL corpus (old + batch) flags the same
+    # batch spans (the incremental form is the restriction to the batch)
+    full = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(corpus.unionByName(batch), w=8).collect()
+        if r["doc_id"] >= 10
+    }
+    assert out == full
