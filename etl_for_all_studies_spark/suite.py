@@ -6170,7 +6170,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     # snapshot caps at the FIRST 50 registry entries. The 16 round-3
     # stats queries that were never driver-checked (judge-gate-green in
     # r4) now LEAD, completing the 116/116 driver-checked union; the
-    # round-5 addition follows them (still inside the snapshot window);
+    # round-5 additions follow them (still inside the snapshot window);
     # then every already-driver-green name in its prior relative order.
     # Nothing renamed, dropped, or re-oracled.
     "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),

@@ -111,3 +111,27 @@ def test_no_unpartitioned_window_in_plan(spark):
     assert unpartitioned_windows(
         bad._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_nulls_in_order_key_match_global_window(spark):
+    """NULL order-key values: repartitionByRange and Window.orderBy must
+    agree on null placement (both Spark-ASC-nulls-first / DESC-nulls-last)
+    so the distributed rank equals the single-task oracle."""
+    rows = [(i, None if i % 7 == 0 else i % 5, float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long, x double")
+    for asc in (True, False):
+        got = {
+            r["id"]: r["r"]
+            for r in attach_global_order(
+                df, order=[("v", asc), ("id", True)], rank_col="r",
+                num_partitions=6,
+            ).collect()
+        }
+        order = [(F.col("v").asc() if asc else F.col("v").desc()), F.col("id").asc()]
+        exp = {
+            r["id"]: r["r"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy(*order)).alias("r")
+            ).collect()
+        }
+        assert got == exp, asc
