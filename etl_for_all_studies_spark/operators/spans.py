@@ -120,6 +120,7 @@ def duplicated_spans(
     w: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_first: bool = False,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """(id, span_start, span_end, n_windows) — maximal merged spans of
@@ -129,13 +130,81 @@ def duplicated_spans(
     windows merge when they overlap **or touch** (next start ≤ prev end+1),
     so a trimmer sees one contiguous duplicated region. Tokenization is the
     suite-standard lowercase whitespace split.
+
+    ``keep_first=False`` (audit mode) flags EVERY occurrence of a
+    duplicated window. ``keep_first=True`` is the Lee-et-al. removal
+    semantics: the canonical occurrence — the lexicographically smallest
+    (doc, pos) per window hash, chosen with one ``min`` aggregate in the
+    same groupBy that counts — is exempted, so trimming the returned spans
+    (:func:`trim_spans`) removes repeats while ALWAYS preserving one copy
+    of the passage in the corpus.
     """
     win = window_hashes(
         docs, w=w, text_col=text_col, id_col=id_col, scope=scope
     )
-    counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
-    hits = win.join(counts.where(F.col("__c") > 1), "h").select(id_col, "pos")
-    return _merge_hit_windows(hits, w=w, id_col=id_col)
+    counts = win.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__keep"),
+    )
+    hits = win.join(counts.where(F.col("__c") > 1), "h")
+    if keep_first:
+        hits = hits.where(
+            ~(
+                (F.col(id_col) == F.col(f"__keep.{id_col}"))
+                & (F.col("pos") == F.col("__keep.pos"))
+            )
+        )
+    return _merge_hit_windows(hits.select(id_col, "pos"), w=w, id_col=id_col)
+
+
+def trim_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans cut out.
+
+    ``spans``: (id, span_start, span_end) token ranges (1-based inclusive,
+    whitespace tokenization — :func:`duplicated_spans` output, typically
+    with ``keep_first=True`` so one copy of every passage survives
+    corpus-wide). Returns the input columns with ``text`` replaced by the
+    trimmed text (original casing; whitespace normalized to single spaces)
+    plus ``n_tokens_removed``. Docs without spans pass through unchanged
+    modulo the whitespace normalization — do NOT feed the output back as
+    position references for the ORIGINAL text.
+
+    Shape: one broadcast-free equi-join on the doc id + a per-row HOF
+    filter (O(tokens × spans-per-doc), spans-per-doc bounded by doc
+    length) — no shuffle beyond the join.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+    joined = docs.join(sp, id_col, "left")
+    toks = word_tokens(F.col(text_col))
+    zipped = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), (i + F.lit(1)).alias("p"))
+    )
+    spans_col = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    kept = F.filter(
+        zipped,
+        lambda x: ~F.exists(
+            spans_col, lambda r: (x["p"] >= r["s"]) & (x["p"] <= r["e"])
+        ),
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return joined.select(
+        *out_cols,
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias(text_col),
+        (F.size(zipped) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )
 
 
 def duplicated_spans_incremental(
@@ -180,5 +249,6 @@ def duplicated_spans_incremental(
 __all__ = [
     "duplicated_spans",
     "duplicated_spans_incremental",
+    "trim_spans",
     "window_hashes",
 ]

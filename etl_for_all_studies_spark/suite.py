@@ -6085,6 +6085,76 @@ FROM grp GROUP BY doc_id, g
 
 
 # --------------------------------------------------------------------------
+# keep-first duplicate spans — the removal semantics (one copy survives)
+# --------------------------------------------------------------------------
+
+def q_dup_spans_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al. REMOVAL form of span dedup: identical window
+    detection to ``dup_spans``, but the lexicographically-first (doc, pos)
+    occurrence of every duplicated window is exempted — trimming these
+    spans (``operators/spans.py::trim_spans``) deletes repeats while one
+    copy of each passage always survives corpus-wide. The exemption is one
+    extra ``min(struct(doc, pos))`` in the SAME counting aggregation —
+    map-side combinable, no per-hash window (a boilerplate window hash with
+    millions of occurrences would make a per-hash ranking window a hot
+    single task; the groupBy min is skew-immune)."""
+    from .operators.spans import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, w=8, keep_first=True).select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    )
+
+
+_SQL_DUP_SPANS_KEEPFIRST = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t
+  FROM documents WHERE TRIM(text) != ''
+),
+th AS (
+  SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         len(t) AS n
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h
+  FROM th WHERE n >= 8
+),
+wh AS (
+  SELECT doc_id, pos,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
+                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+  FROM wins
+),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY hh) AS c,
+         ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+  FROM wh
+),
+hits AS (SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS ns
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, g
+"""
+
+
+# --------------------------------------------------------------------------
 # incremental duplicate spans — per-crawl-batch vs the accumulated corpus
 # --------------------------------------------------------------------------
 
@@ -6195,6 +6265,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "splits_leakage_safe": QueryDef(q_splits_leakage_safe, _SQL_SPLITS_SAFE),
     "dup_spans": QueryDef(q_dup_spans, _SQL_DUP_SPANS),
     "dup_spans_incr": QueryDef(q_dup_spans_incr, _SQL_DUP_SPANS_INCR),
+    "dup_spans_keepfirst": QueryDef(q_dup_spans_keepfirst, _SQL_DUP_SPANS_KEEPFIRST),
     # --- driver-green in earlier rounds (CORRECTNESS_r0{2,3,4}.json) ---
     "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
     "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),

@@ -982,3 +982,43 @@ def test_duplicated_spans_incremental_vs_seen_and_in_batch(spark):
         if r["doc_id"] >= 10
     }
     assert out == full
+
+
+def test_duplicated_spans_keep_first_and_trim_round_trip(spark):
+    """keep_first exempts the lexicographically-first occurrence of every
+    duplicated window; trimming the resulting spans removes repeats while
+    exactly one copy of the shared passage survives in the corpus."""
+    from etl_for_all_studies_spark.operators.spans import (
+        duplicated_spans,
+        trim_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    u = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, u("one", 5) + " " + shared),          # canonical copy (doc 1)
+            (2, shared + " " + u("two", 7)),          # repeat → trimmed
+            (3, u("x", 8) + " " + u("x", 8)),         # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, w=8, keep_first=True)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in spans.collect()
+    }
+    # doc 1 holds the canonical (min (doc,pos)) copies → untouched
+    assert not any(d == 1 for d, *_ in got)
+    assert (2, 1, 10) in got
+    assert (3, 9, 16) in got  # second half of the within-doc repeat
+    trimmed = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in trim_spans(docs, spans).collect()
+    }
+    assert trimmed[1] == (u("one", 5) + " " + shared, 0)
+    assert trimmed[2] == (u("two", 7), 10)
+    assert trimmed[3] == (u("x", 8), 8)
+    # the shared passage survives exactly once corpus-wide
+    corpus_after = " ".join(t for t, _ in trimmed.values())
+    assert corpus_after.count("alpha bravo charlie") == 1
