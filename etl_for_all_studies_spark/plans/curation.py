@@ -61,6 +61,8 @@ class CurationResult:
     keepers: DataFrame          # cluster_id, cluster_size, keeper_doc_id, score
     contaminated: DataFrame | None  # doc_id of hits (None if no eval set)
     shard_manifest: DataFrame | None  # (shard, n_docs) (None if not written)
+    trimmed_spans: DataFrame | None  # (doc_id, span_start, span_end, n_windows)
+    #                                  cut from kept (None unless trim_spans_w)
 
 
 def curate_corpus(
@@ -73,6 +75,7 @@ def curate_corpus(
     minhash_bands: int = 2,
     verify_threshold: float = 0.5,
     decontaminate_n: int = 3,
+    trim_spans_w: int | None = None,
     scope: CacheScope | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
@@ -86,6 +89,16 @@ def curate_corpus(
     corpus as deterministic training shards and return the manifest. Pass a
     ``scope`` (``caching.CacheScope``) to release the dedup sketch barriers
     after materializing the results.
+
+    ``trim_spans_w`` additionally runs exact-substring span dedup over the
+    kept corpus as the FINAL stage (``operators/spans.py``, keep-first
+    semantics: one copy of every repeated ``trim_spans_w``-token passage
+    survives; repeats are cut from the kept docs' text). It runs after the
+    keeper election on purpose — document-level dedup first removes whole
+    near-dup docs cheaply, span dedup then handles the passage-level
+    remainder boilerplate inside otherwise-unique survivors. Production
+    guidance: 50 tokens (the Lee et al. setting); small fixtures need ~8
+    to have any repeats.
     """
     quality = annotate_quality(docs, rules=rules)
     passed = quality.where(F.col("keep") == 1).select(docs.columns)
@@ -118,6 +131,16 @@ def curate_corpus(
         keepers.select(F.col("keeper_doc_id").alias("doc_id")), "doc_id", "left_semi"
     )
 
+    trimmed_spans = None
+    if trim_spans_w is not None:
+        from ..operators.spans import duplicated_spans, trim_spans
+
+        kept = persist(kept, scope)  # span detection + rewrite share one pass
+        trimmed_spans = duplicated_spans(
+            kept, w=trim_spans_w, keep_first=True, scope=scope
+        )
+        kept = trim_spans(kept, trimmed_spans)
+
     manifest = None
     if out_dir is not None:
         if scope is not None:
@@ -134,6 +157,7 @@ def curate_corpus(
         keepers=keepers,
         contaminated=contaminated,
         shard_manifest=manifest,
+        trimmed_spans=trimmed_spans,
     )
 
 

@@ -100,3 +100,40 @@ def test_leakage_safe_splits_key_on_cluster_id(spark):
         hv = (poly(str(cid[d])) * 7919 + 104729) % 1_000_000_007 % 1_000_000
         exp = "train" if hv < 900000 else ("val" if hv < 950000 else "test")
         assert split == exp, d
+
+
+def test_curate_corpus_with_span_trim_stage(spark):
+    """trim_spans_w: after the keeper election, repeated passages inside
+    otherwise-unique survivors are cut (keep-first: one copy survives);
+    default path (trim_spans_w=None) is byte-identical to before."""
+    from etl_for_all_studies_spark.operators.quality import QualityRules
+    from etl_for_all_studies_spark.plans.curation import curate_corpus
+
+    boiler = "standard legal boilerplate footer alpha beta gamma delta"
+    u = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (1, u("one", 12) + " " + boiler),
+            (2, u("two", 15) + " " + boiler),   # unique doc, repeated footer
+            (3, u("three", 20)),
+        ],
+        "doc_id long, text string",
+    )
+    rules = QualityRules(min_words=3, max_words=200, min_mean_word_len=1.0,
+                         max_mean_word_len=20.0, min_type_token_ratio=0.05,
+                         min_stopword_ratio=0.0)
+    res = curate_corpus(docs, rules=rules, trim_spans_w=8)
+    kept = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    assert set(kept) == {1, 2, 3}
+    # the footer survives exactly once (doc 1 = lexicographically first)
+    assert sum(boiler in t for t in kept.values()) == 1
+    assert boiler in kept[1] and boiler not in kept[2]
+    assert kept[3] == u("three", 20)
+    spans = {r["doc_id"] for r in res.trimmed_spans.collect()}
+    assert spans == {2}
+    # default path unchanged: no trim stage, trimmed_spans is None
+    res0 = curate_corpus(docs, rules=rules)
+    assert res0.trimmed_spans is None
+    assert boiler in {
+        r["doc_id"]: r["text"] for r in res0.kept.collect()
+    }[2]
