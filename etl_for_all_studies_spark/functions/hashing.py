@@ -16,10 +16,15 @@ from pyspark.sql import functions as F
 
 MOD = 1_000_000_007  # prime modulus; values < 2^30, products < 2^63
 BASE = 131
+# second independent (base, modulus) pair — combined with the first, the
+# effective keyspace is MOD·MOD2 ≈ 2^60, the collision hardening the span
+# dedup family keys on (see operators/spans.py collision math)
+MOD2 = 998_244_353  # prime; also < 2^30, so the same overflow bounds hold
+BASE2 = 137
 
 
-def poly_hash(col: Column) -> Column:
-    """Polynomial rolling hash of a string: ``h = Σ h·131 + code(c) (mod p)``.
+def poly_hash(col: Column, *, base: int = BASE, mod: int = MOD) -> Column:
+    """Polynomial rolling hash of a string: ``h = Σ h·base + code(c) (mod p)``.
 
     Identical SQL form (DuckDB): ``list_reduce(..., (acc, c) ->
     (acc * 131 + ascii(c)) % 1000000007)`` — see the oracle templates.
@@ -28,8 +33,35 @@ def poly_hash(col: Column) -> Column:
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * BASE + F.ascii(c)) % MOD,
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
+
+
+def pow_mod(exp: Column, base: int, mod: int, *, bits: int = 31) -> Column:
+    """``base^exp mod mod`` for a non-negative integer COLUMN exponent,
+    as a pure codegen expression: binary exponentiation unrolled over the
+    exponent's bits (``bits`` fixed WHEN steps — no loop, no UDF). Every
+    intermediate product is < mod² < 2^63 for the sub-2^31 primes here.
+
+    This is what lets a position-indexed modular power (e.g. BASE^pos in a
+    rolling-hash prefix scheme) stay JVM-side: the alternative — a Python
+    UDF or an O(exp) fold — is either off the fast path or superlinear.
+
+    Tree-size note: each step multiplies ``acc`` by a per-bit CONDITIONAL
+    FACTOR (``bit set ? base^(2^k) : 1``) so ``acc`` appears exactly once
+    per step and the expression tree is linear in ``bits``. The tempting
+    ``when(bit, acc*sq).otherwise(acc)`` form references ``acc`` twice and
+    doubles the tree each step — 2^31 nodes, a driver OOM at analysis.
+    """
+    acc = F.lit(1).cast("long")
+    sq = base % mod
+    for k in range(bits):
+        factor = F.when(
+            exp.bitwiseAND(F.lit(1 << k)) != 0, F.lit(sq)
+        ).otherwise(F.lit(1)).cast("long")
+        acc = (acc * factor) % F.lit(mod)
+        sq = (sq * sq) % mod
+    return acc
 
 
 def affine_hash(h: Column, a: int, b: int) -> Column:
@@ -64,4 +96,14 @@ def word_tokens(col: Column) -> Column:
     )
 
 
-__all__ = ["BASE", "MOD", "affine_hash", "char_shingles", "poly_hash", "word_tokens"]
+__all__ = [
+    "BASE",
+    "BASE2",
+    "MOD",
+    "MOD2",
+    "affine_hash",
+    "char_shingles",
+    "poly_hash",
+    "pow_mod",
+    "word_tokens",
+]

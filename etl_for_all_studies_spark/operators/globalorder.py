@@ -139,8 +139,15 @@ def attach_global_order(
     for out in running_sum:
         run = F.col(f"__go_run_{out}")
         off = F.col(f"__go_off_{out}")
+        # three-way NULL handling to match the global-window form this
+        # operator replaces: sum() over a frame ignores NULLs and is NULL
+        # only when the WHOLE prefix is — so an all-NULL local prefix
+        # (run NULL) must surface the earlier ranges' offset, not NULL
         proj.append(
-            F.when(off.isNull(), run).otherwise(run + off).alias(out)
+            F.when(run.isNull(), off)
+            .when(off.isNull(), run)
+            .otherwise(run + off)
+            .alias(out)
         )
     if total_count_col:
         proj.append(F.lit(cum_c).cast("long").alias(total_count_col))

@@ -10,22 +10,55 @@ whole corpus and merge the hits into contiguous spans a trimmer can cut.
 The suffix-array formulation of the paper is replaced by the Spark-native
 shape — every stage linear and keyed:
 
-1. per-doc token-hash array (portable polynomial hash per token), persisted
-   — the same no-CSE-for-HOFs barrier the MinHash signatures use;
-2. rolling window hash per start position: a ``w``-step fold of array
-   lookups (O(tokens·w) per doc, embarrassingly parallel);
-3. ONE corpus-wide groupBy on the window hash → occurrence counts; windows
-   with count > 1 are duplicated (within-doc repeats count too);
+1. per-doc token-hash arrays (one portable polynomial hash per token, for
+   EACH of two independent ``(base, mod)`` pairs), persisted — the same
+   no-CSE-for-HOFs barrier the MinHash signatures use;
+2. one canonical polynomial window hash per start position and pair,
+   combined into a single ~2^60 key (see *Collision math* below). Two
+   physical strategies produce bit-identical hashes (``method=``):
+
+   - ``"fold"`` — an O(w) fold per position over the in-row token-hash
+     array. No extra shuffle; right for small windows (the registry
+     queries use w=8 → 8 multiply-mods per position).
+   - ``"prefix"`` — the Rabin–Karp rolling form, parallelized. The
+     sequential O(1) recurrence ``H(p+1) = (H(p) − t_p·B^{w−1})·B + t_{p+w}``
+     doesn't distribute, but its algebraic unrolling does: with
+     ``weighted_j = t_j·B^{−j} (mod M)``, the window hash ending at e is
+     ``H = B^e · Σ_{j=e−w+1..e} weighted_j (mod M)`` — a *sliding sum* over
+     a per-doc ordered window plus one binary-exponentiation power
+     (:func:`..functions.hashing.pow_mod`, 31 codegen'd WHEN steps), i.e.
+     O(1) amortized per position instead of O(w). Physical shape: one
+     doc-keyed repartition of the compact hash arrays, then
+     posexplode → per-doc sort → sliding sum — the window's required
+     hash distribution is satisfied by the pre-explode repartition, so
+     no token-level shuffle is added.
+   - ``"auto"`` (default) folds for w ≤ 16 and rolls above — at w=8 the
+     fold's 8 mults/position beat the roll's fixed 31-step powers; at the
+     production w=50 the roll wins ~linearly in w
+     (``tools/bench_scaleup_spans.py`` measures the crossover).
+
+3. ONE corpus-wide groupBy on the combined window hash → occurrence
+   counts; windows with count > 1 are duplicated (within-doc repeats
+   count too);
 4. per-doc gaps-and-islands merge of overlapping/touching hit windows into
    spans — a window partitioned by doc_id (per-doc history is the bounded
    dimension, same contract as the event-stream operators).
 
 The corpus-wide shuffle is keyed by the window hash — cardinality ≈ total
 token count, the same scale as every other token-keyed aggregation here
-(vocab, BM25, LM scoring). Hash collisions (~n²/2p for p ≈ 2³¹) can merge
-unrelated windows; at the paper's scale a 64-bit+ hash (or verify pass)
-is the production hardening — the portable prime keeps every decision
-DuckDB-replayable, which is the correctness contract this repo optimizes.
+(vocab, BM25, LM scoring).
+
+**Collision math.** The combined key ``h1·MOD2 + h2`` is injective in
+``(h1, h2)``, so distinct windows collide only when BOTH independent
+polynomial hashes collide: p ≈ 1/(MOD1·MOD2) ≈ 2^−60 per pair of windows.
+Expected falsely-merged window pairs among n windows ≈ n²/2^61: at
+n = 10^12 (a ~100 TB corpus ≈ one window per token) that is ≈ 4·10^5
+pairs — ≲0.4 ppm of windows falsely trimmed, vs n²/(2·10^9) ≈ 5·10^14
+(catastrophic, everything transitively merged) for the old single sub-2^31
+hash. Both component hashes stay DuckDB-replayable (plain modular
+arithmetic), which is the correctness contract this repo optimizes;
+byte-level exact verification of hit windows remains the belt-and-braces
+option at even larger scales.
 
 :func:`duplicated_spans_incremental` is the per-crawl-batch form: the new
 batch's windows are checked against the warehouse's accumulated
@@ -36,11 +69,134 @@ paths).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
-from ..functions.hashing import BASE, MOD, poly_hash, word_tokens
+from ..functions.hashing import (
+    BASE,
+    BASE2,
+    MOD,
+    MOD2,
+    poly_hash,
+    pow_mod,
+    word_tokens,
+)
+
+# the two independent (base, modulus) pairs behind the combined ~2^60 key
+_PAIRS: tuple[tuple[int, int], ...] = ((BASE, MOD), (BASE2, MOD2))
+# modular inverses of the bases (Fermat: b^(m-2) mod m) — the "divide by
+# B^j" weighting the prefix/sliding-sum form needs
+_INV_BASE: tuple[int, ...] = tuple(pow(b, m - 2, m) for b, m in _PAIRS)
+
+# auto method threshold: below this window width the O(w) in-row fold is
+# cheaper than the rolling form's fixed-cost modular powers + per-doc sort
+_FOLD_MAX_W = 16
+
+
+def _combine(h1: Column, h2: Column) -> Column:
+    """Injective combine of the two component hashes: h1·MOD2 + h2 < 2^60."""
+    return h1 * F.lit(MOD2) + h2
+
+
+def _token_hash_arrays(
+    docs: DataFrame, *, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __th1, __th2) for docs with ≥ w tokens — one polynomial token
+    hash array per (base, mod) pair, lowercase whitespace tokenization."""
+    toks = word_tokens(F.lower(F.col(text_col)))
+
+    # closure factory, NOT default-arg capture: Spark derives the HOF lambda
+    # arity from the Python signature, so `lambda t, b=b, m=m:` would read
+    # as a 3-arg transform lambda and fail analysis
+    def _th(b: int, m: int) -> Column:
+        return F.transform(toks, lambda t: poly_hash(t, base=b, mod=m))
+
+    th_cols = [_th(b, m) for b, m in _PAIRS]
+    return docs.select(
+        F.col(id_col), *[th.alias(f"__th{i + 1}") for i, th in enumerate(th_cols)]
+    ).where(F.size(F.col("__th1")) >= F.lit(w))
+
+
+def _window_hashes_fold(hashed: DataFrame, *, w: int, id_col: str) -> DataFrame:
+    """O(w)-per-position fold over the in-row token-hash arrays."""
+    positions = F.sequence(F.lit(1), F.size(F.col("__th1")) - F.lit(w - 1))
+
+    def _fold(i: Column, arr: Column, base: int, mod: int) -> Column:
+        return F.aggregate(
+            F.sequence(i, i + F.lit(w - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * F.lit(base) + F.element_at(arr, j))
+            % F.lit(mod),
+        )
+
+    return hashed.select(
+        id_col,
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    _combine(
+                        _fold(i, F.col("__th1"), *_PAIRS[0]),
+                        _fold(i, F.col("__th2"), *_PAIRS[1]),
+                    ).alias("h"),
+                ),
+            )
+        ).alias("ph"),
+    ).select(id_col, F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+
+
+def _window_hashes_prefix(hashed: DataFrame, *, w: int, id_col: str) -> DataFrame:
+    """Rabin–Karp rolling form as a distributed sliding sum (see module
+    docstring step 2): repartition the compact per-doc hash arrays by doc
+    id, posexplode to (id, j, t1, t2) — the explode preserves the hash
+    partitioning, so the per-doc window below needs only a local sort —
+    weight each token hash by B^{−j}, sliding-sum the last w weights, and
+    renormalize by B^e. Products stay < 2^63: every factor < 2^30 except
+    the raw sliding sum (< w·2^30), which is reduced mod M before the
+    power multiply. Positions are capped at 2^31 tokens/doc by the
+    31-bit ``pow_mod`` unroll."""
+    exploded = (
+        hashed.repartition(F.col(id_col))
+        .select(
+            id_col,
+            F.posexplode(F.arrays_zip("__th1", "__th2")).alias("__i", "__t"),
+        )
+        .select(
+            id_col,
+            (F.col("__i") + F.lit(1)).alias("__j"),
+            F.col("__t.__th1").alias("__t1"),
+            F.col("__t.__th2").alias("__t2"),
+        )
+    )
+    j = F.col("__j")
+    slide = (
+        Window.partitionBy(id_col)
+        .orderBy("__j")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    weighted = [
+        (F.col(f"__t{i + 1}") * pow_mod(j, _INV_BASE[i], _PAIRS[i][1]))
+        % F.lit(_PAIRS[i][1])
+        for i in range(2)
+    ]
+    summed = exploded.select(
+        id_col,
+        "__j",
+        *[F.sum(weighted[i]).over(slide).alias(f"__s{i + 1}") for i in range(2)],
+    ).where(j >= F.lit(w))
+    comps = [
+        (F.col(f"__s{i + 1}") % F.lit(_PAIRS[i][1]))
+        * pow_mod(j, _PAIRS[i][0], _PAIRS[i][1])
+        % F.lit(_PAIRS[i][1])
+        for i in range(2)
+    ]
+    return summed.select(
+        id_col,
+        (j - F.lit(w - 1)).alias("pos"),
+        _combine(comps[0], comps[1]).alias("h"),
+    )
 
 
 def window_hashes(
@@ -50,42 +206,35 @@ def window_hashes(
     text_col: str = "text",
     id_col: str = "doc_id",
     scope: CacheScope | None = None,
+    method: str = "auto",
 ) -> DataFrame:
-    """(id, pos, h) — rolling portable hash of every ``w``-token window
-    (1-based start positions; lowercase whitespace tokenization). The frame
-    the corpus-level and incremental span detectors share; its distinct
-    ``h`` column is also the warehouse state the incremental form accrues.
+    """(id, pos, h) — the combined two-pair polynomial hash of every
+    ``w``-token window (1-based start positions; lowercase whitespace
+    tokenization). The frame the corpus-level and incremental span
+    detectors share; its distinct ``h`` column is also the warehouse state
+    the incremental form accrues.
+
+    ``method``: ``"fold"`` (O(w)/position, in-row), ``"prefix"``
+    (Rabin–Karp rolling sliding-sum, O(1)/position), or ``"auto"``
+    (fold for w ≤ 16). Both produce BIT-IDENTICAL hashes — the canonical
+    ``Σ t_j·B^(e−j) mod M`` polynomial per pair — so the choice is purely
+    physical and the DuckDB oracle replays either.
     """
-    toks = word_tokens(F.lower(F.col(text_col)))
-    th = F.transform(toks, lambda t: poly_hash(t))
-    # barrier: the rolling fold below references the token-hash array once
-    # per window step — inline, the whole O(tokens) hash pass would re-run
-    # per step (no CSE inside HOF lambdas)
+    if method == "auto":
+        method = "fold" if w <= _FOLD_MAX_W else "prefix"
+    if method not in ("fold", "prefix"):
+        raise ValueError(f"unknown window_hashes method: {method!r}")
+    # barrier: both methods reference the token-hash arrays many times
+    # downstream (fold: once per window step — no CSE inside HOF lambdas;
+    # prefix: the repartition exchange would otherwise recompute the whole
+    # O(chars) hashing pass per consumer)
     hashed = persist(
-        docs.select(F.col(id_col), th.alias("__th")).where(
-            F.size(th) >= F.lit(w)
-        ),
+        _token_hash_arrays(docs, w=w, text_col=text_col, id_col=id_col),
         scope,
     )
-    arr = F.col("__th")
-    positions = F.sequence(F.lit(1), F.size(arr) - F.lit(w - 1))
-    return hashed.select(
-        id_col,
-        F.explode(
-            F.transform(
-                positions,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.aggregate(
-                        F.sequence(i, i + F.lit(w - 1)),
-                        F.lit(0).cast("long"),
-                        lambda acc, j: (acc * F.lit(BASE) + F.element_at(arr, j))
-                        % F.lit(MOD),
-                    ).alias("h"),
-                ),
-            )
-        ).alias("ph"),
-    ).select(id_col, F.col("ph.pos").alias("pos"), F.col("ph.h").alias("h"))
+    if method == "fold":
+        return _window_hashes_fold(hashed, w=w, id_col=id_col)
+    return _window_hashes_prefix(hashed, w=w, id_col=id_col)
 
 
 def _merge_hit_windows(hits: DataFrame, *, w: int, id_col: str) -> DataFrame:
@@ -122,6 +271,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     keep_first: bool = False,
     scope: CacheScope | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """(id, span_start, span_end, n_windows) — maximal merged spans of
     corpus-duplicated ``w``-token windows, 1-based inclusive token positions.
@@ -140,7 +290,7 @@ def duplicated_spans(
     of the passage in the corpus.
     """
     win = window_hashes(
-        docs, w=w, text_col=text_col, id_col=id_col, scope=scope
+        docs, w=w, text_col=text_col, id_col=id_col, scope=scope, method=method
     )
     counts = win.groupBy("h").agg(
         F.count(F.lit(1)).alias("__c"),
@@ -171,8 +321,12 @@ def trim_spans(
     with ``keep_first=True`` so one copy of every passage survives
     corpus-wide). Returns the input columns with ``text`` replaced by the
     trimmed text (original casing; whitespace normalized to single spaces)
-    plus ``n_tokens_removed``. Docs without spans pass through unchanged
-    modulo the whitespace normalization — do NOT feed the output back as
+    plus ``n_tokens_removed``.
+
+    Docs with NO spans — including NULL-text docs — pass through
+    **byte-identical** (``n_tokens_removed = 0``): the rewrite branches on
+    the span join hit, so whitespace normalization touches only documents
+    that were actually trimmed. Do NOT feed a trimmed doc's text back as
     position references for the ORIGINAL text.
 
     Shape: one broadcast-free equi-join on the doc id + a per-row HOF
@@ -189,21 +343,26 @@ def trim_spans(
     zipped = F.transform(
         toks, lambda t, i: F.struct(t.alias("t"), (i + F.lit(1)).alias("p"))
     )
-    spans_col = F.coalesce(
-        F.col("__spans"),
-        F.array().cast("array<struct<s:bigint,e:bigint>>"),
-    )
     kept = F.filter(
         zipped,
         lambda x: ~F.exists(
-            spans_col, lambda r: (x["p"] >= r["s"]) & (x["p"] <= r["e"])
+            F.col("__spans"), lambda r: (x["p"] >= r["s"]) & (x["p"] <= r["e"])
         ),
     )
+    # byte-identical passthrough: only docs with a span hit (and non-NULL
+    # text — a NULL doc has no windows, so a span row for it would be a
+    # contract violation anyway) are rewritten
+    rewrite = F.col("__spans").isNotNull() & F.col(text_col).isNotNull()
     out_cols = [c for c in docs.columns if c != text_col]
     return joined.select(
         *out_cols,
-        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias(text_col),
-        (F.size(zipped) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.when(
+            rewrite, F.concat_ws(" ", F.transform(kept, lambda x: x["t"]))
+        ).otherwise(F.col(text_col)).alias(text_col),
+        F.when(rewrite, F.size(zipped) - F.size(kept))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens_removed"),
     )
 
 
@@ -214,7 +373,9 @@ def duplicated_spans_incremental(
     w: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_first: bool = False,
     scope: CacheScope | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Per-batch duplicate spans: windows of the NEW batch that already
     occur in the accumulated corpus (``seen_hashes``: one ``h`` column, the
@@ -222,28 +383,49 @@ def duplicated_spans_incremental(
     once within the batch itself — merged into spans exactly like
     :func:`duplicated_spans`.
 
+    ``keep_first=True`` is the removal semantics for the trim workflow:
+    for a window hash found ONLY within the batch, the lexicographically
+    smallest (doc, pos) occurrence is exempted, so one copy of a
+    batch-internal passage always survives; hashes already in
+    ``seen_hashes`` correctly exempt NOTHING (the surviving copy lives in
+    the corpus history). The trim workflow is: detect with
+    ``keep_first=True`` → :func:`trim_spans` → append
+    ``window_hashes(new_docs).select("h").distinct()`` (the PRE-trim
+    hashes) to the seen table, so future batches dedup against the kept
+    copy — the same accrual contract as the incremental MinHash and
+    embedding-IVF paths. ``plans/incremental_curation.py::curate_batch``
+    wires exactly that sequence.
+
     Cost contract: one pass over the batch + a semi-join against the seen
     table keyed by hash (at warehouse scale a hash-bucketed table, so the
     join co-locates) — per-batch work tracks the batch, never history².
-    After trimming, append ``window_hashes(new_docs).select("h").distinct()``
-    to the seen table — the same accrual contract as the incremental
-    MinHash and embedding-IVF paths.
     """
     win = persist(
         window_hashes(
-            new_docs, w=w, text_col=text_col, id_col=id_col, scope=scope
+            new_docs, w=w, text_col=text_col, id_col=id_col, scope=scope,
+            method=method,
         ),
         scope,
     )
-    counts = win.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
-    in_batch = win.join(counts.where(F.col("__c") > 1), "h").select(
-        id_col, "pos"
+    seen = seen_hashes.select("h").distinct().withColumn("__seen", F.lit(1))
+    counts = win.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__keep"),
     )
-    vs_seen = win.join(
-        seen_hashes.select("h").distinct(), "h", "left_semi"
-    ).select(id_col, "pos")
-    hits = in_batch.unionByName(vs_seen).distinct()
-    return _merge_hit_windows(hits, w=w, id_col=id_col)
+    marked = win.join(counts, "h").join(seen, "h", "left")
+    hits = marked.where((F.col("__c") > 1) | F.col("__seen").isNotNull())
+    if keep_first:
+        # exempt the in-batch canonical occurrence — but only for hashes
+        # the corpus has NOT seen (a seen hash's surviving copy is the
+        # historical one; every batch occurrence is a repeat)
+        hits = hits.where(
+            F.col("__seen").isNotNull()
+            | ~(
+                (F.col(id_col) == F.col(f"__keep.{id_col}"))
+                & (F.col("pos") == F.col("__keep.pos"))
+            )
+        )
+    return _merge_hit_windows(hits.select(id_col, "pos"), w=w, id_col=id_col)
 
 
 __all__ = [

@@ -12,12 +12,16 @@ last-written pointer file (``_VERSION``). A commit writes ``v=<batch_id>/``
 first and flips the pointer second (atomic rename); readers resolve the
 pointer, so a crash mid-write leaves the previous version live. Replays
 (crash between pointer flip and checkpoint commit) are detected by the
-pointer itself: a batch whose id the live pointer already reached is
+pointer plus a per-version content fingerprint: a batch whose id the live
+pointer already reached AND whose digest matches the committed one is
 durably applied and is skipped outright — re-merging would lazily read
 ``v=<batch_id>`` while overwriting that same directory, which Spark
-forbids. For a crash BEFORE the flip the previous version is still live
-and the merge replays cleanly by algebra: changelog rows carry absolute
-values, so ``apply(apply(S, C), C) = apply(S, C)``.
+forbids. An id match with a digest MISMATCH is a lost checkpoint whose
+restarted batch 0 picked up new source files — skipping would drop those
+rows forever, so the apply raises instead. For a crash BEFORE the flip
+the previous version is still live and the merge replays cleanly by
+algebra: changelog rows carry absolute values, so
+``apply(apply(S, C), C) = apply(S, C)``.
 
 Scale notes: each micro-batch pays ONE full-outer join of (current state ⋈
 batch-winners) — the batch side is reduced to one winner per key before the
@@ -32,10 +36,12 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.diff import apply_changelog
 
 _VERSION_FILE = "_VERSION"
+_FINGERPRINT_FILE = "_FINGERPRINT"
 
 
 def _live_version(table_dir: str) -> int | None:
@@ -57,9 +63,41 @@ def read_table_state(
     return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
 
 
-def _commit_state(state: DataFrame, table_dir: str, batch_id: int) -> None:
+def _batch_fingerprint(batch_df: DataFrame) -> str:
+    """Order-independent content digest of a micro-batch: row count, XOR of
+    per-row xxhash64, and a bounded hash sum (the sum term keeps even-count
+    repeated rows — which XOR alone cancels — in the digest). One map-side-
+    combinable aggregation over the batch; used to tell a byte-identical
+    crash-window replay apart from a checkpoint-loss redelivery that picked
+    up NEW source files under the same batch id."""
+    h = F.xxhash64(*batch_df.columns)
+    row = batch_df.select(
+        F.count(F.lit(1)).alias("c"),
+        F.bit_xor(h).alias("x"),
+        F.sum(F.pmod(h, F.lit(2**32))).alias("s"),  # < 2^63 for < 2^31 rows
+    ).collect()[0]
+    x = (row["x"] or 0) & 0xFFFFFFFFFFFFFFFF
+    return f"{row['c']}:{x:016x}:{row['s'] or 0}"
+
+
+def _live_fingerprint(table_dir: str, version: int) -> str | None:
+    path = os.path.join(table_dir, f"v={version}", _FINGERPRINT_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return fh.read().strip()
+
+
+def _commit_state(
+    state: DataFrame, table_dir: str, batch_id: int, fingerprint: str
+) -> None:
     out = os.path.join(table_dir, f"v={batch_id}")
     state.write.mode("overwrite").parquet(out)
+    # the applied batch's digest rides inside the snapshot dir (written
+    # AFTER the overwrite, BEFORE the flip — underscore-prefixed, so the
+    # parquet reader ignores it); a version is live only with both in place
+    with open(os.path.join(out, _FINGERPRINT_FILE), "w") as fh:
+        fh.write(fingerprint)
     tmp = os.path.join(table_dir, f".{_VERSION_FILE}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(batch_id))
@@ -89,19 +127,33 @@ def stream_apply_changelog(
         # Replay guard for the crash window between the _VERSION flip and
         # the streaming-checkpoint commit: if the live pointer EQUALS
         # batch_id, v=<batch_id> was FULLY written (the pointer flips only
-        # after a successful snapshot write) and the replayed batch is
-        # byte-identical (same checkpointed source offsets), so re-merging
-        # would lazily read v=<batch_id> while overwriting the very
-        # directory being read. Skip — the batch is durably applied.
-        # live > batch_id is NOT that window: batch ids restart at 0 when
-        # the checkpoint is lost/recreated, and if the source has since
-        # accumulated new files, the replayed low-id batch carries NEW rows
-        # — skipping would silently drop them forever (the fresh checkpoint
-        # then marks those files processed). That is a checkpoint/table
-        # mismatch only an operator can resolve: fail loudly.
+        # after a successful snapshot write). But equality of ids alone
+        # does NOT prove the replay is the same batch: when the checkpoint
+        # is lost after exactly one committed batch, ids restart at 0 and
+        # the redelivered batch 0 may carry NEW source files — skipping
+        # would drop them forever while the fresh checkpoint marks the
+        # files processed. So the skip is gated on the CONTENT fingerprint
+        # persisted with the snapshot: match → durably-applied replay,
+        # skip (re-merging would lazily read v=<batch_id> while
+        # overwriting the directory being read, which Spark forbids);
+        # mismatch (or a missing digest) → fail loudly, same as below.
+        # live > batch_id is never that window: a replayed low-id batch
+        # against a further-along table is always a checkpoint/table
+        # mismatch only an operator can resolve.
         live = _live_version(table_dir)
         if live is not None and live == batch_id:
-            return
+            if _live_fingerprint(table_dir, live) == _batch_fingerprint(
+                batch_df
+            ):
+                return
+            raise RuntimeError(
+                f"changelog checkpoint/table mismatch: table {table_dir!r} "
+                f"already committed batch {batch_id}, but the redelivered "
+                "batch's content fingerprint differs — the streaming "
+                "checkpoint was lost and the source has accumulated new "
+                "files since. Restore the matching checkpoint, or rebuild "
+                "the table from a fresh checkpoint + full changelog."
+            )
         if live is not None and live > batch_id:
             raise RuntimeError(
                 f"changelog checkpoint/table mismatch: table {table_dir!r} is "
@@ -116,7 +168,7 @@ def stream_apply_changelog(
         state = apply_changelog(
             base, batch_df, keys, op_col=op_col, seq_col=seq_col
         )
-        _commit_state(state, table_dir, batch_id)
+        _commit_state(state, table_dir, batch_id, _batch_fingerprint(batch_df))
 
     q = (
         changes_stream.writeStream.foreachBatch(_apply)

@@ -135,3 +135,39 @@ def test_nulls_in_order_key_match_global_window(spark):
             ).collect()
         }
         assert got == exp, asc
+
+
+def test_nulls_in_running_sum_values_match_global_window(spark):
+    """ADVICE r5: a row whose local prefix values are all NULL has a NULL
+    per-range running sum; the projection must then surface the earlier
+    ranges' offset (sum-over-window semantics: NULLs are ignored, NULL only
+    when the WHOLE prefix is). Built so early ranges are entirely-NULL too,
+    covering the off-NULL and both-NULL arms."""
+    rows = [
+        # v orders the rows; x is NULL for the first 40 (spanning several
+        # of the 8 ranges) and for every 5th row after
+        (i, i, None if i < 40 or i % 5 == 0 else float(i)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, x double")
+    got = {
+        r["id"]: r["run_x"]
+        for r in attach_global_order(
+            df,
+            order=[("v", True), ("id", True)],
+            rank_col=None,
+            running_sum={"run_x": "x"},
+            num_partitions=8,
+        ).collect()
+    }
+    w_run = Window.orderBy(F.col("v").asc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = {
+        r["id"]: r["run_x"]
+        for r in df.select("id", F.sum("x").over(w_run).alias("run_x")).collect()
+    }
+    assert got == exp
+    # non-vacuous: the all-NULL whole-prefix rows really are NULL, and some
+    # row with a NULL local prefix got a non-NULL offset carried across
+    assert exp[0] is None and exp[40] is None
+    assert exp[41] is not None

@@ -1094,3 +1094,138 @@ def test_incremental_spans_agree_with_full_on_random_corpora(spark):
     }
     assert incr == full
     assert incr  # non-vacuous: the template mixing produced real spans
+
+
+def test_window_hashes_prefix_bit_identical_to_fold(spark):
+    """The two physical window-hash strategies (O(w)-per-position in-row
+    fold vs the distributed Rabin–Karp sliding-sum) must produce
+    BIT-IDENTICAL (id, pos, h) frames — the property that makes the
+    ``method`` knob purely physical and keeps the DuckDB oracle valid for
+    either. Checked below and above the auto-crossover width, on docs
+    ranging from exactly-w tokens to multi-hundred-token with repeats."""
+    import random
+
+    from etl_for_all_studies_spark.operators.spans import window_hashes
+
+    rng = random.Random(7)
+    shared = " ".join(f"s{i}" for i in range(30))
+    rows = []
+    for d in range(12):
+        n = rng.choice([8, 20, 21, 57, 200])
+        toks = [f"d{d}t{rng.randint(0, 9)}" for i in range(n)]
+        if rng.random() < 0.5:
+            rows.append((d, " ".join(toks) + " " + shared))
+        else:
+            rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for w in (8, 20):  # fold-default width and a roll-default width
+        fold = {
+            (r["doc_id"], r["pos"]): r["h"]
+            for r in window_hashes(docs, w=w, method="fold").collect()
+        }
+        roll = {
+            (r["doc_id"], r["pos"]): r["h"]
+            for r in window_hashes(docs, w=w, method="prefix").collect()
+        }
+        assert fold == roll and fold, f"w={w} mismatch"
+
+
+def test_pow_mod_matches_python_pow(spark):
+    """The 31-step binary-exponentiation unroll equals Python ``pow`` for
+    both (base, mod) pairs and for the modular-inverse bases the rolling
+    form weights by, across exponents spanning the full 31-bit range."""
+    from etl_for_all_studies_spark.functions.hashing import (
+        BASE,
+        BASE2,
+        MOD,
+        MOD2,
+        pow_mod,
+    )
+
+    exps = [0, 1, 2, 7, 31, 1000, 123456, 2**20 + 3, 2**31 - 1]
+    df = spark.createDataFrame([(e,) for e in exps], "e long")
+    for base, mod in [
+        (BASE, MOD),
+        (BASE2, MOD2),
+        (pow(BASE, MOD - 2, MOD), MOD),
+        (pow(BASE2, MOD2 - 2, MOD2), MOD2),
+    ]:
+        got = {
+            r["e"]: r["p"]
+            for r in df.select(
+                "e", pow_mod(F.col("e"), base, mod).alias("p")
+            ).collect()
+        }
+        for e in exps:
+            assert got[e] == pow(base, e, mod), (base, mod, e)
+
+
+def test_incremental_keep_first_one_copy_survives(spark):
+    """ADVICE r5: the incremental form's keep_first must exempt the
+    canonical in-batch occurrence of a batch-internal passage (else the
+    trim workflow deletes EVERY copy corpus-wide), while hashes already in
+    the seen table exempt nothing (the surviving copy is historical)."""
+    from etl_for_all_studies_spark.operators.spans import (
+        duplicated_spans_incremental,
+        trim_spans,
+        window_hashes,
+    )
+
+    hist = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    fresh = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    u = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    corpus = spark.createDataFrame(
+        [(1, u("old", 6) + " " + hist)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, hist + " " + u("a", 5)),             # replays history
+            (11, u("b", 3) + " " + fresh),            # canonical fresh copy
+            (12, fresh + " " + u("c", 5)),            # in-batch repeat
+        ],
+        "doc_id long, text string",
+    )
+    seen = window_hashes(corpus, w=8).select("h").distinct()
+    spans = duplicated_spans_incremental(batch, seen, w=8, keep_first=True)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in spans.collect()
+    }
+    # historical passage: every batch occurrence flagged (no exemption)
+    assert (10, 1, 10) in got
+    # batch-internal passage: doc 11 (min (doc,pos)) keeps it, doc 12 loses it
+    assert not any(d == 11 for d, *_ in got)
+    assert (12, 1, 10) in got
+    # end-to-end: trimming leaves exactly one copy of `fresh` in the batch
+    # and zero copies of the historical passage
+    trimmed = {
+        r["doc_id"]: r["text"] for r in trim_spans(batch, spans).collect()
+    }
+    joined = " ".join(trimmed.values())
+    assert joined.count("kilo lima mike") == 1
+    assert "alpha bravo charlie" not in joined
+
+
+def test_trim_spans_null_text_passthrough(spark):
+    """ADVICE r5: NULL-text docs must pass through trim_spans unchanged
+    (text stays NULL, n_tokens_removed = 0) instead of being rewritten to
+    an empty string with NULL counters."""
+    from etl_for_all_studies_spark.operators.spans import (
+        duplicated_spans,
+        trim_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared + " x0"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, w=8, keep_first=True)
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in trim_spans(docs, spans).collect()
+    }
+    assert out[3] == (None, 0)
+    assert out[4] == ("", 0)
+    assert out[1] == (shared, 0)          # canonical copy untouched
+    assert out[2] == ("x0", 10)

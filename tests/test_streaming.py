@@ -621,6 +621,52 @@ def test_stream_apply_changelog_checkpoint_loss_with_new_data_fails_loudly(
     assert {r["id"] for r in read_table_state(spark, table).collect()} == {1, 2}
 
 
+def test_stream_apply_changelog_single_batch_checkpoint_loss_fingerprint(
+    spark, tmp_path
+):
+    """ADVICE r5: checkpoint lost after EXACTLY ONE committed batch, with
+    new source files since — the restarted query redelivers batch 0 with
+    live == 0, so the id-equality guard alone would silently skip the new
+    rows. The per-version content fingerprint must catch the mismatch and
+    raise; a byte-identical single-batch replay must still skip cleanly."""
+    import json as _json
+    import shutil
+
+    import pytest as _pytest
+
+    from etl_for_all_studies_spark.streaming.cdc import (
+        read_table_state,
+        stream_apply_changelog,
+    )
+
+    src = tmp_path / "changes_fpr"
+    src.mkdir()
+    table = str(tmp_path / "table_fpr")
+    ckpt = str(tmp_path / "ckpt_fpr")
+    schema = "id long, name string, price double, op string, seq long"
+
+    def write(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps(dict(zip(["id", "name", "price", "op", "seq"], r)))
+                for r in rows
+            )
+        )
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src))
+
+    write("c1.jsonl", [(1, "a", 10.0, "U", 1)])
+    stream_apply_changelog(stream(), table, ckpt, keys=["id"])  # batch 0
+    shutil.rmtree(ckpt)  # checkpoint lost with only v=0 committed
+    write("c2.jsonl", [(2, "b", 20.0, "U", 2)])  # NEW data since the loss
+    # restarted query redelivers everything as batch 0; live == 0 but the
+    # content differs → must raise, not skip
+    with _pytest.raises(Exception, match="checkpoint/table mismatch"):
+        stream_apply_changelog(stream(), table, ckpt, keys=["id"])
+    assert {r["id"] for r in read_table_state(spark, table).collect()} == {1}
+
+
 def test_stream_left_outer_attribution_emits_orphans_after_watermark(spark, tmp_path):
     """Left-outer watermarked interval join: matched clicks attribute like
     the inner form; an unmatched click is emitted with NULL view columns —
