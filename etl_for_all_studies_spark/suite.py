@@ -6232,6 +6232,166 @@ FROM grp GROUP BY doc_id, g
 
 
 # --------------------------------------------------------------------------
+# rolling-hash duplicate spans — the O(1)/position strategy, driver-checked
+# --------------------------------------------------------------------------
+
+def q_dup_spans_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup at a production-wide window (w=20) through the
+    ``method="prefix"`` physical strategy: the Rabin–Karp rolling hash as a
+    distributed sliding sum over per-doc positions plus one unrolled
+    modular power (``operators/spans.py::_window_hashes_prefix``) —
+    O(1)/position vs the in-row fold's O(w). The hashes are bit-identical
+    to the fold's, so the same SQL island-merge oracle pins the spans; at
+    the production w=50 this is the strategy the auto router picks, and
+    this entry keeps that path under the driver's correctness gate."""
+    from .operators.spans import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, w=20, method="prefix").select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    )
+
+
+_SQL_DUP_SPANS_ROLLING = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t
+  FROM documents WHERE TRIM(text) != ''
+),
+th AS (
+  SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         len(t) AS n
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, UNNEST(range(1, n - 20 + 2)) AS pos, h
+  FROM th WHERE n >= 20
+),
+wh AS (
+  SELECT doc_id, pos,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+19]),
+                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+  FROM wins
+),
+cnt AS (SELECT hh, COUNT(*) AS c FROM wh GROUP BY 1),
+hits AS (SELECT doc_id, pos FROM wh JOIN cnt USING (hh) WHERE c > 1),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > MAX(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS ns
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end,
+       COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, g
+"""
+
+
+# --------------------------------------------------------------------------
+# span trim — the end-to-end removal rewrite, driver-checked
+# --------------------------------------------------------------------------
+
+def q_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lee-et-al. removal pipeline under the correctness gate:
+    keep-first span detection at w=8 feeding ``trim_spans`` — every
+    document comes back with its repeated passages cut (canonical copies
+    survive) and a removed-token count; untouched docs pass through
+    byte-identical. The oracle recomputes the spans in SQL and rebuilds
+    each trimmed text with a positions-filter, pinning the rewrite itself,
+    not just the span boundaries."""
+    from .operators.spans import duplicated_spans, trim_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = duplicated_spans(docs, w=8, keep_first=True)
+    return trim_spans(docs, spans).select(
+        "doc_id", "text", "n_tokens_removed"
+    )
+
+
+_SQL_SPAN_TRIM = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t
+  FROM documents WHERE TRIM(text) != ''
+),
+th AS (
+  SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         len(t) AS n
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h
+  FROM th WHERE n >= 8
+),
+wh AS (
+  SELECT doc_id, pos,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
+                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+  FROM wins
+),
+marked AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY hh) AS c,
+         ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+  FROM wh
+),
+hits AS (SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS ns
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM grp GROUP BY doc_id, g
+),
+sp AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+  FROM spans GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, d.text,
+         string_split_regex(TRIM(d.text), '\\s+') AS rt, sp.sps
+  FROM documents d LEFT JOIN sp ON d.doc_id = sp.doc_id
+),
+kept AS (
+  SELECT doc_id, text, sps, len(rt) AS n,
+    CASE WHEN sps IS NULL THEN NULL ELSE
+      list_transform(
+        list_filter(range(1, len(rt) + 1),
+                    p -> len(list_filter(sps, r -> p >= r.s AND p <= r.e)) = 0),
+        p -> rt[p])
+    END AS k
+  FROM base
+)
+SELECT doc_id,
+  -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+  CASE WHEN sps IS NULL THEN text
+       ELSE COALESCE(array_to_string(k, ' '), '') END AS text,
+  CAST(CASE WHEN sps IS NULL THEN 0 ELSE n - len(k) END AS BIGINT)
+    AS n_tokens_removed
+FROM kept
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -6266,6 +6426,10 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "dup_spans": QueryDef(q_dup_spans, _SQL_DUP_SPANS),
     "dup_spans_incr": QueryDef(q_dup_spans_incr, _SQL_DUP_SPANS_INCR),
     "dup_spans_keepfirst": QueryDef(q_dup_spans_keepfirst, _SQL_DUP_SPANS_KEEPFIRST),
+    # ROUND-6 ADDITIONS (inside the driver's first-50 snapshot window):
+    # the rolling-hash physical strategy and the end-to-end trim rewrite
+    "dup_spans_rolling": QueryDef(q_dup_spans_rolling, _SQL_DUP_SPANS_ROLLING),
+    "span_trim": QueryDef(q_span_trim, _SQL_SPAN_TRIM),
     # --- driver-green in earlier rounds (CORRECTNESS_r0{2,3,4}.json) ---
     "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
     "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),
