@@ -32,10 +32,17 @@ shape — every stage linear and keyed:
      posexplode → per-doc sort → sliding sum — the window's required
      hash distribution is satisfied by the pre-explode repartition, so
      no token-level shuffle is added.
-   - ``"auto"`` (default) folds for w ≤ 16 and rolls above — at w=8 the
-     fold's 8 mults/position beat the roll's fixed 31-step powers; at the
-     production w=50 the roll wins ~linearly in w
-     (``tools/bench_scaleup_spans.py`` measures the crossover).
+   - ``"auto"`` (default) routes PER DOCUMENT on token count — fold for
+     docs under ~256 tokens, prefix above — and unions the two branches
+     (legal because the strategies are bit-identical). Doc length, not
+     window width, is the real decision variable: HOF lambdas are
+     interpreted (not codegen'd), so the fold's per-position work
+     degrades on long docs — measured 4–15× slower than the roll on
+     ~2.7k-token docs at every w from 8 to 50, while on sub-200-token
+     docs the fold's no-shuffle shape wins by ~2–4×
+     (``tools/bench_scaleup_spans.py crossover[-long]`` reproduces both
+     regimes; the threshold sits in the measured 200–400-token
+     indifference band).
 
 3. ONE corpus-wide groupBy on the combined window hash → occurrence
    counts; windows with count > 1 are duplicated (within-doc repeats
@@ -89,9 +96,11 @@ _PAIRS: tuple[tuple[int, int], ...] = ((BASE, MOD), (BASE2, MOD2))
 # B^j" weighting the prefix/sliding-sum form needs
 _INV_BASE: tuple[int, ...] = tuple(pow(b, m - 2, m) for b, m in _PAIRS)
 
-# auto method threshold: below this window width the O(w) in-row fold is
-# cheaper than the rolling form's fixed-cost modular powers + per-doc sort
-_FOLD_MAX_W = 16
+# auto routing threshold (tokens/doc): below it the in-row fold's
+# no-shuffle shape wins; above it the interpreted-HOF cost of the fold
+# loses to the codegen'd rolling form (measured indifference band
+# 200-400 tokens across w=8..50 — see module docstring)
+_AUTO_LONG_TOKENS = 256
 
 
 def _combine(h1: Column, h2: Column) -> Column:
@@ -216,25 +225,38 @@ def window_hashes(
 
     ``method``: ``"fold"`` (O(w)/position, in-row), ``"prefix"``
     (Rabin–Karp rolling sliding-sum, O(1)/position), or ``"auto"``
-    (fold for w ≤ 16). Both produce BIT-IDENTICAL hashes — the canonical
+    (per-doc routing on token count: fold under ~256 tokens, prefix
+    above — the measured crossover band; see the module docstring).
+    All strategies produce BIT-IDENTICAL hashes — the canonical
     ``Σ t_j·B^(e−j) mod M`` polynomial per pair — so the choice is purely
-    physical and the DuckDB oracle replays either.
+    physical and the DuckDB oracle replays any of them.
     """
-    if method == "auto":
-        method = "fold" if w <= _FOLD_MAX_W else "prefix"
-    if method not in ("fold", "prefix"):
+    if method not in ("auto", "fold", "prefix"):
         raise ValueError(f"unknown window_hashes method: {method!r}")
-    # barrier: both methods reference the token-hash arrays many times
+    # barrier: every method references the token-hash arrays many times
     # downstream (fold: once per window step — no CSE inside HOF lambdas;
     # prefix: the repartition exchange would otherwise recompute the whole
-    # O(chars) hashing pass per consumer)
+    # O(chars) hashing pass per consumer; auto: both branches share it)
     hashed = persist(
         _token_hash_arrays(docs, w=w, text_col=text_col, id_col=id_col),
         scope,
     )
     if method == "fold":
         return _window_hashes_fold(hashed, w=w, id_col=id_col)
-    return _window_hashes_prefix(hashed, w=w, id_col=id_col)
+    if method == "prefix":
+        return _window_hashes_prefix(hashed, w=w, id_col=id_col)
+    # auto: bit-identical strategies make per-doc routing a plain union —
+    # short docs keep the fold's no-shuffle shape, long docs take the
+    # rolling form (whose repartition exchange then carries ONLY the
+    # long tail, not the whole corpus)
+    n_tokens = F.size(F.col("__th1"))
+    return _window_hashes_fold(
+        hashed.where(n_tokens < _AUTO_LONG_TOKENS), w=w, id_col=id_col
+    ).unionByName(
+        _window_hashes_prefix(
+            hashed.where(n_tokens >= _AUTO_LONG_TOKENS), w=w, id_col=id_col
+        )
+    )
 
 
 def _merge_hit_windows(hits: DataFrame, *, w: int, id_col: str) -> DataFrame:

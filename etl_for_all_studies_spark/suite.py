@@ -6241,9 +6241,10 @@ def q_dup_spans_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed sliding sum over per-doc positions plus one unrolled
     modular power (``operators/spans.py::_window_hashes_prefix``) —
     O(1)/position vs the in-row fold's O(w). The hashes are bit-identical
-    to the fold's, so the same SQL island-merge oracle pins the spans; at
-    the production w=50 this is the strategy the auto router picks, and
-    this entry keeps that path under the driver's correctness gate."""
+    to the fold's, so the same SQL island-merge oracle pins the spans;
+    this is the strategy the auto router picks for long documents (the
+    regime where interpreted-HOF folding degrades), and this entry keeps
+    that path under the driver's correctness gate."""
     from .operators.spans import duplicated_spans
 
     docs = _t(spark, sf_dir, "documents")

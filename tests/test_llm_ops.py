@@ -1229,3 +1229,32 @@ def test_trim_spans_null_text_passthrough(spark):
     assert out[4] == ("", 0)
     assert out[1] == (shared, 0)          # canonical copy untouched
     assert out[2] == ("x0", 10)
+
+
+def test_window_hashes_auto_routes_by_doc_length(spark):
+    """The auto strategy splits per doc at the token-count threshold and
+    unions fold (short docs) with prefix (long docs) — output must equal
+    both pure strategies on a corpus straddling the threshold, including
+    docs exactly AT the boundary."""
+    from etl_for_all_studies_spark.operators.spans import (
+        _AUTO_LONG_TOKENS,
+        window_hashes,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(30)) + " " + shared),
+        (2, " ".join(f"b{i}" for i in range(_AUTO_LONG_TOKENS - 12)) + " " + shared),  # exactly at threshold
+        (3, " ".join(f"c{i % 9}" for i in range(_AUTO_LONG_TOKENS * 3)) + " " + shared),
+        (4, " ".join(f"d{i}" for i in range(8))),  # exactly w tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for method in ("auto", "fold", "prefix"):
+        out[method] = sorted(
+            (r["doc_id"], r["pos"], r["h"])
+            for r in window_hashes(docs, w=8, method=method).collect()
+        )
+    assert out["auto"] == out["fold"] == out["prefix"]
+    # non-vacuous: every doc produced windows, so both branches ran
+    assert {d for d, *_ in out["auto"]} == {1, 2, 3, 4}

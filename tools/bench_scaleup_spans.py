@@ -11,6 +11,13 @@ window-hash aggregation (the operator's only corpus-wide shuffle) from
 above. Near-linear growth is the pass criterion.
 
 Usage: python tools/bench_scaleup_spans.py [multiplier]
+       python tools/bench_scaleup_spans.py crossover [multiplier]
+
+``crossover`` mode instead measures the fold-vs-prefix window-hash
+strategies across window widths on the replicated corpus — the
+measurement behind the ``method="auto"`` threshold in
+``operators/spans.py`` (fold is O(w)/position in-row; prefix is the
+O(1)/position distributed Rabin–Karp sliding sum).
 """
 from __future__ import annotations
 
@@ -21,7 +28,77 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def crossover(mult: int, long_docs: bool = False) -> None:
+    """Fold vs prefix wall clock by window width on a mult-x corpus."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.spans import window_hashes
+    from etl_for_all_studies_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-spans-crossover",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        },
+    )
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    if long_docs:
+        # long-doc regime (the one the prefix form exists for): each doc's
+        # text repeated 50x → ~3k-token docs, heavy internal repetition
+        base = base.select(
+            "doc_id",
+            F.array_join(F.array_repeat(F.col("text"), 50), " ").alias("text"),
+        )
+    docs = base
+    if mult > 1:
+        copies = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                "text",
+            )
+            for i in range(mult)
+        ]
+        docs = copies[0]
+        for c in copies[1:]:
+            docs = docs.unionByName(c)
+        docs = docs.repartition(32).persist()
+    docs.count()
+    print(f"corpus: {mult}x sf0.1 documents (long_docs={long_docs})")
+    for w in (8, 16, 24, 32, 50, 100, 200) if long_docs else (8, 16, 24, 32, 50):
+        row = {}
+        for method in ("fold", "prefix"):
+            best = None
+            for _ in range(2):
+                t0 = _time.monotonic()
+                n = (
+                    window_hashes(docs, w=w, method=method)
+                    .agg(F.count(F.lit(1)), F.bit_xor("h"))
+                    .collect()
+                )
+                el = _time.monotonic() - t0
+                best = el if best is None else min(best, el)
+            row[method] = (round(best, 2), n[0][0], n[0][1])
+        assert row["fold"][1:] == row["prefix"][1:], f"hash mismatch at w={w}"
+        print(
+            f"w={w:3d}  fold={row['fold'][0]:6.2f}s  "
+            f"prefix={row['prefix'][0]:6.2f}s  "
+            f"({row['fold'][1]} windows, checksums equal)"
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] in ("crossover", "crossover-long"):
+        crossover(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 5,
+            long_docs=sys.argv[1] == "crossover-long",
+        )
+        return
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
     from pyspark.sql import functions as F
