@@ -398,12 +398,19 @@ def duplicated_spans_incremental(
     keep_first: bool = False,
     scope: CacheScope | None = None,
     method: str = "auto",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Per-batch duplicate spans: windows of the NEW batch that already
     occur in the accumulated corpus (``seen_hashes``: one ``h`` column, the
     distinct window hashes of everything ingested so far) **or** more than
     once within the batch itself — merged into spans exactly like
     :func:`duplicated_spans`.
+
+    ``windows``: optionally a PRE-COMPUTED (and ideally persisted)
+    :func:`window_hashes` frame for ``new_docs`` at the same ``w`` —
+    callers that also need the batch's hashes for warehouse accrual
+    (``plans/incremental_curation.py``) pass it so the corpus is hashed
+    exactly once.
 
     ``keep_first=True`` is the removal semantics for the trim workflow:
     for a window hash found ONLY within the batch, the lexicographically
@@ -422,13 +429,15 @@ def duplicated_spans_incremental(
     table keyed by hash (at warehouse scale a hash-bucketed table, so the
     join co-locates) — per-batch work tracks the batch, never history².
     """
-    win = persist(
-        window_hashes(
-            new_docs, w=w, text_col=text_col, id_col=id_col, scope=scope,
-            method=method,
-        ),
-        scope,
-    )
+    win = windows
+    if win is None:
+        win = persist(
+            window_hashes(
+                new_docs, w=w, text_col=text_col, id_col=id_col, scope=scope,
+                method=method,
+            ),
+            scope,
+        )
     seen = seen_hashes.select("h").distinct().withColumn("__seen", F.lit(1))
     counts = win.groupBy("h").agg(
         F.count(F.lit(1)).alias("__c"),

@@ -18,7 +18,16 @@ BATCH, never on |history|²:
    admitted). New docs near-duplicating only each other cluster among
    themselves (connected components over new×new edges) and elect the
    min-id keeper, exactly like the batch plan's default policy;
-5. the admitted batch is returned for appending — composing with
+5. **incremental span trim** (optional, ``trim_spans_w``): exact-substring
+   duplicate spans of the admitted batch vs the warehouse's accumulated
+   window-hash table (``operators/spans.py::duplicated_spans_incremental``
+   with keep-first semantics — one copy of every passage survives
+   corpus-wide) are cut from the admitted text, and the batch's PRE-trim
+   distinct window hashes are surfaced for accrual
+   (``new_window_hashes``) so future batches dedup against the kept copy.
+   The batch is hashed ONCE — detection and accrual share the persisted
+   :func:`window_hashes` frame;
+6. the admitted batch is returned for appending — composing with
    ``streaming/corpus.py`` ingestion and ``operators/diff.py`` audits.
 
 Determinism: every stage is hash- or policy-ordered, so re-running a batch
@@ -32,7 +41,7 @@ import dataclasses
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import CacheScope
+from ..caching import CacheScope, persist
 from ..operators.contamination import decontaminate
 from ..operators.dedup import incremental_minhash_dedup
 from ..operators.dedup_graph import connected_components
@@ -54,6 +63,12 @@ class IncrementalCurationResult:
     vs_seen_pairs: DataFrame          # (doc_a, doc_b, vs_seen, ...) evidence
     dropped_vs_seen: DataFrame        # new doc_ids dropped for seen dups
     new_clusters: DataFrame           # (doc_id, cluster_id) among new docs
+    trimmed_spans: DataFrame | None = None   # (doc_id, span_start, span_end,
+    #                                  n_windows) cut from admitted (None
+    #                                  unless trim_spans_w)
+    new_window_hashes: DataFrame | None = None  # distinct PRE-trim window
+    #                                  hashes of the admitted batch — append
+    #                                  to the warehouse seen-hash table
 
 
 def curate_batch(
@@ -64,11 +79,21 @@ def curate_batch(
     eval_docs: DataFrame | None = None,
     minhash_bands: int = 2,
     verify_threshold: float = 0.5,
+    trim_spans_w: int | None = None,
+    seen_window_hashes: DataFrame | None = None,
     scope: CacheScope | None = None,
 ) -> IncrementalCurationResult:
     """Fold ``new_docs`` into the corpus whose kept set is ``seen_docs``.
 
     Doc ids must be disjoint across the two inputs (warehouse contract).
+
+    ``trim_spans_w`` enables the incremental span-trim stage: repeated
+    ``trim_spans_w``-token passages — vs the accumulated corpus
+    (``seen_window_hashes``: one ``h`` BIGINT column, the distinct window
+    hashes of everything admitted so far; None bootstraps an empty table)
+    or within the batch — are cut from the admitted text with keep-first
+    semantics. The caller appends ``new_window_hashes`` to the warehouse
+    seen-hash table after a successful batch commit.
     """
     quality = annotate_quality(new_docs, rules=rules)
     passed = quality.where(F.col("keep") == 1).select(new_docs.columns)
@@ -117,6 +142,35 @@ def curate_batch(
     keepers = clusters.where(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
     admitted = survivors.join(keepers, "doc_id", "left_semi")
 
+    trimmed_spans = None
+    new_window_hashes = None
+    if trim_spans_w is not None:
+        from ..operators.spans import (
+            duplicated_spans_incremental,
+            trim_spans,
+            window_hashes,
+        )
+
+        # the admitted frame feeds detection, trimming, AND accrual — pin it,
+        # and hash it exactly once (detection + accrual share `win`)
+        admitted = persist(admitted, scope)
+        win = persist(
+            window_hashes(admitted, w=trim_spans_w, scope=scope), scope
+        )
+        seen_h = seen_window_hashes
+        if seen_h is None:
+            seen_h = new_docs.sparkSession.createDataFrame([], "h BIGINT")
+        trimmed_spans = duplicated_spans_incremental(
+            admitted,
+            seen_h,
+            w=trim_spans_w,
+            keep_first=True,
+            scope=scope,
+            windows=win,
+        )
+        admitted = trim_spans(admitted, trimmed_spans)
+        new_window_hashes = win.select("h").distinct()
+
     return IncrementalCurationResult(
         admitted=admitted,
         quality=quality,
@@ -124,6 +178,8 @@ def curate_batch(
         vs_seen_pairs=pairs,
         dropped_vs_seen=dropped_vs_seen,
         new_clusters=clusters,
+        trimmed_spans=trimmed_spans,
+        new_window_hashes=new_window_hashes,
     )
 
 

@@ -104,6 +104,15 @@ _SQL_POLY_HASH = (
     "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
     "(acc, x) -> (acc * 131 + x) % 1000000007)"
 )
+# second independent (base, mod) pair — the span family keys every window on
+# BOTH (combined ~2^60, functions/hashing.py BASE2/MOD2): a single sub-2^31
+# hash collides in practice even at toy scale (sf0.001's 24k windows hold a
+# real 8-gram collision that falsely merged two unrelated passages)
+_SQL_POLY_HASH2 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(acc, x) -> (acc * 137 + x) % 998244353)"
+)
 
 
 # --------------------------------------------------------------------------
@@ -6048,17 +6057,20 @@ WITH toks AS (
 ),
 th AS (
   SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         list_transform(t, s -> {_SQL_POLY_HASH2.format(s="s")}) AS h2,
          len(t) AS n
   FROM toks
 ),
 wins AS (
-  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h
+  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h, h2
   FROM th WHERE n >= 8
 ),
 wh AS (
   SELECT doc_id, pos,
     list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
-                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+                (acc, x) -> (acc * 131 + x) % 1000000007) * 998244353
+    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[pos:pos+7]),
+                (acc, x) -> (acc * 137 + x) % 998244353) AS hh
   FROM wins
 ),
 cnt AS (SELECT hh, COUNT(*) AS c FROM wh GROUP BY 1),
@@ -6113,17 +6125,20 @@ WITH toks AS (
 ),
 th AS (
   SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         list_transform(t, s -> {_SQL_POLY_HASH2.format(s="s")}) AS h2,
          len(t) AS n
   FROM toks
 ),
 wins AS (
-  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h
+  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h, h2
   FROM th WHERE n >= 8
 ),
 wh AS (
   SELECT doc_id, pos,
     list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
-                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+                (acc, x) -> (acc * 131 + x) % 1000000007) * 998244353
+    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[pos:pos+7]),
+                (acc, x) -> (acc * 137 + x) % 998244353) AS hh
   FROM wins
 ),
 marked AS (
@@ -6187,17 +6202,20 @@ WITH toks AS (
 ),
 th AS (
   SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         list_transform(t, s -> {_SQL_POLY_HASH2.format(s="s")}) AS h2,
          len(t) AS n
   FROM toks
 ),
 wins AS (
-  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h
+  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h, h2
   FROM th WHERE n >= 8
 ),
 wh AS (
   SELECT doc_id, pos,
     list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
-                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+                (acc, x) -> (acc * 131 + x) % 1000000007) * 998244353
+    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[pos:pos+7]),
+                (acc, x) -> (acc * 137 + x) % 998244353) AS hh
   FROM wins
 ),
 seen AS (SELECT DISTINCT hh FROM wh WHERE doc_id < 250),
@@ -6260,17 +6278,20 @@ WITH toks AS (
 ),
 th AS (
   SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         list_transform(t, s -> {_SQL_POLY_HASH2.format(s="s")}) AS h2,
          len(t) AS n
   FROM toks
 ),
 wins AS (
-  SELECT doc_id, UNNEST(range(1, n - 20 + 2)) AS pos, h
+  SELECT doc_id, UNNEST(range(1, n - 20 + 2)) AS pos, h, h2
   FROM th WHERE n >= 20
 ),
 wh AS (
   SELECT doc_id, pos,
     list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+19]),
-                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+                (acc, x) -> (acc * 131 + x) % 1000000007) * 998244353
+    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[pos:pos+19]),
+                (acc, x) -> (acc * 137 + x) % 998244353) AS hh
   FROM wins
 ),
 cnt AS (SELECT hh, COUNT(*) AS c FROM wh GROUP BY 1),
@@ -6324,17 +6345,20 @@ WITH toks AS (
 ),
 th AS (
   SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         list_transform(t, s -> {_SQL_POLY_HASH2.format(s="s")}) AS h2,
          len(t) AS n
   FROM toks
 ),
 wins AS (
-  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h
+  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h, h2
   FROM th WHERE n >= 8
 ),
 wh AS (
   SELECT doc_id, pos,
     list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
-                (acc, x) -> (acc * 131 + x) % 1000000007) AS hh
+                (acc, x) -> (acc * 131 + x) % 1000000007) * 998244353
+    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[pos:pos+7]),
+                (acc, x) -> (acc * 137 + x) % 998244353) AS hh
   FROM wins
 ),
 marked AS (

@@ -22,8 +22,22 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--seen", required=True, help="Parquet path of the kept corpus")
     parser.add_argument("--out", required=True, help="Directory to append admitted docs")
     parser.add_argument("--eval", help="Optional parquet eval set for decontamination")
+    parser.add_argument(
+        "--trim-spans-w", type=int, default=None, metavar="W",
+        help="Also cut repeated W-token passages from admitted docs "
+        "(incremental exact-substring span dedup, keep-first semantics)",
+    )
+    parser.add_argument(
+        "--window-hashes", default=None, metavar="DIR",
+        help="Parquet dir of the accumulated window-hash table (one BIGINT "
+        "column h). Read as the seen side if it exists; the batch's "
+        "pre-trim hashes are appended after the admitted docs commit. "
+        "Required with --trim-spans-w.",
+    )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
+    if (args.trim_spans_w is None) != (args.window_hashes is None):
+        parser.error("--trim-spans-w and --window-hashes go together")
 
     from etl_for_all_studies_spark.caching import CacheScope
     from etl_for_all_studies_spark.plans.incremental_curation import curate_batch
@@ -35,16 +49,31 @@ def main(argv: list[str] | None = None) -> int:
         new = scope.persist(spark.read.parquet(args.new))
         seen = spark.read.parquet(args.seen)
         eval_docs = spark.read.parquet(args.eval) if args.eval else None
-        res = curate_batch(new, seen, eval_docs=eval_docs, scope=scope)
+        seen_hashes = None
+        if args.window_hashes and pathlib.Path(args.window_hashes).exists():
+            seen_hashes = spark.read.parquet(args.window_hashes)
+        res = curate_batch(
+            new, seen, eval_docs=eval_docs, trim_spans_w=args.trim_spans_w,
+            seen_window_hashes=seen_hashes, scope=scope,
+        )
         admitted = scope.persist(res.admitted)
         n_new = new.count()
         n_admit = admitted.count()
         n_vs_seen = res.dropped_vs_seen.count()
         n_contam = res.contaminated.count() if res.contaminated is not None else 0
+        n_trimmed = (
+            res.trimmed_spans.count() if res.trimmed_spans is not None else 0
+        )
         admitted.write.mode("append").parquet(args.out)
+        if res.new_window_hashes is not None:
+            # accrue AFTER the docs commit: a crash between the two writes
+            # re-runs the batch, and the digest anti-join (O-16) dedups the
+            # docs while the hash append is distinct-idempotent downstream
+            res.new_window_hashes.write.mode("append").parquet(args.window_hashes)
     print(
         f"batch={n_new} admitted={n_admit} dropped_vs_seen={n_vs_seen} "
-        f"contaminated={n_contam} elapsed={time.monotonic() - t0:.1f}s"
+        f"contaminated={n_contam} trimmed_spans={n_trimmed} "
+        f"elapsed={time.monotonic() - t0:.1f}s"
     )
     return 0
 

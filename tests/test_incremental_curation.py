@@ -65,6 +65,58 @@ def test_curate_batch_idempotent_rerun(spark):
     assert first == second and 200 in first
 
 
+PASSAGE = "please subscribe to our trusted newsletter for daily updates"
+LICENSE = "this standard license header text applies to every file"
+
+
+def test_curate_batch_span_trim_across_batches(spark):
+    """Two-batch e2e of the incremental span-trim stage: batch-2 passages
+    repeated from batch-1 are trimmed against the ACCRUED window-hash table
+    (no surviving copy in the batch — history holds it), while a passage
+    repeated only within batch-2 keeps exactly one copy (keep-first)."""
+    seen = _docs(spark, [(1, BASE)])
+    batch1 = _docs(spark, [(10, ALT + " " + PASSAGE)])
+    with CacheScope() as scope:
+        res1 = curate_batch(
+            batch1, seen, rules=RULES, trim_spans_w=8, scope=scope
+        )
+        assert {r["doc_id"] for r in res1.admitted.collect()} == {10}
+        # bootstrap batch: nothing seen, nothing repeated → no trims, but
+        # the batch's pre-trim hashes are surfaced for accrual
+        assert res1.trimmed_spans.count() == 0
+        accrued = [(r["h"],) for r in res1.new_window_hashes.collect()]
+        assert len(accrued) > 0
+
+    seen2 = _docs(spark, [(1, BASE), (10, ALT + " " + PASSAGE)])
+    batch2 = _docs(spark, [
+        # carries the batch-1 passage inside otherwise-novel text → every
+        # occurrence trims (the corpus copy in doc 10 survives)
+        (20, NEW + " " + PASSAGE + " with a fresh concluding observation"),
+        # 21/22 share a batch-internal passage → min (doc, pos) copy survives
+        (21, "morning couriers deliver sealed crates past the harbor gate " + LICENSE),
+        (22, "quiet archivists catalog weathered maps beside the cold vault " + LICENSE),
+    ])
+    seen_hashes = spark.createDataFrame(accrued, "h BIGINT")
+    with CacheScope() as scope:
+        res2 = curate_batch(
+            batch2, seen2, rules=RULES, trim_spans_w=8,
+            seen_window_hashes=seen_hashes, scope=scope,
+        )
+        out = {r["doc_id"]: r for r in res2.admitted.collect()}
+        spans = {r["doc_id"] for r in res2.trimmed_spans.collect()}
+
+    assert set(out) == {20, 21, 22}
+    assert spans == {20, 22}
+    assert "newsletter" not in out[20]["text"]
+    assert "concluding" in out[20]["text"]          # novel tail survives
+    assert "license" in out[21]["text"]             # keep-first copy intact
+    assert out[21]["text"] == batch2.where("doc_id = 21").first()["text"]
+    assert "license" not in out[22]["text"]
+    assert out[20]["n_tokens_removed"] >= 8
+    assert out[21]["n_tokens_removed"] == 0
+    assert out[22]["n_tokens_removed"] >= 8
+
+
 def test_curate_batch_decontaminates_before_admission(spark):
     seen = _docs(spark, [(1, BASE)])
     leak = ALT + " the exact eval question appears here verbatim"

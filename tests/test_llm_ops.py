@@ -925,6 +925,39 @@ def test_duplicated_spans_exact_boundaries_and_merging(spark):
     assert not any(k[0] == 3 for k in out)
 
 
+def test_duplicated_spans_survives_single_hash_collision(spark):
+    """A REAL single-hash collision must not merge unrelated windows. The
+    two 8-grams below are distinct texts that collide under the first
+    polynomial pair alone — hash 583239484 with (base=131, mod=1e9+7); they
+    occur naturally in the sf0.001 documents table, where the old single
+    sub-2^31 window key falsely marked both as duplicated. The combined
+    two-pair ~2^60 key (operators/spans.py collision math) must separate
+    them: neither passage repeats, so NO spans."""
+    from etl_for_all_studies_spark.functions.hashing import BASE, MOD
+    from etl_for_all_studies_spark.operators.spans import duplicated_spans
+
+    g1 = "part a customer big row hash a slow"
+    g2 = "row fast query spark data join scan the"
+
+    def h1(tokens):
+        hh = 0
+        for t in tokens:
+            th = 0
+            for c in t:
+                th = (th * BASE + ord(c)) % MOD
+            hh = (hh * BASE + th) % MOD
+        return hh
+
+    # the premise: a genuine first-pair collision between different texts
+    assert g1 != g2 and h1(g1.split()) == h1(g2.split())
+
+    docs = spark.createDataFrame(
+        [(1, "opening words here then " + g1), (2, g2 + " closing words go here")],
+        "doc_id long, text string",
+    )
+    assert duplicated_spans(docs, w=8).count() == 0
+
+
 def test_duplicated_spans_no_unpartitioned_window(spark):
     from planlint import unpartitioned_windows
 
