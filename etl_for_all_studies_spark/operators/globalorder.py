@@ -45,6 +45,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..caching import CacheScope, persist
+
 
 def attach_global_order(
     df: DataFrame,
@@ -158,6 +160,70 @@ def attach_global_order(
     return joined.select(*proj)
 
 
+def global_ntile_scores(
+    df: DataFrame,
+    *,
+    specs: list[tuple[str, str, bool]],
+    tiebreak: str,
+    k: int,
+    num_partitions: int | None = None,
+    scope: "CacheScope | None" = None,
+) -> DataFrame:
+    """Input columns + one exact global NTILE(k) score per spec, computed
+    in ONE distributed total-order pass instead of one per metric.
+
+    ``specs``: [(out_col, value_col, ascending), ...]. Each score matches
+    ``NTILE(k) OVER (ORDER BY value_col ASC|DESC, tiebreak ASC)`` exactly.
+    ``tiebreak`` must be a unique row key (it is also the join-back key).
+
+    M metrics as M separate :func:`attach_global_order` calls cost M
+    lineage pins (localCheckpoints) + M driver collects + M broadcast
+    joins of fixed overhead each. This form STACKS the metrics instead —
+    one row per (metric, row) ordered by (metric_idx, signed value,
+    tiebreak) — so ONE range sort of M·n skinny rows (three small
+    columns) replaces M sorts of n rows: same shuffled volume, one pin,
+    one ≤``shuffle.partitions``-row collect. Every metric holds exactly n
+    rows, so the per-metric rank is recovered arithmetically
+    (``global_rank − metric_idx·n``) and scores pivot back with one
+    keyed aggregation + one equi-join on ``tiebreak``.
+
+    Caveats (both hold for count/sum/round-2 analytics metrics):
+    descending specs are expressed by value NEGATION, which maps NULLs to
+    nulls-FIRST while a true DESC sorts them last — value columns must be
+    non-NULL; values are compared as doubles, exact for integers < 2^53.
+    """
+    # barrier: df feeds every stacked branch plus the final join-back —
+    # without it an unpersisted aggregate input is recomputed M+1 times
+    df = persist(df, scope)
+    n_m = len(specs)
+    stacked = None
+    for i, (_out, val, asc) in enumerate(specs):
+        v = F.col(val).cast("double")
+        part = df.select(
+            F.lit(i).alias("__m"),
+            (v if asc else -v).alias("__v"),
+            F.col(tiebreak),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    ranked = attach_global_order(
+        stacked,
+        order=[("__m", True), ("__v", True), (tiebreak, True)],
+        rank_col="__r",
+        total_count_col="__t",
+        num_partitions=num_partitions,
+    )
+    n = (F.col("__t") / n_m).cast("long")
+    rank_m = F.col("__r") - F.col("__m") * n
+    score = ntile_from_rank(rank_m, n, k)
+    scores = ranked.groupBy(tiebreak).agg(
+        *[
+            F.max(F.when(F.col("__m") == i, score)).alias(out)
+            for i, (out, _val, _asc) in enumerate(specs)
+        ]
+    )
+    return df.join(scores, tiebreak)
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """Exact SQL NTILE(k) from a global rank: the first ``n mod k`` buckets
     get ``n div k + 1`` rows, the rest ``n div k`` — the standard front-
@@ -171,4 +237,4 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     ).otherwise(m + F.ceil((rank - big) / q)).cast("int")
 
 
-__all__ = ["attach_global_order", "ntile_from_rank"]
+__all__ = ["attach_global_order", "global_ntile_scores", "ntile_from_rank"]

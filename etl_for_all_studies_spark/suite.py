@@ -5461,14 +5461,14 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic CRM scoring: per customer Recency (days since last order at
     the dataset horizon), Frequency (#orders), Monetary (revenue), each
     quintile-scored over a (metric, custkey)-totalized order, concatenated
-    to the familiar '545'-style segment code. One aggregation, then each
-    metric's quintile comes from ``attach_global_order`` — a range-
-    partitioned distributed rank (every stage splittable, no single-task
-    global window; ties on the small-integer frequency are spread across
-    ranges by the custkey tiebreaker) — and ``ntile_from_rank``, the exact
-    arithmetic form of SQL NTILE(5). The oracle keeps the global-window
-    NTILE formulation; outputs are bit-identical."""
-    from .operators.globalorder import attach_global_order, ntile_from_rank
+    to the familiar '545'-style segment code. One aggregation, then ALL
+    THREE quintiles come from ONE ``global_ntile_scores`` pass — the three
+    metrics stacked into a single range-partitioned distributed rank
+    (every stage splittable, no single-task global window; one lineage
+    pin + one bounded collect instead of three) — and ``ntile_from_rank``,
+    the exact arithmetic form of SQL NTILE(5). The oracle keeps the
+    global-window NTILE formulation; outputs are bit-identical."""
+    from .operators.globalorder import global_ntile_scores
 
     horizon = F.lit("2001-09-01").cast("timestamp")
     orders = _t(spark, sf_dir, "orders")
@@ -5479,20 +5479,16 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # recency: smaller is better → descending rank gives 5 to most recent
-    def score(df, col, asc, out):
-        d = attach_global_order(
-            df,
-            order=[(col, asc), ("o_custkey", True)],
-            rank_col="__r",
-            total_count_col="__n",
-        )
-        return d.withColumn(
-            out, ntile_from_rank(F.col("__r"), F.col("__n"), 5)
-        ).drop("__r", "__n")
-
-    out = score(rfm, "recency_days", False, "r_score")
-    out = score(out, "frequency", True, "f_score")
-    out = score(out, "monetary", True, "m_score")
+    out = global_ntile_scores(
+        rfm,
+        specs=[
+            ("r_score", "recency_days", False),
+            ("f_score", "frequency", True),
+            ("m_score", "monetary", True),
+        ],
+        tiebreak="o_custkey",
+        k=5,
+    )
     return out.select(
         "o_custkey", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",

@@ -171,3 +171,54 @@ def test_nulls_in_running_sum_values_match_global_window(spark):
     # row with a NULL local prefix got a non-NULL offset carried across
     assert exp[0] is None and exp[40] is None
     assert exp[41] is not None
+
+
+def test_global_ntile_scores_match_sql_ntile_multi_metric(spark):
+    """ONE stacked pass must reproduce per-metric NTILE(5) exactly — asc
+    and DESC specs, heavy ties broken by the unique tiebreak — against the
+    global-window NTILE oracle each metric would have used alone."""
+    from etl_for_all_studies_spark.operators.globalorder import (
+        global_ntile_scores,
+    )
+
+    df = _tied_df(spark)  # id, v (heavy ties), x (continuous)
+    got = global_ntile_scores(
+        df,
+        specs=[("sv", "v", True), ("svd", "v", False), ("sx", "x", True)],
+        tiebreak="id",
+        k=5,
+        num_partitions=8,
+    )
+    exp = df.select(
+        "id",
+        F.ntile(5).over(Window.orderBy(F.col("v").asc(), F.col("id").asc())).alias("sv"),
+        F.ntile(5).over(Window.orderBy(F.col("v").desc(), F.col("id").asc())).alias("svd"),
+        F.ntile(5).over(Window.orderBy(F.col("x").asc(), F.col("id").asc())).alias("sx"),
+    ).collect()
+    got_map = {r["id"]: r for r in got.collect()}
+    assert len(got_map) == df.count()
+    for e in exp:
+        g = got_map[e["id"]]
+        for c in ("sv", "svd", "sx"):
+            assert g[c] == e[c], (e["id"], c)
+    # input columns survive the join-back
+    assert set(df.columns) <= set(got.columns)
+
+
+def test_global_ntile_scores_no_unpartitioned_window(spark):
+    from planlint import unpartitioned_windows
+
+    from etl_for_all_studies_spark.operators.globalorder import (
+        global_ntile_scores,
+    )
+
+    df = _tied_df(spark, n=200)
+    plan = (
+        global_ntile_scores(
+            df, specs=[("s", "v", True)], tiebreak="id", k=4, num_partitions=4
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert unpartitioned_windows(plan) == []
