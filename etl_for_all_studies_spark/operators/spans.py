@@ -10,8 +10,10 @@ whole corpus and merge the hits into contiguous spans a trimmer can cut.
 The suffix-array formulation of the paper is replaced by the Spark-native
 shape — every stage linear and keyed:
 
-1. per-doc token-hash arrays (one portable polynomial hash per token, for
-   EACH of two independent ``(base, mod)`` pairs), persisted — the same
+1. per-doc token-hash arrays — one portable polynomial hash per token for
+   EACH of two independent ``(base, mod)`` pairs, computed in a single
+   char pass and bit-packed ``h1·2^30 + h2`` into one long per token
+   (:func:`..functions.hashing.poly_hash_packed`) — persisted, the same
    no-CSE-for-HOFs barrier the MinHash signatures use;
 2. one canonical polynomial window hash per start position and pair,
    combined into a single ~2^60 key (see *Collision math* below). Two
@@ -85,7 +87,9 @@ from ..functions.hashing import (
     BASE2,
     MOD,
     MOD2,
-    poly_hash,
+    PACK_MASK,
+    PACK_SHIFT,
+    poly_hash_packed,
     pow_mod,
     word_tokens,
 )
@@ -111,32 +115,52 @@ def _combine(h1: Column, h2: Column) -> Column:
 def _token_hash_arrays(
     docs: DataFrame, *, w: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, __th1, __th2) for docs with ≥ w tokens — one polynomial token
-    hash array per (base, mod) pair, lowercase whitespace tokenization."""
+    """(id, __th: array<long>) for docs with ≥ w tokens — both polynomial
+    token hashes per (base, mod) pair in ONE char pass per token, bit-
+    packed ``h1·2^30 + h2`` (:func:`..functions.hashing.poly_hash_packed`;
+    two separate transform columns would re-split and re-walk every token
+    — no CSE inside HOF lambdas — and a struct element is both slower to
+    build and 2× the persisted footprint), lowercase whitespace
+    tokenization."""
     toks = word_tokens(F.lower(F.col(text_col)))
-
-    # closure factory, NOT default-arg capture: Spark derives the HOF lambda
-    # arity from the Python signature, so `lambda t, b=b, m=m:` would read
-    # as a 3-arg transform lambda and fail analysis
-    def _th(b: int, m: int) -> Column:
-        return F.transform(toks, lambda t: poly_hash(t, base=b, mod=m))
-
-    th_cols = [_th(b, m) for b, m in _PAIRS]
     return docs.select(
-        F.col(id_col), *[th.alias(f"__th{i + 1}") for i, th in enumerate(th_cols)]
-    ).where(F.size(F.col("__th1")) >= F.lit(w))
+        F.col(id_col),
+        F.transform(toks, lambda t: poly_hash_packed(t)).alias("__th"),
+    ).where(F.size(F.col("__th")) >= F.lit(w))
 
 
 def _window_hashes_fold(hashed: DataFrame, *, w: int, id_col: str) -> DataFrame:
-    """O(w)-per-position fold over the in-row token-hash arrays."""
-    positions = F.sequence(F.lit(1), F.size(F.col("__th1")) - F.lit(w - 1))
+    """O(w)-per-position fold over the in-row packed token-hash array —
+    BOTH pairs advance in one primitive-long aggregate per position (a
+    second aggregate would double the interpreted per-step iteration; a
+    struct accumulator allocates an InternalRow per step — measured
+    slower). The packed accumulator is unpacked/updated/repacked with
+    shift/mask arithmetic each step, and the aggregate's ``finish`` lambda
+    converts to the injective ~2^60 KEY (h1·MOD2 + h2 — one reference:
+    aliasing the aggregate twice would re-run the whole fold, no CSE in
+    HOFs). Overflow bounds: h1·2^30 < 2^60, update products < 2^37."""
+    positions = F.sequence(F.lit(1), F.size(F.col("__th")) - F.lit(w - 1))
 
-    def _fold(i: Column, arr: Column, base: int, mod: int) -> Column:
+    def _fold(i: Column, arr: Column) -> Column:
+        def step(acc: Column, j: Column) -> Column:
+            t = F.element_at(arr, j)
+            h1 = (
+                F.shiftright(acc, PACK_SHIFT) * _PAIRS[0][0]
+                + F.shiftright(t, PACK_SHIFT)
+            ) % _PAIRS[0][1]
+            h2 = (
+                acc.bitwiseAND(F.lit(PACK_MASK)) * _PAIRS[1][0]
+                + t.bitwiseAND(F.lit(PACK_MASK))
+            ) % _PAIRS[1][1]
+            return h1 * F.lit(1 << PACK_SHIFT) + h2
+
         return F.aggregate(
             F.sequence(i, i + F.lit(w - 1)),
             F.lit(0).cast("long"),
-            lambda acc, j: (acc * F.lit(base) + F.element_at(arr, j))
-            % F.lit(mod),
+            step,
+            lambda acc: _combine(
+                F.shiftright(acc, PACK_SHIFT), acc.bitwiseAND(F.lit(PACK_MASK))
+            ),
         )
 
     return hashed.select(
@@ -146,10 +170,7 @@ def _window_hashes_fold(hashed: DataFrame, *, w: int, id_col: str) -> DataFrame:
                 positions,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    _combine(
-                        _fold(i, F.col("__th1"), *_PAIRS[0]),
-                        _fold(i, F.col("__th2"), *_PAIRS[1]),
-                    ).alias("h"),
+                    _fold(i, F.col("__th")).alias("h"),
                 ),
             )
         ).alias("ph"),
@@ -170,13 +191,13 @@ def _window_hashes_prefix(hashed: DataFrame, *, w: int, id_col: str) -> DataFram
         hashed.repartition(F.col(id_col))
         .select(
             id_col,
-            F.posexplode(F.arrays_zip("__th1", "__th2")).alias("__i", "__t"),
+            F.posexplode(F.col("__th")).alias("__i", "__t"),
         )
         .select(
             id_col,
             (F.col("__i") + F.lit(1)).alias("__j"),
-            F.col("__t.__th1").alias("__t1"),
-            F.col("__t.__th2").alias("__t2"),
+            F.shiftright(F.col("__t"), PACK_SHIFT).alias("__t1"),
+            F.col("__t").bitwiseAND(F.lit(PACK_MASK)).alias("__t2"),
         )
     )
     j = F.col("__j")
@@ -248,8 +269,21 @@ def window_hashes(
     # auto: bit-identical strategies make per-doc routing a plain union —
     # short docs keep the fold's no-shuffle shape, long docs take the
     # rolling form (whose repartition exchange then carries ONLY the
-    # long tail, not the whole corpus)
-    n_tokens = F.size(F.col("__th1"))
+    # long tail, not the whole corpus). One scalar aggregate over the
+    # persisted arrays (which the first consumer would materialize anyway)
+    # skips a branch that would carry ZERO documents: the prefix branch's
+    # shuffle + per-doc sort machinery costs ~seconds of fixed overhead
+    # even empty, and a uniformly-short (or uniformly-long) corpus is the
+    # common case per batch
+    n_tokens = F.size(F.col("__th"))
+    is_long = (n_tokens >= _AUTO_LONG_TOKENS).cast("int")
+    n_long, n_all = hashed.select(
+        F.sum(is_long), F.count(F.lit(1))
+    ).first()
+    if not n_long:
+        return _window_hashes_fold(hashed, w=w, id_col=id_col)
+    if n_long == n_all:
+        return _window_hashes_prefix(hashed, w=w, id_col=id_col)
     return _window_hashes_fold(
         hashed.where(n_tokens < _AUTO_LONG_TOKENS), w=w, id_col=id_col
     ).unionByName(
@@ -311,8 +345,14 @@ def duplicated_spans(
     (:func:`trim_spans`) removes repeats while ALWAYS preserving one copy
     of the passage in the corpus.
     """
-    win = window_hashes(
-        docs, w=w, text_col=text_col, id_col=id_col, scope=scope, method=method
+    # barrier: win feeds BOTH the occurrence count and the hit join —
+    # unpersisted, the whole window-hash pass would run twice
+    win = persist(
+        window_hashes(
+            docs, w=w, text_col=text_col, id_col=id_col, scope=scope,
+            method=method,
+        ),
+        scope,
     )
     counts = win.groupBy("h").agg(
         F.count(F.lit(1)).alias("__c"),
