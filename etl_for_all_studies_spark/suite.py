@@ -6245,6 +6245,85 @@ FROM grp GROUP BY doc_id, g
 """
 
 
+def q_dup_spans_incr_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental REMOVAL form (ADVICE r5: the flag that makes
+    per-batch trimming honor the one-copy-survives contract): hashes
+    already in the corpus history exempt NOTHING (the surviving copy is
+    historical), while a passage repeated only WITHIN the batch keeps its
+    lexicographically-first (doc, pos) occurrence — so feeding these spans
+    to ``trim_spans`` never deletes a passage corpus-wide. Same
+    batch/seen framing as ``dup_spans_incr``."""
+    from .operators.spans import duplicated_spans_incremental, window_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = (
+        window_hashes(docs.where(F.col("doc_id") < 250), w=8)
+        .select("h")
+        .distinct()
+    )
+    out = duplicated_spans_incremental(
+        docs.where(F.col("doc_id") >= 250), seen, w=8, keep_first=True
+    )
+    return out.select("doc_id", "span_start", "span_end", "n_windows")
+
+
+_SQL_DUP_SPANS_INCR_KEEPFIRST = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t
+  FROM documents WHERE TRIM(text) != ''
+),
+th AS (
+  SELECT doc_id, list_transform(t, s -> {_SQL_POLY_HASH.format(s="s")}) AS h,
+         list_transform(t, s -> {_SQL_POLY_HASH2.format(s="s")}) AS h2,
+         len(t) AS n
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, UNNEST(range(1, n - 8 + 2)) AS pos, h, h2
+  FROM th WHERE n >= 8
+),
+wh AS (
+  SELECT doc_id, pos,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos:pos+7]),
+                (acc, x) -> (acc * 131 + x) % 1000000007) * 998244353
+    + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[pos:pos+7]),
+                (acc, x) -> (acc * 137 + x) % 998244353) AS hh
+  FROM wins
+),
+seen AS (SELECT DISTINCT hh FROM wh WHERE doc_id < 250),
+batch AS (SELECT doc_id, pos, hh FROM wh WHERE doc_id >= 250),
+marked AS (
+  SELECT b.doc_id, b.pos,
+         COUNT(*) OVER (PARTITION BY b.hh) AS c,
+         ROW_NUMBER() OVER (PARTITION BY b.hh ORDER BY b.doc_id, b.pos) AS rn,
+         (s.hh IS NOT NULL) AS seen_hit
+  FROM batch b LEFT JOIN seen s ON b.hh = s.hh
+),
+hits AS (
+  SELECT doc_id, pos FROM marked
+  WHERE seen_hit OR (c > 1 AND rn > 1)
+),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS ns
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       COUNT(*) AS n_windows
+FROM grp GROUP BY doc_id, g
+"""
+
+
 # --------------------------------------------------------------------------
 # rolling-hash duplicate spans — the O(1)/position strategy, driver-checked
 # --------------------------------------------------------------------------
@@ -6554,6 +6633,11 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
     "bm25_topk": QueryDef(q_bm25_topk, _SQL_BM25),
     "mix_budget": QueryDef(q_mix_budget, _SQL_MIX),
+    # round-6 addition (appended AFTER the snapshot window; never-checked,
+    # so the standing rotation rule leads round-7 with it)
+    "dup_spans_incr_keepfirst": QueryDef(
+        q_dup_spans_incr_keepfirst, _SQL_DUP_SPANS_INCR_KEEPFIRST
+    ),
 }
 
 
