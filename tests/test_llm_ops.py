@@ -925,6 +925,39 @@ def test_duplicated_spans_exact_boundaries_and_merging(spark):
     assert not any(k[0] == 3 for k in out)
 
 
+def test_poly_hash_packed_matches_component_hashes(spark):
+    """The packed single-pass form must carry EXACTLY the two component
+    polynomial hashes (h1<<30 | h2) for adversarial inputs: empty string,
+    single char, digits/punctuation, non-ASCII codepoints (ascii() returns
+    the full codepoint, multiplying past 2^7·2^30 in the update product —
+    still < 2^63), long tokens, and whitespace-free blobs."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.functions.hashing import (
+        BASE2,
+        MOD2,
+        PACK_MASK,
+        PACK_SHIFT,
+        poly_hash,
+        poly_hash_packed,
+    )
+
+    samples = [
+        "", "a", "Z9!", "0123456789" * 8, "café emoji ❤ text",
+        "世界", "x" * 500, "MiXeD CaSe ToKeN", " ", "\t\n",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    bad = df.select(
+        (
+            (F.shiftright(poly_hash_packed(F.col("s")), PACK_SHIFT)
+             != poly_hash(F.col("s")))
+            | (poly_hash_packed(F.col("s")).bitwiseAND(F.lit(PACK_MASK))
+               != poly_hash(F.col("s"), base=BASE2, mod=MOD2))
+        ).alias("bad")
+    ).where("bad").count()
+    assert bad == 0
+
+
 def test_duplicated_spans_survives_single_hash_collision(spark):
     """A REAL single-hash collision must not merge unrelated windows. The
     two 8-grams below are distinct texts that collide under the first
