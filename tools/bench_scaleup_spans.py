@@ -12,12 +12,19 @@ above. Near-linear growth is the pass criterion.
 
 Usage: python tools/bench_scaleup_spans.py [multiplier]
        python tools/bench_scaleup_spans.py crossover [multiplier]
+       python tools/bench_scaleup_spans.py incremental [multiplier]
 
 ``crossover`` mode instead measures the fold-vs-prefix window-hash
 strategies across window widths on the replicated corpus — the
 measurement behind the ``method="auto"`` threshold in
 ``operators/spans.py`` (fold is O(w)/position in-row; prefix is the
 O(1)/position distributed Rabin–Karp sliding sum).
+
+``incremental`` mode measures the per-BATCH cost contract of
+``duplicated_spans_incremental``: a fixed 1x batch detected against seen
+window-hash tables of 1x vs Nx history. Pass = batch wall clock stays
+near-flat as history grows (the history only enters through a
+distinct+semi-join keyed by hash; batch hashing dominates).
 """
 from __future__ import annotations
 
@@ -92,7 +99,76 @@ def crossover(mult: int, long_docs: bool = False) -> None:
         )
 
 
+def incremental(mult: int) -> None:
+    """Fixed 1x batch vs seen tables built from 1x and mult-x histories."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.spans import (
+        duplicated_spans_incremental,
+        window_hashes,
+    )
+    from etl_for_all_studies_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-spans-incremental",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        },
+    )
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    batch = base.select(
+        (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"), "text"
+    )
+
+    def history(k: int):
+        copies = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                F.translate(
+                    F.col("text"), alpha, alpha[i:] + alpha[:i]
+                ).alias("text"),
+            )
+            for i in range(k)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    results = {}
+    for k in (1, mult):
+        seen = (
+            window_hashes(history(k), w=8).select("h").distinct()
+            .repartition(32)
+            .persist()
+        )
+        n_seen = seen.count()  # materialize: the warehouse table is stored
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = duplicated_spans_incremental(batch, seen, w=8).count()
+            el = time.monotonic() - t0
+            best = el if best is None else min(best, el)
+            spark.catalog.clearCache()
+            seen.persist().count()
+        results[k] = (round(best, 2), n_seen, n)
+    (t1, s1, n1), (tm, sm, nm) = results[1], results[mult]
+    print(
+        f"seen x1: {s1} hashes, batch detect {t1}s ({n1} spans); "
+        f"seen x{mult}: {sm} hashes, batch detect {tm}s ({nm} spans); "
+        f"per-batch wall ratio {tm/t1:.2f}x for {mult}x history"
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "incremental":
+        incremental(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
     if len(sys.argv) > 1 and sys.argv[1] in ("crossover", "crossover-long"):
         crossover(
             int(sys.argv[2]) if len(sys.argv) > 2 else 5,
