@@ -168,7 +168,12 @@ def curate_batch(
             scope=scope,
             windows=win,
         )
-        admitted = trim_spans(admitted, trimmed_spans)
+        # keep the INPUT schema on admitted: the corpus directory is
+        # appended across batches with and without the trim stage, and a
+        # schema that grows an audit column would make parquet appends
+        # reader-inconsistent. Per-doc removal evidence lives on
+        # trimmed_spans (token ranges + window counts).
+        admitted = trim_spans(admitted, trimmed_spans).select(new_docs.columns)
         new_window_hashes = win.select("h").distinct()
 
     return IncrementalCurationResult(
