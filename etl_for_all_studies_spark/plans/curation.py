@@ -139,7 +139,10 @@ def curate_corpus(
         trimmed_spans = duplicated_spans(
             kept, w=trim_spans_w, keep_first=True, scope=scope
         )
-        kept = trim_spans(kept, trimmed_spans)
+        # project back to the input schema: downstream consumers (shard
+        # writer, re-curation readers) see the same columns whether or not
+        # the trim stage ran; removal evidence lives on trimmed_spans
+        kept = trim_spans(kept, trimmed_spans).select(docs.columns)
 
     manifest = None
     if out_dir is not None:

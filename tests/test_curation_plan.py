@@ -131,6 +131,8 @@ def test_curate_corpus_with_span_trim_stage(spark):
     assert kept[3] == u("three", 20)
     spans = {r["doc_id"] for r in res.trimmed_spans.collect()}
     assert spans == {2}
+    # kept stays on the input schema whether or not the trim stage ran
+    assert set(res.kept.columns) == set(docs.columns)
     # default path unchanged: no trim stage, trimmed_spans is None
     res0 = curate_corpus(docs, rules=rules)
     assert res0.trimmed_spans is None
