@@ -23,6 +23,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--out", required=True, help="Output directory for shards")
     parser.add_argument("--eval", help="Optional parquet eval set to decontaminate against")
     parser.add_argument("--shards", type=int, default=16, help="Number of output shards")
+    parser.add_argument(
+        "--trim-spans-w", type=int, default=None, metavar="W",
+        help="Also cut repeated W-token passages from kept docs before "
+        "sharding (exact-substring span dedup, keep-first semantics)",
+    )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
 
@@ -41,15 +46,18 @@ def main(argv: list[str] | None = None) -> int:
         eval_docs = spark.read.parquet(args.eval) if args.eval else None
         res = curate_corpus(
             docs, eval_docs=eval_docs, out_dir=args.out, n_shards=args.shards,
-            scope=scope,
+            trim_spans_w=args.trim_spans_w, scope=scope,
         )
         n_in = docs.count()
         n_kept = res.kept.count()
         n_contam = res.contaminated.count() if res.contaminated is not None else 0
         n_shards = res.shard_manifest.count() if res.shard_manifest is not None else 0
+        n_trimmed = (
+            res.trimmed_spans.count() if res.trimmed_spans is not None else 0
+        )
     print(
         f"docs={n_in} kept={n_kept} dropped={n_in - n_kept} "
-        f"contaminated={n_contam} shards={n_shards} "
+        f"contaminated={n_contam} trimmed_spans={n_trimmed} shards={n_shards} "
         f"elapsed={time.monotonic() - t0:.1f}s"
     )
     return 0 if n_kept > 0 else 1
