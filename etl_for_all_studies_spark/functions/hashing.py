@@ -44,6 +44,17 @@ PACK_SHIFT = 30
 PACK_MASK = (1 << PACK_SHIFT) - 1
 
 
+def _packed_step(acc: Column, c: Column) -> Column:
+    """One character's update of the packed (h1, h2) accumulator."""
+    return (
+        (
+            ((F.shiftright(acc, PACK_SHIFT) * BASE + F.ascii(c)) % MOD)
+            * F.lit(1 << PACK_SHIFT)
+        )
+        + ((acc.bitwiseAND(F.lit(PACK_MASK)) * BASE2 + F.ascii(c)) % MOD2)
+    )
+
+
 def poly_hash_packed(col: Column) -> Column:
     """BOTH independent polynomial hashes of a string in ONE pass over its
     characters, bit-packed into a single long (``h1 << 30 | h2``) —
@@ -60,16 +71,23 @@ def poly_hash_packed(col: Column) -> Column:
     warm and half the array memory downstream.
     """
     chars = F.split(col, "")
+    return F.aggregate(chars, F.lit(0).cast("long"), _packed_step)
+
+
+def poly_hash_combined(col: Column) -> Column:
+    """The injective ~2^60 combined key ``h1·MOD2 + h2`` of a string, in
+    one char pass — for identity-class uses (document fingerprints, span
+    window keys) where a single sub-2^31 hash collides in practice at
+    ~10^5-item scale. The combine rides in the aggregate's ``finish``
+    lambda so the fold is evaluated exactly once (no CSE guarantees for
+    interpreted HOF expressions referenced twice)."""
+    chars = F.split(col, "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
-        lambda acc, c: (
-            (
-                ((F.shiftright(acc, PACK_SHIFT) * BASE + F.ascii(c)) % MOD)
-                * F.lit(1 << PACK_SHIFT)
-            )
-            + ((acc.bitwiseAND(F.lit(PACK_MASK)) * BASE2 + F.ascii(c)) % MOD2)
-        ),
+        _packed_step,
+        lambda acc: F.shiftright(acc, PACK_SHIFT) * F.lit(MOD2)
+        + acc.bitwiseAND(F.lit(PACK_MASK)),
     )
 
 
@@ -142,6 +160,7 @@ __all__ = [
     "affine_hash",
     "char_shingles",
     "poly_hash",
+    "poly_hash_combined",
     "poly_hash_packed",
     "pow_mod",
     "word_tokens",

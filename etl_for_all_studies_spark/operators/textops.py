@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
-from ..functions.hashing import poly_hash, word_tokens
+from ..functions.hashing import poly_hash, poly_hash_combined, word_tokens
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 # Deliberately minimal + deterministic (a real pipeline would plug in fastText
@@ -117,10 +117,16 @@ def predict_language(col: Column) -> Column:
 
 
 def fingerprint(col: Column) -> Column:
-    """Deterministic document fingerprint: polynomial hash of the
-    whitespace-normalized, lowercased text (portable across engines)."""
+    """Deterministic document fingerprint: the combined two-pair
+    polynomial hash (~2^60 keyspace) of the whitespace-normalized,
+    lowercased text — portable across engines. A fingerprint is an
+    IDENTITY proxy, so it gets the same collision hardening as the span
+    window keys: a single sub-2^31 hash yields birthday collisions from
+    ~10^5 documents (≈466 false-identity pairs per million docs), which
+    silently merges distinct documents in any fingerprint-keyed dedup or
+    diff downstream."""
     normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
-    return poly_hash(normalized)
+    return poly_hash_combined(normalized)
 
 
 def annotate_documents(

@@ -998,9 +998,13 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NORMALIZED_TEXT_SQL = "regexp_replace(TRIM(lower(text)), '\\s+', ' ', 'g')"
+# identity-class hash → the combined ~2^60 two-pair key (same hardening —
+# and the same replayable SQL combine — as the span window keys)
 _SQL_FINGERPRINT = (
     "SELECT doc_id, "
     + _SQL_POLY_HASH.format(s=_NORMALIZED_TEXT_SQL)
+    + " * 998244353 + "
+    + _SQL_POLY_HASH2.format(s=_NORMALIZED_TEXT_SQL)
     + " AS fingerprint FROM documents"
 )
 
