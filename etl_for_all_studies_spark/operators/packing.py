@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import poly_hash
+from ..functions.hashing import poly_hash_combined
 
 
 def pack_contiguous(
@@ -69,8 +69,11 @@ def chunk_text(
     windows start while the start position is within the text, so every
     character lands in ≥1 chunk and the final chunk may be short. Empty/NULL
     texts yield zero chunks. Output keeps a portable ``chunk_hash``
-    (``functions/hashing.poly_hash``) so chunk-level dedup can run downstream
-    without re-reading the text.
+    (``functions/hashing.poly_hash_combined``, the injective ~2^60 two-pair
+    key) so chunk-level dedup can run downstream without re-reading the
+    text — an identity proxy, so it gets the same collision hardening as
+    document fingerprints and span window keys (a sub-2^31 hash falsely
+    merges distinct chunks from ~10^5 chunks up).
     """
     text = F.col(text_col)
     n = F.length(text)
@@ -85,7 +88,7 @@ def chunk_text(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.length("chunk_text").cast("long").alias("chunk_len"),
-        poly_hash(F.col("chunk_text")).alias("chunk_hash"),
+        poly_hash_combined(F.col("chunk_text")).alias("chunk_hash"),
         "chunk_text",
     )
 

@@ -1492,7 +1492,8 @@ c AS (
   FROM s
 )
 SELECT doc_id, chunk_idx, CAST(length(ct) AS BIGINT) AS chunk_len,
-       {_SQL_POLY_HASH.format(s="ct")} AS chunk_hash
+       {_SQL_POLY_HASH.format(s="ct")} * 998244353
+         + {_SQL_POLY_HASH2.format(s="ct")} AS chunk_hash
 FROM c
 """
 
