@@ -295,9 +295,6 @@ def minhash_signatures(
     return hashed.select("doc_id", sig.alias("sig"))
 
 
-def _poly_hash_inline(s):
-    return poly_hash(s)
-
 
 def _band_explode(
     signatures: DataFrame, bands: int, rows_per_band: int
