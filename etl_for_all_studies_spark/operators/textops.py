@@ -11,7 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
-from ..functions.hashing import poly_hash, poly_hash_combined, word_tokens
+from ..functions.hashing import poly_hash_combined, word_tokens
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 # Deliberately minimal + deterministic (a real pipeline would plug in fastText
