@@ -106,6 +106,12 @@ def pow_mod(exp: Column, base: int, mod: int, *, bits: int = 31) -> Column:
     per step and the expression tree is linear in ``bits``. The tempting
     ``when(bit, acc*sq).otherwise(acc)`` form references ``acc`` twice and
     doubles the tree each step — 2^31 nodes, a driver OOM at analysis.
+
+    Exponents with bits ABOVE the unroll width would silently wrap (the
+    high bits are never consumed), corrupting every downstream hash for
+    that row — e.g. a single >= 2^31-token document poisoning span
+    detection. A row-level ``raise_error`` guard makes the cap fail loudly
+    instead; it costs one comparison per row.
     """
     acc = F.lit(1).cast("long")
     sq = base % mod
@@ -115,7 +121,19 @@ def pow_mod(exp: Column, base: int, mod: int, *, bits: int = 31) -> Column:
         ).otherwise(F.lit(1)).cast("long")
         acc = (acc * factor) % F.lit(mod)
         sq = (sq * sq) % mod
-    return acc
+    return F.when(
+        (exp < 0) | (exp >= F.lit(1 << bits)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"pow_mod: exponent outside [0, 2^{bits}) — the "
+                    "binary-exponentiation unroll would silently drop "
+                    "high bits: "
+                ),
+                exp.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(acc)
 
 
 def affine_hash(h: Column, a: int, b: int) -> Column:

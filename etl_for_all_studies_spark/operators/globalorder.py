@@ -191,6 +191,9 @@ def global_ntile_scores(
     descending specs are expressed by value NEGATION, which maps NULLs to
     nulls-FIRST while a true DESC sorts them last — value columns must be
     non-NULL; values are compared as doubles, exact for integers < 2^53.
+    Both preconditions are ENFORCED at runtime (``raise_error`` inside the
+    stacked projection) so a violation fails the job loudly instead of
+    silently misplacing rows into the wrong tile.
     """
     # barrier: df feeds every stacked branch plus the final join-back —
     # without it an unpersisted aggregate input is recomputed M+1 times
@@ -198,7 +201,41 @@ def global_ntile_scores(
     n_m = len(specs)
     stacked = None
     for i, (_out, val, asc) in enumerate(specs):
-        v = F.col(val).cast("double")
+        raw = F.col(val)
+        v = raw.cast("double")
+        # loud guards for the two documented caveats: a NULL metric would
+        # sort nulls-FIRST under negation (true DESC sorts them last), and
+        # an INTEGRAL value beyond 2^53 loses exactness in the double cast
+        # (a double source orders exactly as stored) — either silently
+        # reshuffles tile membership, so fail the job instead
+        guarded = F.when(
+            raw.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"global_ntile_scores: NULL in metric column {val!r} — "
+                    "NTILE emulation requires non-NULL values (filter or "
+                    "coalesce upstream)"
+                )
+            ).cast("double"),
+        )
+        if isinstance(
+            df.schema[val].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            guarded = guarded.when(
+                F.abs(raw) > F.lit(2**53),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"global_ntile_scores: |{val}| exceeds 2^53 — "
+                            "the double-cast total order is no longer "
+                            "exact: "
+                        ),
+                        raw.cast("string"),
+                    )
+                ).cast("double"),
+            )
+        v = guarded.otherwise(v)
         part = df.select(
             F.lit(i).alias("__m"),
             (v if asc else -v).alias("__v"),

@@ -73,7 +73,11 @@ def chunk_text(
     key) so chunk-level dedup can run downstream without re-reading the
     text — an identity proxy, so it gets the same collision hardening as
     document fingerprints and span window keys (a sub-2^31 hash falsely
-    merges distinct chunks from ~10^5 chunks up).
+    merges distinct chunks from ~10^5 chunks up). Like ``fingerprint``,
+    ``chunk_hash`` VALUES are not stable across engine versions (the
+    round-6 rekey changed them): recompute on upgrade rather than
+    comparing stored hashes across versions — the md5 exact-dedup digests
+    are the stable cross-version identity.
     """
     text = F.col(text_col)
     n = F.length(text)

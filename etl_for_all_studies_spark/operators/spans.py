@@ -251,6 +251,18 @@ def window_hashes(
     All strategies produce BIT-IDENTICAL hashes — the canonical
     ``Σ t_j·B^(e−j) mod M`` polynomial per pair — so the choice is purely
     physical and the DuckDB oracle replays any of them.
+
+    **Laziness caveat**: ``method="auto"`` is NOT a lazy plan builder — it
+    runs two eager Spark jobs at CALL time (the persist of the token-hash
+    arrays plus one scalar count aggregate over them) to decide the
+    routing, and the decision is frozen then: rows arriving later through
+    re-evaluated lineage do not re-route. This is the deliberate trade —
+    skipping an empty branch saves the prefix path's fixed shuffle/sort
+    overhead (~seconds) on uniformly-short or uniformly-long batches,
+    which are the common case, and every caller materializes the arrays
+    immediately afterwards anyway. Callers composing with ``scope=None``
+    who need the pure lazy-plan contract from ``caching.py`` should pass
+    an explicit ``method=\"fold\"`` or ``\"prefix\"``.
     """
     if method not in ("auto", "fold", "prefix"):
         raise ValueError(f"unknown window_hashes method: {method!r}")

@@ -124,7 +124,18 @@ def fingerprint(col: Column) -> Column:
     window keys: a single sub-2^31 hash yields birthday collisions from
     ~10^5 documents (≈466 false-identity pairs per million docs), which
     silently merges distinct documents in any fingerprint-keyed dedup or
-    diff downstream."""
+    diff downstream.
+
+    **Version stability**: fingerprint VALUES are an implementation detail
+    and are NOT stable across engine versions — the round-6 collision
+    hardening changed every value (single-pair → combined two-pair key).
+    The contract is recompute-from-source: never compare a stored
+    fingerprint against one computed by a different engine version; on
+    upgrade, re-fingerprint the corpus (or version the column, e.g.
+    ``fingerprint_v2``). The md5-keyed exact-dedup digests
+    (``operators/dedup.py::incremental_new_documents``) are the stable
+    cross-version identity and were NOT affected by the rekey — warehouse
+    seen-digest tables survive upgrades unchanged (test-pinned)."""
     normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
     return poly_hash_combined(normalized)
 

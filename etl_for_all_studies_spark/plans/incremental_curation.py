@@ -22,11 +22,12 @@ BATCH, never on |history|²:
    duplicate spans of the admitted batch vs the warehouse's accumulated
    window-hash table (``operators/spans.py::duplicated_spans_incremental``
    with keep-first semantics — one copy of every passage survives
-   corpus-wide) are cut from the admitted text, and the batch's PRE-trim
-   distinct window hashes are surfaced for accrual
-   (``new_window_hashes``) so future batches dedup against the kept copy.
-   The batch is hashed ONCE — detection and accrual share the persisted
-   :func:`window_hashes` frame;
+   corpus-wide) are cut from the admitted text, and the batch's distinct
+   window hashes are surfaced for accrual (``new_window_hashes``) so
+   future batches dedup against the kept copy: the PRE-trim hashes
+   (shared with detection — the batch's main hashing pass runs ONCE)
+   plus the POST-trim hashes of the docs a cut touched, so w-grams
+   spanning a cut junction in the stored text are seen too;
 6. the admitted batch is returned for appending — composing with
    ``streaming/corpus.py`` ingestion and ``operators/diff.py`` audits.
 
@@ -66,9 +67,10 @@ class IncrementalCurationResult:
     trimmed_spans: DataFrame | None = None   # (doc_id, span_start, span_end,
     #                                  n_windows) cut from admitted (None
     #                                  unless trim_spans_w)
-    new_window_hashes: DataFrame | None = None  # distinct PRE-trim window
-    #                                  hashes of the admitted batch — append
-    #                                  to the warehouse seen-hash table
+    new_window_hashes: DataFrame | None = None  # distinct window hashes of
+    #                                  the admitted batch (pre-trim ∪ post-
+    #                                  trim-junction) — append to the
+    #                                  warehouse seen-hash table
 
 
 def curate_batch(
@@ -174,7 +176,25 @@ def curate_batch(
         # reader-inconsistent. Per-doc removal evidence lives on
         # trimmed_spans (token ranges + window counts).
         admitted = trim_spans(admitted, trimmed_spans).select(new_docs.columns)
-        new_window_hashes = win.select("h").distinct()
+        # accrual = PRE-trim hashes (cut passages are legitimately "seen":
+        # their kept copy's hashes are the same values) PLUS the POST-trim
+        # hashes of docs a cut actually touched: trimming concatenates the
+        # surviving tokens, so w-grams SPANNING a cut junction exist in the
+        # stored text but never existed pre-trim — without this second
+        # pass a future batch duplicating a junction passage would slip
+        # through. Only trimmed docs are re-hashed (trim_spans is a no-op
+        # on the rest, so their pre-trim hashes already cover them) and
+        # the re-hash reuses the persisted admitted frame — per-batch cost
+        # stays governed by the batch, and by the trim rate within it.
+        trimmed_ids = trimmed_spans.select("doc_id").distinct()
+        junction_h = window_hashes(
+            admitted.join(trimmed_ids, "doc_id", "left_semi"),
+            w=trim_spans_w,
+            scope=scope,
+        ).select("h")
+        new_window_hashes = (
+            win.select("h").unionByName(junction_h).distinct()
+        )
 
     return IncrementalCurationResult(
         admitted=admitted,

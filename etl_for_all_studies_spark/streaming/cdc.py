@@ -18,7 +18,10 @@ durably applied and is skipped outright — re-merging would lazily read
 ``v=<batch_id>`` while overwriting that same directory, which Spark
 forbids. An id match with a digest MISMATCH is a lost checkpoint whose
 restarted batch 0 picked up new source files — skipping would drop those
-rows forever, so the apply raises instead. For a crash BEFORE the flip
+rows forever, so the apply raises instead. Migration: versions committed
+before fingerprinting existed have no digest to compare — an id match
+against such a legacy version warns and skips (the legacy contract),
+and the table becomes strictly guarded from its next commit on. For a crash BEFORE the flip
 the previous version is still live and the merge replays cleanly by
 algebra: changelog rows carry absolute values, so
 ``apply(apply(S, C), C) = apply(S, C)``.
@@ -33,6 +36,7 @@ touched partitions exactly like ``sources/warehouse.py``'s fact path.
 """
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -136,15 +140,39 @@ def stream_apply_changelog(
         # persisted with the snapshot: match → durably-applied replay,
         # skip (re-merging would lazily read v=<batch_id> while
         # overwriting the directory being read, which Spark forbids);
-        # mismatch (or a missing digest) → fail loudly, same as below.
+        # mismatch → fail loudly, same as below. MISSING digest →
+        # pre-upgrade table (versions committed before the fingerprint
+        # file existed): the legacy contract was skip-on-id-match, so a
+        # hard error here would break every in-flight upgrade on its
+        # first crash-window replay. Warn-and-skip preserves the legacy
+        # behavior for exactly one replay — the skip leaves the table
+        # untouched at v=<batch_id>, and every commit made by THIS code
+        # writes the digest, so the strict gate takes over from the next
+        # batch on. (The residual risk is the legacy one: a checkpoint
+        # lost after exactly one pre-upgrade batch is indistinguishable
+        # from a replay — which is why the message is operator-visible.)
         # live > batch_id is never that window: a replayed low-id batch
         # against a further-along table is always a checkpoint/table
         # mismatch only an operator can resolve.
         live = _live_version(table_dir)
         if live is not None and live == batch_id:
-            if _live_fingerprint(table_dir, live) == _batch_fingerprint(
-                batch_df
-            ):
+            committed = _live_fingerprint(table_dir, live)
+            if committed is None:
+                logging.getLogger(__name__).warning(
+                    "changelog table %r version %d predates content "
+                    "fingerprinting (no _FINGERPRINT file) — treating the "
+                    "redelivered batch %d as a durably-applied replay and "
+                    "skipping it, per the pre-upgrade contract. If the "
+                    "streaming checkpoint was lost (not a crash-window "
+                    "replay), this batch's NEW rows are dropped: rebuild "
+                    "the table from a fresh checkpoint + full changelog. "
+                    "Subsequent commits are fingerprinted and verified.",
+                    table_dir,
+                    live,
+                    batch_id,
+                )
+                return
+            if committed == _batch_fingerprint(batch_df):
                 return
             raise RuntimeError(
                 f"changelog checkpoint/table mismatch: table {table_dir!r} "

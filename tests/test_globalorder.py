@@ -222,3 +222,56 @@ def test_global_ntile_scores_no_unpartitioned_window(spark):
         .toString()
     )
     assert unpartitioned_windows(plan) == []
+
+
+def test_global_ntile_scores_null_metric_fails_loudly(spark):
+    """ADVICE r6: a NULL metric value under DESC-by-negation would sort
+    nulls-FIRST (true DESC sorts them last) and silently shift every tile —
+    the runtime guard must fail the job instead."""
+    from etl_for_all_studies_spark.operators.globalorder import (
+        global_ntile_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    )
+    # the guard can fire during the builder's eager internal pin or at
+    # collect — either way the job must fail with the loud message
+    with pytest.raises(Exception, match="NULL in metric column 'v'"):
+        global_ntile_scores(
+            df, specs=[("s", "v", False)], tiebreak="id", k=2,
+            num_partitions=2,
+        ).collect()
+
+
+def test_global_ntile_scores_beyond_2p53_integer_fails_loudly(spark):
+    """ADVICE r6: an integral metric beyond 2^53 loses exactness in the
+    double-cast compare — fail loudly rather than misorder; a DOUBLE
+    source of any magnitude stays allowed (it orders exactly as stored)."""
+    from etl_for_all_studies_spark.operators.globalorder import (
+        global_ntile_scores,
+    )
+
+    big = spark.createDataFrame(
+        [(1, 2**53 + 1), (2, 5), (3, 7)], "id long, v long"
+    )
+    with pytest.raises(Exception, match="exceeds 2\\^53"):
+        global_ntile_scores(
+            big, specs=[("s", "v", True)], tiebreak="id", k=2,
+            num_partitions=2,
+        ).collect()
+
+    # doubles of the same magnitude are fine — and values at the cap pass
+    ok = spark.createDataFrame(
+        [(1, float(2**60)), (2, 5.0), (3, 7.0)], "id long, x double"
+    ).unionByName(
+        spark.createDataFrame([(4, 1.0)], "id long, x double")
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in global_ntile_scores(
+            ok, specs=[("s", "x", True)], tiebreak="id", k=2,
+            num_partitions=2,
+        ).collect()
+    }
+    assert got == {4: 1, 2: 1, 3: 2, 1: 2}

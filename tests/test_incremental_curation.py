@@ -135,3 +135,65 @@ def test_curate_batch_decontaminates_before_admission(spark):
     assert {r["doc_id"] for r in res.contaminated.collect()} == {300}
     admitted = {r["doc_id"] for r in res.admitted.collect()}
     assert 301 in admitted and 300 not in admitted
+
+
+PREFIX = ("careful gardeners planted seven maple saplings along the "
+          "narrow path")
+SUFFIX = ("while distant church bells rang across the foggy valley "
+          "again")
+# an 8-gram that exists ONLY in doc 20's POST-trim text (last 4 prefix
+# tokens ++ first 4 suffix tokens across the cut junction)
+JUNCTION = "along the narrow path while distant church bells"
+
+
+def test_curate_batch_accrues_post_trim_junction_hashes(spark):
+    """ADVICE r6: trimming concatenates the surviving tokens, so w-grams
+    SPANNING a cut junction exist in the stored corpus text but never
+    existed pre-trim. The accrual must include them — a later batch
+    duplicating a junction passage has to be caught."""
+    seen = _docs(spark, [(1, BASE)])
+    # batch A: establishes PASSAGE in the corpus (no trims — bootstrap)
+    batch_a = _docs(spark, [(10, ALT + " " + PASSAGE)])
+    res_a = curate_batch(batch_a, seen, rules=RULES, trim_spans_w=8)
+    accrued_a = [(r["h"],) for r in res_a.new_window_hashes.collect()]
+    assert res_a.trimmed_spans.count() == 0
+
+    # batch B: doc 20 embeds PASSAGE mid-text → the 9 passage tokens trim
+    # out, splicing PREFIX directly onto SUFFIX in the stored text
+    seen_b = _docs(spark, [(1, BASE), (10, ALT + " " + PASSAGE)])
+    batch_b = _docs(
+        spark, [(20, PREFIX + " " + PASSAGE + " " + SUFFIX)]
+    )
+    res_b = curate_batch(
+        batch_b, seen_b, rules=RULES, trim_spans_w=8,
+        seen_window_hashes=spark.createDataFrame(accrued_a, "h BIGINT"),
+    )
+    out_b = {r["doc_id"]: r["text"] for r in res_b.admitted.collect()}
+    assert "newsletter" not in out_b[20]
+    assert "saplings" in out_b[20] and "foggy" in out_b[20]
+    assert JUNCTION in out_b[20]  # the junction really is in stored text
+    accrued_b = [(r["h"],) for r in res_b.new_window_hashes.collect()]
+
+    # batch C: doc 30 contains the junction 8-gram verbatim — absent from
+    # any PRE-trim text, present in the stored corpus. With junction
+    # accrual it trims; without (the r6 bug) it would slip through.
+    seen_c = _docs(
+        spark,
+        [(1, BASE), (10, ALT + " " + PASSAGE), (20, out_b[20])],
+    )
+    batch_c = _docs(spark, [(
+        30,
+        "morning swimmers crossed the cold lake before sunrise "
+        + JUNCTION + " and nobody noticed the change",
+    )])
+    res_c = curate_batch(
+        batch_c, seen_c, rules=RULES, trim_spans_w=8,
+        seen_window_hashes=spark.createDataFrame(
+            accrued_a + accrued_b, "h BIGINT"
+        ),
+    )
+    out_c = {r["doc_id"]: r["text"] for r in res_c.admitted.collect()}
+    assert 30 in out_c
+    assert "church" not in out_c[30] and "narrow" not in out_c[30]
+    assert "sunrise" in out_c[30] and "noticed" in out_c[30]
+    assert res_c.trimmed_spans.where(F.col("doc_id") == 30).count() == 1

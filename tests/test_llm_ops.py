@@ -1324,3 +1324,52 @@ def test_window_hashes_auto_routes_by_doc_length(spark):
     assert out["auto"] == out["fold"] == out["prefix"]
     # non-vacuous: every doc produced windows, so both branches ran
     assert {d for d, *_ in out["auto"]} == {1, 2, 3, 4}
+
+
+def test_pow_mod_out_of_range_exponent_fails_loudly(spark):
+    """ADVICE r6: exponent bits above the 31-step unroll were silently
+    dropped (wrong hash, not an error) — the guard must raise instead, and
+    the cap boundary (2^31 - 1) must still compute."""
+    from etl_for_all_studies_spark.functions.hashing import BASE, MOD, pow_mod
+
+    ok = spark.createDataFrame([(2**31 - 1,)], "e long").select(
+        pow_mod(F.col("e"), BASE, MOD).alias("p")
+    )
+    assert ok.first()["p"] == pow(BASE, 2**31 - 1, MOD)
+
+    for bad in (2**31, -1):
+        df = spark.createDataFrame([(bad,)], "e long").select(
+            pow_mod(F.col("e"), BASE, MOD).alias("p")
+        )
+        with pytest.raises(Exception, match="pow_mod: exponent outside"):
+            df.collect()
+
+
+def test_incremental_new_documents_md5_digests_version_stable(spark):
+    """Directive r6: the round-6 identity-hash rekey changed fingerprint /
+    chunk_hash VALUES (recompute-on-upgrade contract, see their
+    docstrings) — but the exact-dedup warehouse path keys on md5, whose
+    values are pinned here against hashlib literals: seen-digest tables
+    persisted by ANY engine version keep matching."""
+    import hashlib
+
+    from etl_for_all_studies_spark.operators.dedup import (
+        incremental_new_documents,
+    )
+
+    texts = ["alpha beta gamma", "delta epsilon"]
+    new = spark.createDataFrame(
+        [(1, texts[0]), (2, texts[1]), (3, texts[0])],
+        "doc_id long, text string",
+    )
+    expected = {t: hashlib.md5(t.encode()).hexdigest() for t in texts}
+    # a pre-upgrade warehouse persisted the digest of texts[1]
+    seen = spark.createDataFrame(
+        [(expected[texts[1]],)], "text_hash string"
+    )
+    out = {
+        r["text_hash"]: (r["keeper_doc_id"], r["n_in_batch"])
+        for r in incremental_new_documents(new, seen).collect()
+    }
+    # only the unseen digest surfaces, valued exactly at the hashlib md5
+    assert out == {expected[texts[0]]: (1, 2)}

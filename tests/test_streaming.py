@@ -872,3 +872,61 @@ def test_stream_anomaly_flags_match_expanding_batch_twin(spark, tmp_path):
     assert set(twin_map) == set(got)
     for eid in got:
         assert got[eid] == pytest.approx(twin_map[eid], abs=1e-9)
+
+
+def test_stream_apply_changelog_legacy_table_without_fingerprint(
+    spark, tmp_path, caplog
+):
+    """ADVICE r6 migration path: versions committed before content
+    fingerprinting have no _FINGERPRINT file — an id-match replay against
+    such a legacy version must warn-and-skip (the pre-upgrade contract),
+    not hard-error, and the very next commit must be fingerprinted so the
+    strict gate takes over."""
+    import json as _json
+    import logging as _logging
+    import os as _os
+    import shutil
+
+    from etl_for_all_studies_spark.streaming.cdc import (
+        read_table_state,
+        stream_apply_changelog,
+    )
+
+    src = tmp_path / "changes_legacy"
+    src.mkdir()
+    table = str(tmp_path / "table_legacy")
+    ckpt = str(tmp_path / "ckpt_legacy")
+    schema = "id long, name string, price double, op string, seq long"
+
+    def write(fname, rows):
+        (src / fname).write_text(
+            "\n".join(
+                _json.dumps(dict(zip(["id", "name", "price", "op", "seq"], r)))
+                for r in rows
+            )
+        )
+
+    def stream():
+        return spark.readStream.schema(schema).json(str(src))
+
+    write("c1.jsonl", [(1, "a", 10.0, "U", 1)])
+    stream_apply_changelog(stream(), table, ckpt, keys=["id"])  # batch 0
+    # simulate a pre-upgrade table: strip the digest the new code wrote
+    fpr0 = _os.path.join(table, "v=0", "_FINGERPRINT")
+    _os.remove(fpr0)
+    shutil.rmtree(ckpt)  # crash-window replay: batch 0 redelivered, live==0
+
+    with caplog.at_level(_logging.WARNING):
+        stream_apply_changelog(stream(), table, ckpt, keys=["id"])
+    assert any(
+        "predates content fingerprinting" in r.message for r in caplog.records
+    )
+    # table untouched (skip), digest still absent on the legacy version
+    assert {r["id"] for r in read_table_state(spark, table).collect()} == {1}
+    assert not _os.path.exists(fpr0)
+
+    # the next real batch commits WITH a digest → strictly guarded onwards
+    write("c2.jsonl", [(2, "b", 20.0, "U", 2)])
+    stream_apply_changelog(stream(), table, ckpt, keys=["id"])  # batch 1
+    assert {r["id"] for r in read_table_state(spark, table).collect()} == {1, 2}
+    assert _os.path.exists(_os.path.join(table, "v=1", "_FINGERPRINT"))
