@@ -6501,29 +6501,85 @@ FROM kept
 # --------------------------------------------------------------------------
 
 QUERY_REGISTRY: dict[str, QueryDef] = {
-    # ROUND-6 ROTATION (judge directive r5 #2, now the STANDING RULE:
-    # every query's latest driver check must be <= 2 rounds older than its
-    # last plan change; the first-50 snapshot window leads with
-    # modified-since-last-checked, then oldest-checked-first).
-    # Order: [1-2] the two never-checked round-6 additions; [3-8] plans
-    # rewritten THIS round after their r5 check (span-family 2^60 rekey +
-    # packed hashing; customer_rfm stacked-NTILE rewrite; customer_abc /
-    # vocab_zipf globalorder NULL-handling change); [9-14] the six r5-
-    # modified plans whose last driver check predates that rewrite (judge
-    # re-verified, driver-stale); [15-50] the r3-checked cohort, oldest
-    # first in prior relative order. Remaining 9 r3-checked + 22 r4-checked
-    # queries rotate in next round. Nothing renamed, dropped, or
-    # re-oracled except the span-family two-pair rekey documented above.
+    # ROUND-7 ROTATION (standing rule: lead the first-50 snapshot window
+    # with never-driver-checked entries, then plans modified since their
+    # last driver check, then oldest-checked-first).
+    # Order: [1] dup_spans_incr_keepfirst — the round-6 addition no driver
+    # round has sampled (judge directive r6 #2); [2-9] the plans whose
+    # engines changed in the post-r6-artifact advisory commit (110252f):
+    # the span family (pow_mod loud exponent guard on the prefix path) and
+    # the global-NTILE trio (NULL / >2^53 runtime guards); [10-18] the
+    # nine r3-checked queries (oldest cohort); [19-39] the twenty-one
+    # r4-checked queries; [40-50] the eleven oldest r5-checked queries in
+    # prior relative order. The remaining 33 r5-checked queries rotate in
+    # next round; r6-checked entries (checked last round, unmodified) sit
+    # at the back. Nothing renamed, dropped, or re-oracled.
+    "dup_spans_incr_keepfirst": QueryDef(
+        q_dup_spans_incr_keepfirst, _SQL_DUP_SPANS_INCR_KEEPFIRST
+    ),
     "dup_spans_rolling": QueryDef(q_dup_spans_rolling, _SQL_DUP_SPANS_ROLLING),
-    "span_trim": QueryDef(q_span_trim, _SQL_SPAN_TRIM),
     "dup_spans": QueryDef(q_dup_spans, _SQL_DUP_SPANS),
     "dup_spans_incr": QueryDef(q_dup_spans_incr, _SQL_DUP_SPANS_INCR),
-    "dup_spans_keepfirst": QueryDef(q_dup_spans_keepfirst, _SQL_DUP_SPANS_KEEPFIRST),
+    "dup_spans_keepfirst": QueryDef(
+        q_dup_spans_keepfirst, _SQL_DUP_SPANS_KEEPFIRST
+    ),
+    "span_trim": QueryDef(q_span_trim, _SQL_SPAN_TRIM),
     "customer_rfm": QueryDef(q_customer_rfm, _SQL_RFM),
     "customer_abc": QueryDef(q_customer_abc, _SQL_ABC),
     "vocab_zipf": QueryDef(q_vocab_zipf, _SQL_ZIPF),
+    "doc_length_histogram": QueryDef(q_doc_length_histogram, _SQL_HISTOGRAM),
+    "integrity_report": QueryDef(q_integrity_report, _SQL_INTEGRITY),
+    "events_full_outer": QueryDef(q_events_full_outer, _SQL_FULL_OUTER),
+    "events_latest": QueryDef(q_events_latest, _SQL_LATEST),
+    "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
+    "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
+    "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
+    "bm25_topk": QueryDef(q_bm25_topk, _SQL_BM25),
+    "mix_budget": QueryDef(q_mix_budget, _SQL_MIX),
+    "events_gapfill": QueryDef(q_events_gapfill, _SQL_GAPFILL),
+    "sample_weighted": QueryDef(q_sample_weighted, _SQL_SAMPLE_WEIGHTED),
+    "profile_customer": QueryDef(q_profile_customer, _SQL_PROFILE),
+    "events_covisit": QueryDef(q_events_covisit, _SQL_COVISIT),
+    "acctbal_position": QueryDef(q_acctbal_position, _SQL_ACCTBAL_POSITION),
+    "item_pagerank": QueryDef(q_item_pagerank, _SQL_PAGERANK),
+    "revenue_mom": QueryDef(q_revenue_mom, _SQL_REVENUE_MOM),
+    "orders_cdc_apply": QueryDef(q_orders_cdc_apply, _SQL_CDC_APPLY),
+    "corpus_splits": QueryDef(q_corpus_splits, _SQL_SPLITS),
+    "embedding_standardize": QueryDef(
+        q_embedding_standardize, _SQL_STANDARDIZE
+    ),
+    "dedup_embedding_incr": QueryDef(
+        q_dedup_embedding_incr, _SQL_DEDUP_EMBED_INCR
+    ),
+    "mix_temperature": QueryDef(q_mix_temperature, _SQL_MIX_TEMPERATURE),
+    "quantile_normalize": QueryDef(q_quantile_normalize, _SQL_QUANTILE_NORM),
+    "welch_ab_test": QueryDef(q_welch_ab_test, _SQL_WELCH),
+    "mannwhitney_ab": QueryDef(q_mannwhitney_ab, _SQL_MANNWHITNEY),
+    "bootstrap_ci": QueryDef(q_bootstrap_ci, _SQL_BOOTSTRAP),
+    "events_ks_ab": QueryDef(q_events_ks_ab, _SQL_KS),
+    "events_psi": QueryDef(q_events_psi, _SQL_PSI),
+    "events_cuped": QueryDef(q_events_cuped, _SQL_CUPED),
+    "user_survival": QueryDef(q_user_survival, _SQL_SURVIVAL),
+    "user_logrank": QueryDef(q_user_logrank, _SQL_LOGRANK),
+    "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
+    "events_attribution": QueryDef(q_events_attribution, _SQL_ATTRIBUTION),
+    "segment_target_encode": QueryDef(
+        q_segment_target_encode, _SQL_TARGET_ENCODE
+    ),
+    "events_ztest": QueryDef(q_events_ztest, _SQL_ZTEST),
+    "events_chi2": QueryDef(q_events_chi2, _SQL_CHI2),
+    "orders_benford": QueryDef(q_orders_benford, _SQL_BENFORD),
+    "revenue_concentration": QueryDef(
+        q_revenue_concentration, _SQL_CONCENTRATION
+    ),
+    "events_transitions": QueryDef(q_events_transitions, _SQL_TRANSITIONS),
+    "user_entropy": QueryDef(q_user_entropy, _SQL_ENTROPY),
+    "doc_novelty": QueryDef(q_doc_novelty, _SQL_NOVELTY),
+    "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
     "spearman_suppliers": QueryDef(q_spearman_suppliers, _SQL_SPEARMAN),
-    "spearman_dense_auto": QueryDef(q_spearman_dense_auto, _SQL_SPEARMAN_DENSE),
+    "spearman_dense_auto": QueryDef(
+        q_spearman_dense_auto, _SQL_SPEARMAN_DENSE
+    ),
     "dedup_minhash": QueryDef(q_dedup_minhash, _SQL_MINHASH),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _SQL_NGRAM),
     "dedup_ngram_capped": QueryDef(q_dedup_ngram_capped, _SQL_NGRAM_CAPPED),
@@ -6546,7 +6602,9 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "embedding_topk": QueryDef(q_embedding_topk, _SQL_EMBED_TOPK),
     "embedding_ivf": QueryDef(q_embedding_ivf, _SQL_EMBED_IVF),
     "dedup_embedding": QueryDef(q_dedup_embedding, _SQL_DEDUP_EMBED),
-    "dedup_embedding_ivf": QueryDef(q_dedup_embedding_ivf, _SQL_DEDUP_EMBED_IVF),
+    "dedup_embedding_ivf": QueryDef(
+        q_dedup_embedding_ivf, _SQL_DEDUP_EMBED_IVF
+    ),
     "multimodal_decode": QueryDef(q_multimodal_decode, _SQL_MULTIMODAL),
     "events_hourly": QueryDef(q_events_hourly, _SQL_EVENTS_HOURLY),
     "events_sessionize": QueryDef(q_events_sessionize, _SQL_SESSIONIZE),
@@ -6564,27 +6622,20 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "events_skewed_agg": QueryDef(q_events_skewed_agg, _SQL_SKEWED_AGG),
     "events_funnel": QueryDef(q_events_funnel, _SQL_FUNNEL),
     "events_pivot": QueryDef(q_events_pivot, _SQL_PIVOT),
-    "lineitem_ols": QueryDef(q_lineitem_ols, _SQL_OLS),
-    "events_attribution": QueryDef(q_events_attribution, _SQL_ATTRIBUTION),
-    "segment_target_encode": QueryDef(q_segment_target_encode, _SQL_TARGET_ENCODE),
-    "events_ztest": QueryDef(q_events_ztest, _SQL_ZTEST),
-    "events_chi2": QueryDef(q_events_chi2, _SQL_CHI2),
-    "orders_benford": QueryDef(q_orders_benford, _SQL_BENFORD),
-    "revenue_concentration": QueryDef(q_revenue_concentration, _SQL_CONCENTRATION),
-    "events_transitions": QueryDef(q_events_transitions, _SQL_TRANSITIONS),
-    "user_entropy": QueryDef(q_user_entropy, _SQL_ENTROPY),
-    "doc_novelty": QueryDef(q_doc_novelty, _SQL_NOVELTY),
-    "events_anomaly": QueryDef(q_events_anomaly, _SQL_ANOMALY),
     "weighted_median": QueryDef(q_weighted_median, _SQL_WEIGHTED_MEDIAN),
     "events_auc": QueryDef(q_events_auc, _SQL_AUC),
     "events_calibration": QueryDef(q_events_calibration, _SQL_CALIBRATION),
-    "events_anomaly_expanding": QueryDef(q_events_anomaly_expanding, _SQL_ANOMALY_EXPANDING),
+    "events_anomaly_expanding": QueryDef(
+        q_events_anomaly_expanding, _SQL_ANOMALY_EXPANDING
+    ),
     "classifier_score": QueryDef(q_classifier_score, _SQL_CLASSIFIER),
     "splits_leakage_safe": QueryDef(q_splits_leakage_safe, _SQL_SPLITS_SAFE),
     "dedup_keeper": QueryDef(q_dedup_keeper, _SQL_DEDUP_KEEPER),
     "corpus_shard": QueryDef(q_corpus_shard, _SQL_CORPUS_SHARD),
     "dedup_normalized": QueryDef(q_dedup_normalized, _SQL_DEDUP_NORMALIZED),
-    "events_sessions_native": QueryDef(q_events_sessions_native, _SQL_SESSIONS_NATIVE),
+    "events_sessions_native": QueryDef(
+        q_events_sessions_native, _SQL_SESSIONS_NATIVE
+    ),
     "kmeans_embeddings": QueryDef(q_kmeans_embeddings, _SQL_KMEANS),
     "vocab_topk": QueryDef(q_vocab_topk, _SQL_VOCAB),
     "events_scd2": QueryDef(q_events_scd2, _SQL_SCD2),
@@ -6605,44 +6656,11 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "embedding_pipeline": QueryDef(q_embedding_pipeline, _SQL_EMBED_PIPELINE),
     "sample_per_source": QueryDef(q_sample_per_source, _SQL_SAMPLE_FIXED),
     "tfidf_similar": QueryDef(q_tfidf_similar, _SQL_TFIDF),
-    "orders_snapshot_diff": QueryDef(q_orders_snapshot_diff, _SQL_SNAPSHOT_DIFF),
+    "orders_snapshot_diff": QueryDef(
+        q_orders_snapshot_diff, _SQL_SNAPSHOT_DIFF
+    ),
     "dedup_editdist": QueryDef(q_dedup_editdist, _SQL_EDITDIST),
     "semantic_decontam": QueryDef(q_semantic_decontam, _SQL_SEMANTIC_DECONTAM),
-    "events_gapfill": QueryDef(q_events_gapfill, _SQL_GAPFILL),
-    "sample_weighted": QueryDef(q_sample_weighted, _SQL_SAMPLE_WEIGHTED),
-    "profile_customer": QueryDef(q_profile_customer, _SQL_PROFILE),
-    "events_covisit": QueryDef(q_events_covisit, _SQL_COVISIT),
-    "acctbal_position": QueryDef(q_acctbal_position, _SQL_ACCTBAL_POSITION),
-    "item_pagerank": QueryDef(q_item_pagerank, _SQL_PAGERANK),
-    "revenue_mom": QueryDef(q_revenue_mom, _SQL_REVENUE_MOM),
-    "orders_cdc_apply": QueryDef(q_orders_cdc_apply, _SQL_CDC_APPLY),
-    "corpus_splits": QueryDef(q_corpus_splits, _SQL_SPLITS),
-    "embedding_standardize": QueryDef(q_embedding_standardize, _SQL_STANDARDIZE),
-    "dedup_embedding_incr": QueryDef(q_dedup_embedding_incr, _SQL_DEDUP_EMBED_INCR),
-    "mix_temperature": QueryDef(q_mix_temperature, _SQL_MIX_TEMPERATURE),
-    "quantile_normalize": QueryDef(q_quantile_normalize, _SQL_QUANTILE_NORM),
-    "welch_ab_test": QueryDef(q_welch_ab_test, _SQL_WELCH),
-    "mannwhitney_ab": QueryDef(q_mannwhitney_ab, _SQL_MANNWHITNEY),
-    "bootstrap_ci": QueryDef(q_bootstrap_ci, _SQL_BOOTSTRAP),
-    "events_ks_ab": QueryDef(q_events_ks_ab, _SQL_KS),
-    "events_psi": QueryDef(q_events_psi, _SQL_PSI),
-    "events_cuped": QueryDef(q_events_cuped, _SQL_CUPED),
-    "user_survival": QueryDef(q_user_survival, _SQL_SURVIVAL),
-    "user_logrank": QueryDef(q_user_logrank, _SQL_LOGRANK),
-    "doc_length_histogram": QueryDef(q_doc_length_histogram, _SQL_HISTOGRAM),
-    "integrity_report": QueryDef(q_integrity_report, _SQL_INTEGRITY),
-    "events_full_outer": QueryDef(q_events_full_outer, _SQL_FULL_OUTER),
-    "events_latest": QueryDef(q_events_latest, _SQL_LATEST),
-    "decontaminate": QueryDef(q_decontaminate, _SQL_DECONTAMINATE),
-    "doc_repetition": QueryDef(q_doc_repetition, _SQL_REPETITION),
-    "pii_redact": QueryDef(q_pii_redact, _SQL_PII),
-    "bm25_topk": QueryDef(q_bm25_topk, _SQL_BM25),
-    "mix_budget": QueryDef(q_mix_budget, _SQL_MIX),
-    # round-6 addition (appended AFTER the snapshot window; never-checked,
-    # so the standing rotation rule leads round-7 with it)
-    "dup_spans_incr_keepfirst": QueryDef(
-        q_dup_spans_incr_keepfirst, _SQL_DUP_SPANS_INCR_KEEPFIRST
-    ),
 }
 
 

@@ -14,7 +14,14 @@ def spark():
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.ui.enabled": "false", "spark.sql.warehouse.dir": "/tmp/spark-wh-tests"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": "/tmp/spark-wh-tests",
+            # the suite shares one JVM across ~260 tests and hundreds of
+            # broadcast joins; at the 1g default the driver flakily fails
+            # late tests with "Not enough memory to build and broadcast"
+            "spark.driver.memory": "8g",
+        },
     )
     yield spark
 
