@@ -52,6 +52,11 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    # every sample per query, in run order (the decorrelation-pass sample
+    # included) — the per-query spread record that makes round-over-round
+    # regressions attributable: a query whose best-of moved 2x is a real
+    # regression only if its samples agree; wide spread means load noise
+    timings_all: dict[str, list[float]] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
     for name, qd in QUERY_REGISTRY.items():
@@ -79,6 +84,7 @@ def main() -> None:
             if len(times) >= repeats and max(times) <= 2.0 * min(times):
                 break
         timings[name] = round(min(times), 3)
+        timings_all[name] = [round(t, 3) for t in times]
 
     # Decorrelation pass: consecutive repeats share any multi-minute load
     # spike on this shared container (measured: spearman_suppliers best-of-N
@@ -94,7 +100,9 @@ def main() -> None:
         QUERY_REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        timings[name] = round(min(timings[name], time.monotonic() - t0), 3)
+        sample = time.monotonic() - t0
+        timings[name] = round(min(timings[name], sample), 3)
+        timings_all[name].append(round(sample, 3))
         spark.catalog.clearCache()
 
     # ETL throughput on the reference's own GSE9006-shaped envelope — in the
@@ -130,10 +138,25 @@ def main() -> None:
     }
     # the stdout line gets tail-truncated in the driver's BENCH artifact
     # (only ~69 of the timings survived in r3/r4), so the COMPLETE table is
-    # also written to a committed results file — the auditable record
+    # also written to a committed results file — the auditable record.
+    # The file additionally carries the per-query sample lists and a
+    # suite-level noise-band summary (spread = (max-min)/min per query);
+    # the stdout line stays in the driver's fixed schema.
+    spreads = sorted(
+        (max(ts) - min(ts)) / min(ts)
+        for ts in timings_all.values()
+        if min(ts) > 0
+    )
+    file_payload = dict(payload)
+    file_payload["queries_all"] = timings_all
+    file_payload["noise_band"] = {
+        "median_spread": round(spreads[len(spreads) // 2], 3),
+        "p90_spread": round(spreads[int(len(spreads) * 0.9)], 3),
+        "max_spread": round(spreads[-1], 3),
+    }
     out_path = pathlib.Path(__file__).resolve().parent / "bench_results" / "bench_full.json"
     out_path.parent.mkdir(exist_ok=True)
-    out_path.write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
+    out_path.write_text(json.dumps(file_payload, indent=1, sort_keys=True) + "\n")
     print(json.dumps(payload))
 
 
