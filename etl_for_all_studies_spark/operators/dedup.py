@@ -319,15 +319,41 @@ def _band_explode(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: candidate pairs = docs agreeing on at least one band.
 
     Pairs are produced by an equi-join on (band index, band slice) — the
     shuffle key is the band content, so complexity tracks the number of
     colliding docs, never n². Output: (doc_a, doc_b, n_shared_bands).
+
+    ``max_bucket_size`` is the hot-bucket valve: a band bucket of m docs
+    emits m(m-1)/2 pairs, so one boilerplate-heavy bucket (near-empty docs,
+    template pages — any cohort whose minimum shingle hashes coincide) can
+    dominate the whole join quadratically. The 10x composed-curation probe
+    measured exactly this shape: 164x candidates for 10x docs when band
+    buckets grow with the corpus (SCALE.md). With a cap, buckets larger
+    than ``max_bucket_size`` are dropped BEFORE the self-join — the bucket
+    count rides the same (band, slice) shuffle the join needs (one window,
+    exchange reused), so the valve costs no extra shuffle. Recall trade,
+    same contract as the shingle df-cap (``ngram_jaccard_pairs``): a pair
+    is lost only if EVERY band it shares is over-cap; pairs sharing any
+    calm band survive. Default ``None`` = exact current behavior.
     """
     banded = _band_explode(signatures, bands, rows_per_band)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bucket = Window.partitionBy("band", "slice")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bucket))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -352,6 +378,7 @@ def minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     verify_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
@@ -361,6 +388,8 @@ def minhash_dedup(
     intersects them per-row (``array_intersect``) — cost is bounded by the
     candidate count the banding emits, never by all-pairs or hot-shingle df²
     (the failure mode of the exact co-occurrence join at scale).
+    ``max_bucket_size`` bounds the banding itself against hot buckets — see
+    ``minhash_lsh_candidates`` for the valve's recall contract.
     """
     rows_per_band = num_hashes // bands
     # persist the sketch tables: they are tiny relative to the corpus, and
@@ -372,7 +401,12 @@ def minhash_dedup(
         minhash_signatures(docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope),
         scope,
     )
-    candidates = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
+    candidates = minhash_lsh_candidates(
+        sigs,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+    )
     sets = persist(
         docs.select("doc_id", char_shingles(F.col(text_col), k).alias("shingles")),
         scope,

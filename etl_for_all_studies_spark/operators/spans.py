@@ -20,8 +20,8 @@ shape — every stage linear and keyed:
    physical strategies produce bit-identical hashes (``method=``):
 
    - ``"fold"`` — an O(w) fold per position over the in-row token-hash
-     array. No extra shuffle; right for small windows (the registry
-     queries use w=8 → 8 multiply-mods per position).
+     array. No extra shuffle; the measured winner at every practical
+     width (see ``"auto"`` below).
    - ``"prefix"`` — the Rabin–Karp rolling form, parallelized. The
      sequential O(1) recurrence ``H(p+1) = (H(p) − t_p·B^{w−1})·B + t_{p+w}``
      doesn't distribute, but its algebraic unrolling does: with
@@ -34,17 +34,17 @@ shape — every stage linear and keyed:
      posexplode → per-doc sort → sliding sum — the window's required
      hash distribution is satisfied by the pre-explode repartition, so
      no token-level shuffle is added.
-   - ``"auto"`` (default) routes PER DOCUMENT on token count — fold for
-     docs under ~256 tokens, prefix above — and unions the two branches
-     (legal because the strategies are bit-identical). Doc length, not
-     window width, is the real decision variable: HOF lambdas are
-     interpreted (not codegen'd), so the fold's per-position work
-     degrades on long docs — measured 4–15× slower than the roll on
-     ~2.7k-token docs at every w from 8 to 50, while on sub-200-token
-     docs the fold's no-shuffle shape wins by ~2–4×
-     (``tools/bench_scaleup_spans.py crossover[-long]`` reproduces both
-     regimes; the threshold sits in the measured 200–400-token
-     indifference band).
+   - ``"auto"`` (default) = fold, chosen statically. Round 6 routed per
+     document on length, from probe tables where the shuffle-free fold
+     inherited a ONE-partition parquet input while the prefix branch's
+     repartition ran 32-way — an artifact, not a crossover. At equal
+     parallelism (13.5M windows, 32 tasks, best-of-3) fold wins at every
+     tested width — 4–8 s vs 26–40 s at w ∈ {8, 25, 50}, still ahead at
+     w=100 — because the roll pays four 31-step ``pow_mod`` chains per
+     row, more than fold's whole O(w) loop until w reaches several
+     hundred (SCALE.md round 7; ``tools/bench_scaleup_spans.py
+     crossover`` re-measures it fairly). Static choice also means auto
+     builds its plan lazily — no call-time Spark jobs.
 
 3. ONE corpus-wide groupBy on the combined window hash → occurrence
    counts; windows with count > 1 are duplicated (within-doc repeats
@@ -99,13 +99,6 @@ _PAIRS: tuple[tuple[int, int], ...] = ((BASE, MOD), (BASE2, MOD2))
 # modular inverses of the bases (Fermat: b^(m-2) mod m) — the "divide by
 # B^j" weighting the prefix/sliding-sum form needs
 _INV_BASE: tuple[int, ...] = tuple(pow(b, m - 2, m) for b, m in _PAIRS)
-
-# auto routing threshold (tokens/doc): below it the in-row fold's
-# no-shuffle shape wins; above it the interpreted-HOF cost of the fold
-# loses to the codegen'd rolling form (measured indifference band
-# 200-400 tokens across w=8..50 — see module docstring)
-_AUTO_LONG_TOKENS = 256
-
 
 def _combine(h1: Column, h2: Column) -> Column:
     """Injective combine of the two component hashes: h1·MOD2 + h2 < 2^60."""
@@ -187,8 +180,19 @@ def _window_hashes_prefix(hashed: DataFrame, *, w: int, id_col: str) -> DataFram
     the raw sliding sum (< w·2^30), which is reduced mod M before the
     power multiply. Positions are capped at 2^31 tokens/doc by the
     31-bit ``pow_mod`` unroll."""
+    # PIN the partition count (REPARTITION_BY_NUM): AQE's bytes-based
+    # coalescing sees only the compact packed arrays crossing this exchange
+    # (~20 KB per 2.7k-token doc) and folds the whole corpus into ONE
+    # post-shuffle partition — but the stage downstream explodes each array
+    # into n_tokens rows and runs ~4 pow_mod chains per row, so it is
+    # compute-dense per byte. Measured: the un-pinned form serialized a
+    # 1.3M-window corpus onto a single task (~21 s where 32 tasks take
+    # <1 s — tools/bench_scaleup_spans.py crossover-mixed, round 7).
+    n_part = int(
+        hashed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     exploded = (
-        hashed.repartition(F.col(id_col))
+        hashed.repartition(n_part, F.col(id_col))
         .select(
             id_col,
             F.posexplode(F.col("__th")).alias("__i", "__t"),
@@ -244,25 +248,28 @@ def window_hashes(
     detectors share; its distinct ``h`` column is also the warehouse state
     the incremental form accrues.
 
-    ``method``: ``"fold"`` (O(w)/position, in-row), ``"prefix"``
-    (Rabin–Karp rolling sliding-sum, O(1)/position), or ``"auto"``
-    (per-doc routing on token count: fold under ~256 tokens, prefix
-    above — the measured crossover band; see the module docstring).
-    All strategies produce BIT-IDENTICAL hashes — the canonical
-    ``Σ t_j·B^(e−j) mod M`` polynomial per pair — so the choice is purely
-    physical and the DuckDB oracle replays any of them.
+    ``method``: ``"fold"`` (O(w)/position, in-row, no shuffle),
+    ``"prefix"`` (Rabin–Karp rolling sliding-sum, O(1)/position, one
+    doc-keyed exchange), or ``"auto"`` (= fold). All strategies produce
+    BIT-IDENTICAL hashes — the canonical ``Σ t_j·B^(e−j) mod M``
+    polynomial per pair — so the choice is purely physical and the DuckDB
+    oracle replays any of them.
 
-    **Laziness caveat**: ``method="auto"`` is NOT a lazy plan builder — it
-    runs two eager Spark jobs at CALL time (the persist of the token-hash
-    arrays plus one scalar count aggregate over them) to decide the
-    routing, and the decision is frozen then: rows arriving later through
-    re-evaluated lineage do not re-route. This is the deliberate trade —
-    skipping an empty branch saves the prefix path's fixed shuffle/sort
-    overhead (~seconds) on uniformly-short or uniformly-long batches,
-    which are the common case, and every caller materializes the arrays
-    immediately afterwards anyway. Callers composing with ``scope=None``
-    who need the pure lazy-plan contract from ``caching.py`` should pass
-    an explicit ``method=\"fold\"`` or ``\"prefix\"``.
+    Why ``auto`` is simply fold (round-7 correction): the round-6
+    length-based routing rested on a measurement artifact — the crossover
+    probe's corpus came from ONE parquet split, so the shuffle-free fold
+    ran single-task while the prefix branch's repartition spread it over
+    32, and "prefix wins on long docs" was parallelism, not algorithm.
+    Re-measured at equal partitioning (13.5M windows, 32 tasks, best-of-3
+    — ``tools/bench_scaleup_spans.py crossover``, SCALE.md round 7), fold
+    wins at EVERY width tested (4–8 s vs 26–40 s at w ∈ {8, 25, 50};
+    still ahead at w=100): the prefix form's per-row renormalization
+    (four 31-step ``pow_mod`` chains) costs more than fold's whole O(w)
+    loop until w reaches several hundred. ``auto`` therefore builds the
+    fold plan — statically, with NO eager Spark jobs at call time, so the
+    lazy-plan contract from ``caching.py`` holds for every method.
+    ``"prefix"`` remains for the extreme-w regime and as the independent
+    implementation the bit-identity tests cross-check.
     """
     if method not in ("auto", "fold", "prefix"):
         raise ValueError(f"unknown window_hashes method: {method!r}")
@@ -274,35 +281,12 @@ def window_hashes(
         _token_hash_arrays(docs, w=w, text_col=text_col, id_col=id_col),
         scope,
     )
-    if method == "fold":
-        return _window_hashes_fold(hashed, w=w, id_col=id_col)
     if method == "prefix":
         return _window_hashes_prefix(hashed, w=w, id_col=id_col)
-    # auto: bit-identical strategies make per-doc routing a plain union —
-    # short docs keep the fold's no-shuffle shape, long docs take the
-    # rolling form (whose repartition exchange then carries ONLY the
-    # long tail, not the whole corpus). One scalar aggregate over the
-    # persisted arrays (which the first consumer would materialize anyway)
-    # skips a branch that would carry ZERO documents: the prefix branch's
-    # shuffle + per-doc sort machinery costs ~seconds of fixed overhead
-    # even empty, and a uniformly-short (or uniformly-long) corpus is the
-    # common case per batch
-    n_tokens = F.size(F.col("__th"))
-    is_long = (n_tokens >= _AUTO_LONG_TOKENS).cast("int")
-    n_long, n_all = hashed.select(
-        F.sum(is_long), F.count(F.lit(1))
-    ).first()
-    if not n_long:
-        return _window_hashes_fold(hashed, w=w, id_col=id_col)
-    if n_long == n_all:
-        return _window_hashes_prefix(hashed, w=w, id_col=id_col)
-    return _window_hashes_fold(
-        hashed.where(n_tokens < _AUTO_LONG_TOKENS), w=w, id_col=id_col
-    ).unionByName(
-        _window_hashes_prefix(
-            hashed.where(n_tokens >= _AUTO_LONG_TOKENS), w=w, id_col=id_col
-        )
-    )
+    # "fold" and "auto": see the docstring — fold measured faster than the
+    # rolling form at every practical w once both run at equal parallelism,
+    # so auto is a static plan choice (lazy, no call-time Spark jobs)
+    return _window_hashes_fold(hashed, w=w, id_col=id_col)
 
 
 def _merge_hit_windows(hits: DataFrame, *, w: int, id_col: str) -> DataFrame:

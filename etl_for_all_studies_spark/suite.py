@@ -784,11 +784,26 @@ _MINHASH_SIG_ITEMS = ",\n    ".join(
     for i in range(16)
 )
 
-def _minhash_ctes(src: str) -> str:
+def _minhash_ctes(src: str, max_bucket_size: int | None = None) -> str:
     """MinHash signature → banded candidates → shingle-verified pairs as a
     reusable CTE chain over source relation ``src`` (ends at ``verified``);
     the full-pipeline curation oracle re-runs it over the quality-filtered
-    corpus."""
+    corpus. ``max_bucket_size`` replays the hot-bucket valve
+    (``minhash_lsh_candidates``): band buckets larger than the cap emit no
+    candidate pairs."""
+    cand_src = "bands"
+    cap_ctes = ""
+    if max_bucket_size is not None:
+        cand_src = "bands_capped"
+        cap_ctes = f"""
+bsz AS (
+  SELECT band, slc, COUNT(*) AS n FROM bands GROUP BY 1, 2
+),
+bands_capped AS (
+  SELECT b.doc_id, b.band, b.slc
+  FROM bands b JOIN bsz z ON b.band = z.band AND b.slc = z.slc
+  WHERE z.n <= {max_bucket_size}
+),"""
     return f"""sh AS (
   SELECT doc_id, list_distinct(
     list_transform(range(1, GREATEST(length(text) - 4, 0) + 1), i -> text[i : i + 4])
@@ -811,10 +826,10 @@ sig AS (
 bands AS (
   SELECT doc_id, 0 AS band, sig[1:8] AS slc FROM sig
   UNION ALL SELECT doc_id, 1, sig[9:16] FROM sig
-),
+),{cap_ctes}
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-  FROM bands a JOIN bands b
+  FROM {cand_src} a JOIN {cand_src} b
     ON a.band = b.band AND a.slc = b.slc AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
@@ -830,6 +845,32 @@ verified AS (
 
 _SQL_MINHASH = f"""
 WITH {_minhash_ctes("documents")}
+SELECT doc_a, doc_b, n_shared_bands, common,
+       (FLOOR((common / (size_a + size_b - common)) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS jaccard
+FROM verified
+WHERE common / (size_a + size_b - common) >= 0.5
+"""
+
+
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The hot-bucket valve: a band bucket of m docs is m(m-1)/2 pairs, so
+    # one boilerplate bucket scales quadratically with the corpus (the 10x
+    # composed-curation probe measured 164x candidates for 10x docs —
+    # SCALE.md). Cap 2 binds on this fixture (it has size-3 buckets); pairs
+    # survive iff they share at least one under-cap band.
+    out = minhash_dedup(
+        _t(spark, sf_dir, "documents"), k=5, num_hashes=16, bands=2,
+        verify_threshold=0.5, max_bucket_size=2,
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_shared_bands",
+        F.col("common").cast("long").alias("common"),
+        ((F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("jaccard"),
+    )
+
+
+_SQL_MINHASH_CAPPED = f"""
+WITH {_minhash_ctes("documents", max_bucket_size=2)}
 SELECT doc_a, doc_b, n_shared_bands, common,
        (FLOOR((common / (size_a + size_b - common)) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS jaccard
 FROM verified
@@ -6661,6 +6702,9 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     ),
     "dedup_editdist": QueryDef(q_dedup_editdist, _SQL_EDITDIST),
     "semantic_decontam": QueryDef(q_semantic_decontam, _SQL_SEMANTIC_DECONTAM),
+    "dedup_minhash_capped": QueryDef(
+        q_dedup_minhash_capped, _SQL_MINHASH_CAPPED
+    ),
 }
 
 

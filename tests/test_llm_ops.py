@@ -98,6 +98,39 @@ def test_minhash_dedup_agrees_with_exact(docs):
     assert sigs[1] != sigs[4]
 
 
+def test_minhash_bucket_cap_drops_hot_bucket_pairs(spark):
+    # The hot-bucket valve (minhash_lsh_candidates max_bucket_size): three
+    # identical docs share EVERY band bucket (size 3 > cap 2), so all three
+    # pairs vanish under the cap; an unrelated identical PAIR sits in calm
+    # size-2 buckets and survives. Uncapped output is the superset.
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "entirely different content about distributed shuffle planning"
+    df = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_a), (4, text_b), (5, text_b)],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup(df, verify_threshold=0.5).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= uncapped
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup(
+            df, verify_threshold=0.5, max_bucket_size=2
+        ).collect()
+    }
+    assert capped == {(4, 5)}
+    # cap large enough to clear every bucket == exact uncapped behavior
+    roomy = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup(
+            df, verify_threshold=0.5, max_bucket_size=3
+        ).collect()
+    }
+    assert roomy == uncapped
+
+
 def test_simhash_identical_docs_zero_hamming(docs):
     fps = simhash(docs)
     vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
@@ -1297,32 +1330,38 @@ def test_trim_spans_null_text_passthrough(spark):
     assert out[2] == ("x0", 10)
 
 
-def test_window_hashes_auto_routes_by_doc_length(spark):
-    """The auto strategy splits per doc at the token-count threshold and
-    unions fold (short docs) with prefix (long docs) — output must equal
-    both pure strategies on a corpus straddling the threshold, including
-    docs exactly AT the boundary."""
-    from etl_for_all_studies_spark.operators.spans import (
-        _AUTO_LONG_TOKENS,
-        window_hashes,
-    )
+def test_window_hashes_methods_bit_identical_and_auto_lazy(spark):
+    """All three methods produce identical (doc, pos, h) rows on a corpus
+    of mixed doc lengths, and ``auto`` builds its plan LAZILY — zero Spark
+    jobs at call time (the round-6 length-routing ran an eager count; the
+    round-7 correction makes auto a static fold, restoring the caching.py
+    lazy-plan contract for scope=None callers)."""
+    from etl_for_all_studies_spark.operators.spans import window_hashes
 
     shared = " ".join(f"s{i}" for i in range(12))
     rows = [
         (1, " ".join(f"a{i}" for i in range(30)) + " " + shared),
-        (2, " ".join(f"b{i}" for i in range(_AUTO_LONG_TOKENS - 12)) + " " + shared),  # exactly at threshold
-        (3, " ".join(f"c{i % 9}" for i in range(_AUTO_LONG_TOKENS * 3)) + " " + shared),
+        (2, " ".join(f"b{i}" for i in range(244)) + " " + shared),
+        (3, " ".join(f"c{i % 9}" for i in range(768)) + " " + shared),
         (4, " ".join(f"d{i}" for i in range(8))),  # exactly w tokens
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {}
-    for method in ("auto", "fold", "prefix"):
+    sc = spark.sparkContext
+    sc.setJobGroup("auto-lazy-check", "window_hashes(auto) plan build")
+    try:
+        auto_df = window_hashes(docs, w=8, method="auto")
+        assert sc.statusTracker().getJobIdsForGroup("auto-lazy-check") == []
+    finally:
+        sc.setJobGroup(None, None)
+    out = {"auto": sorted(
+        (r["doc_id"], r["pos"], r["h"]) for r in auto_df.collect()
+    )}
+    for method in ("fold", "prefix"):
         out[method] = sorted(
             (r["doc_id"], r["pos"], r["h"])
             for r in window_hashes(docs, w=8, method=method).collect()
         )
     assert out["auto"] == out["fold"] == out["prefix"]
-    # non-vacuous: every doc produced windows, so both branches ran
     assert {d for d, *_ in out["auto"]} == {1, 2, 3, 4}
 
 

@@ -13,6 +13,16 @@ above. Near-linear growth is the pass criterion.
 Usage: python tools/bench_scaleup_spans.py [multiplier]
        python tools/bench_scaleup_spans.py crossover [multiplier]
        python tools/bench_scaleup_spans.py incremental [multiplier]
+       python tools/bench_scaleup_spans.py series [k1,k2,...]
+       python tools/bench_scaleup_spans.py crossover-mixed [multiplier]
+
+``series`` mode (default ``1,10,100``) is the 100x probe: at each
+multiplier the ciphered corpus is WRITTEN TO PARQUET and read back (the
+real scan path), ``duplicated_spans`` runs best-of-2, and the Spark-UI
+REST API records shuffle read/write bytes per run — the window-hash
+exchange is the operator's one scale axis, and 100x is where it first
+dominates fixed overhead. Pass = near-linear wall AND shuffle-byte
+growth across the series.
 
 ``crossover`` mode instead measures the fold-vs-prefix window-hash
 strategies across window widths on the replicated corpus — the
@@ -74,7 +84,12 @@ def crossover(mult: int, long_docs: bool = False) -> None:
         docs = copies[0]
         for c in copies[1:]:
             docs = docs.unionByName(c)
-        docs = docs.repartition(32).persist()
+    # ALWAYS equalize partitioning (round-7 lesson): sf0.1 documents is ONE
+    # parquet split, so an unrepartitioned mult=1 corpus runs the
+    # shuffle-free fold on a single task while the prefix branch's internal
+    # repartition gets 32 — the round-6 tables measured that parallelism
+    # gap, not the algorithms, and routed auto wrong (SCALE.md round 7)
+    docs = docs.repartition(32).persist()
     docs.count()
     print(f"corpus: {mult}x sf0.1 documents (long_docs={long_docs})")
     for w in (8, 16, 24, 32, 50, 100, 200) if long_docs else (8, 16, 24, 32, 50):
@@ -95,6 +110,85 @@ def crossover(mult: int, long_docs: bool = False) -> None:
         print(
             f"w={w:3d}  fold={row['fold'][0]:6.2f}s  "
             f"prefix={row['prefix'][0]:6.2f}s  "
+            f"({row['fold'][1]} windows, checksums equal)"
+        )
+
+
+def crossover_mixed(mult: int) -> None:
+    """Fold vs prefix vs AUTO on a LENGTH-SKEWED corpus (the real shape):
+    90% natural ~45-token docs + 10% docs repeated 50x to ~2.7k tokens
+    (~53% of all tokens in the long tail).
+
+    Round-7 history: this probe is what EXPOSED the round-6 routing
+    artifact — per-doc-length auto ran 16x slower than pure fold here
+    (23.4 s vs 1.4 s at w=8) because the prefix branch it routed the long
+    tail into is slower than fold at equal parallelism at every practical
+    w (and was additionally being serialized onto one task by AQE's
+    bytes-based coalescing until the REPARTITION_BY_NUM pin). Pass now =
+    auto == fold wall (same plan) and prefix checksum-identical.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.spans import window_hashes
+    from etl_for_all_studies_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-spans-crossover-mixed",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        },
+    )
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    if mult > 1:
+        copies = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                "text",
+            )
+            for i in range(mult)
+        ]
+        base = copies[0]
+        for c in copies[1:]:
+            base = base.unionByName(c)
+    mixed = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.array_join(F.array_repeat(F.col("text"), 50), " "),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).repartition(32).persist()
+    n = mixed.count()
+    print(f"mixed corpus: {n} docs ({mult}x sf0.1; every 10th repeated 50x)")
+    for w in (8, 50):
+        row = {}
+        for method in ("fold", "prefix", "auto"):
+            best = None
+            for _ in range(2):
+                t0 = _time.monotonic()
+                agg = (
+                    window_hashes(mixed, w=w, method=method)
+                    .agg(F.count(F.lit(1)), F.bit_xor("h"))
+                    .collect()
+                )
+                el = _time.monotonic() - t0
+                best = el if best is None else min(best, el)
+                spark.catalog.clearCache()
+                mixed.persist().count()
+            row[method] = (round(best, 2), agg[0][0], agg[0][1])
+        assert row["fold"][1:] == row["prefix"][1:] == row["auto"][1:], (
+            f"hash mismatch at w={w}: {row}"
+        )
+        print(
+            f"w={w:3d}  fold={row['fold'][0]:6.2f}s  "
+            f"prefix={row['prefix'][0]:6.2f}s  auto={row['auto'][0]:6.2f}s  "
             f"({row['fold'][1]} windows, checksums equal)"
         )
 
@@ -165,7 +259,99 @@ def incremental(mult: int) -> None:
     )
 
 
+def series(mults: list[int]) -> None:
+    """Wall + shuffle bytes for duplicated_spans across a multiplier series."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.spans import duplicated_spans
+    from etl_for_all_studies_spark.session import get_spark
+    from tools.stage_metrics import diff_stages, fmt_bytes, stage_snapshot
+
+    ui_port = 4047
+    spark = get_spark(
+        app_name="bench-spans-series",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "true",  # the probe reads its REST API
+            "spark.ui.port": str(ui_port),
+            "spark.ui.retainedStages": "5000",
+            "spark.driver.memory": "48g",
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        },
+    )
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    # Per-copy AFFINE alphabet maps (x -> a*x+b mod 26, a coprime to 26):
+    # 12*26 = 312 distinct bijections, so up to 312 copies carry pairwise-
+    # DISJOINT text. A plain rotation repeats every 26 copies — copies 0/26/
+    # 52/76 would be byte-identical and the cross-copy duplicate mass would
+    # grow superlinearly at 100x, corrupting the constant-density premise.
+    coprime = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+    def _mapped(i: int) -> str:
+        a, b = coprime[(i // 26) % 12], i % 26
+        return "".join(alpha[(a * j + b) % 26] for j in range(26))
+
+    tmp = tempfile.mkdtemp(prefix="spans_series_")
+    results: dict[int, dict] = {}
+    try:
+        for k in mults:
+            out = f"{tmp}/docs_{k}x.parquet"
+            copies = [
+                base.select(
+                    (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                    F.translate(F.col("text"), alpha, _mapped(i)).alias("text"),
+                )
+                for i in range(k)
+            ]
+            docs_u = copies[0]
+            for c in copies[1:]:
+                docs_u = docs_u.unionByName(c)
+            docs_u.repartition(max(32, k)).write.mode("overwrite").parquet(out)
+            docs = spark.read.parquet(out)
+            best = None
+            for _ in range(2):
+                before = stage_snapshot(ui_port)
+                t0 = time.monotonic()
+                n = duplicated_spans(docs, w=8).count()
+                el = time.monotonic() - t0
+                m = diff_stages(before, stage_snapshot(ui_port))
+                if best is None or el < best["wall"]:
+                    best = {"wall": el, "spans": n, **m}
+                spark.catalog.clearCache()
+            results[k] = best
+            print(
+                f"x{k:<4d} wall={best['wall']:7.2f}s  spans={best['spans']:>8d}  "
+                f"shuffle write={fmt_bytes(best['shuffle_write'])} "
+                f"read={fmt_bytes(best['shuffle_read'])}  "
+                f"input={fmt_bytes(best['input_bytes'])}"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    k0 = mults[0]
+    for k in mults[1:]:
+        b0, bk = results[k0], results[k]
+        print(
+            f"x{k0}->x{k}: wall {bk['wall']/b0['wall']:.1f}x, shuffle write "
+            f"{bk['shuffle_write']/max(b0['shuffle_write'],1):.1f}x, "
+            f"data {k/k0:.0f}x"
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "series":
+        mults = [
+            int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "1,10,100").split(",")
+        ]
+        series(mults)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "crossover-mixed":
+        crossover_mixed(int(sys.argv[2]) if len(sys.argv) > 2 else 1)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "incremental":
         incremental(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
         return
