@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
 from ..functions.hashing import BASE, MOD, char_shingles, poly_hash, word_tokens
+from ..partitioning import compute_spread
 
 # fixed universal-hash family for MinHash (a, b pairs; deterministic)
 MINHASH_SEEDS: list[tuple[int, int]] = [
@@ -84,7 +85,7 @@ def incremental_new_documents(
 
 def shingle_sets(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """(doc_id, shingle) exploded distinct k-char shingles + per-doc set size."""
-    with_sh = docs.select(
+    with_sh = compute_spread(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode(char_shingles(F.col(text_col), k)).alias("shingle")
     )
     return with_sh
@@ -253,15 +254,25 @@ def minhash_signatures(
     # NULL, and Spark's structural array equality would band-match every such
     # doc pairwise (0/0 Jaccard); they can only be exact dups, never fuzzy.
     txt = F.col(text_col)
-    cps = F.transform(F.split(txt, ""), lambda c: F.ascii(c).cast("long"))
     # the codepoint array MUST be materialized before the per-position fold
     # references it: HOF lambdas get no common-subexpression elimination, so
     # an inline ``cps`` would be re-evaluated (a full O(len) pass) for every
     # single fold step — O(len²·k) per document. Behind the barrier it is a
     # plain column reference, one array lookup per step.
     cps_df = persist(
-        docs.select("doc_id", cps.alias("__cps")).where(
-            F.length(txt) >= F.lit(k)
+        # spread the raw rows before the O(len·k) per-position fold — a
+        # single-split scan would serialize the sketch pass onto one task
+        # (partitioning.py; guarded no-op on already-wide scans)
+        compute_spread(
+            docs.select("doc_id", txt.alias("__txt")).where(
+                F.length(txt) >= F.lit(k)
+            )
+        ).select(
+            "doc_id",
+            F.transform(
+                F.split(F.col("__txt"), ""),
+                lambda c: F.ascii(c).cast("long"),
+            ).alias("__cps"),
         ),
         scope,
     )
@@ -408,7 +419,9 @@ def minhash_dedup(
         max_bucket_size=max_bucket_size,
     )
     sets = persist(
-        docs.select("doc_id", char_shingles(F.col(text_col), k).alias("shingles")),
+        compute_spread(docs.select("doc_id", text_col)).select(
+            "doc_id", char_shingles(F.col(text_col), k).alias("shingles")
+        ),
         scope,
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -502,9 +515,11 @@ def incremental_minhash_dedup(
         )
     )
     sets = persist(
-        new_docs.select("doc_id", F.col(text_col).alias("__t"))
-        .unionByName(seen_docs.select("doc_id", F.col(text_col).alias("__t")))
-        .select("doc_id", char_shingles(F.col("__t"), k).alias("shingles")),
+        compute_spread(
+            new_docs.select("doc_id", F.col(text_col).alias("__t")).unionByName(
+                seen_docs.select("doc_id", F.col(text_col).alias("__t"))
+            )
+        ).select("doc_id", char_shingles(F.col("__t"), k).alias("shingles")),
         scope,
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

@@ -82,6 +82,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
+from ..partitioning import compute_spread
 from ..functions.hashing import (
     BASE,
     BASE2,
@@ -116,7 +117,10 @@ def _token_hash_arrays(
     build and 2× the persisted footprint), lowercase whitespace
     tokenization."""
     toks = word_tokens(F.lower(F.col(text_col)))
-    return docs.select(
+    # spread the raw (id, text) rows BEFORE the per-char hash pass: a small
+    # single-split scan would otherwise run the whole O(chars) fold on one
+    # task (partitioning.py — guarded no-op when the scan is already wide)
+    return compute_spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.transform(toks, lambda t: poly_hash_packed(t)).alias("__th"),
     ).where(F.size(F.col("__th")) >= F.lit(w))
