@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import word_tokens
+from ..partitioning import compute_spread
 
 
 def word_ngrams(text: Column, n: int) -> Column:
@@ -66,7 +67,10 @@ def decontaminate(
     ``n_overlap_ngrams`` counts the train doc's *distinct* n-grams that occur
     anywhere in the eval set; ``contaminated`` is 1 iff that count is > 0.
     """
-    train_grams = train.select(
+    # spread before the per-doc n-gram build: a single-split train scan
+    # would run the whole HOF pass + broadcast probe on one task
+    # (partitioning.py; no-op on already-wide scans)
+    train_grams = compute_spread(train.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("ngram")
     )
     eval_grams = (

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import compute_spread
+
 
 def editdist_candidates(
     docs: DataFrame,
@@ -68,11 +70,15 @@ def editdist_candidates(
     """
     d = max_dist
     m = d + 1
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        F.length(text_col).alias("_len"),
-    ).where(F.col("_text").isNotNull())
+    # spread before the segment/substring fan-out: a single-split scan would
+    # serialize the whole index+probe emission onto one task (partitioning.py)
+    base = compute_spread(
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            F.length(text_col).alias("_len"),
+        ).where(F.col("_text").isNotNull())
+    )
 
     # -- segment path (len >= m) ------------------------------------------
     ks = F.explode(F.sequence(F.lit(0), F.lit(d))).alias("k")

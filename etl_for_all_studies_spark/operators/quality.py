@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
 from ..functions.hashing import word_tokens
+from ..partitioning import compute_spread
 
 #: Function words used for the stopword-presence rule. Deliberately tiny and
 #: deterministic (a production pipeline would plug a per-language list here —
@@ -131,7 +132,9 @@ def repetition_metrics(
     and report fractions of 0 (kept via left join).
     """
     toks = word_tokens(F.lower(F.col(text_col)))
-    base = docs.select(
+    # spread before the per-doc n-gram materialization: a single-split scan
+    # would serialize the HOF pass onto one task (partitioning.py)
+    base = compute_spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),

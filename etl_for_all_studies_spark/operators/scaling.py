@@ -22,12 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import compute_spread
+
 
 def dimension_stats(
     vectors: DataFrame, *, vec_col: str = "embedding"
 ) -> list[tuple[float, float]]:
     """[(mean, stddev_pop)] per dimension — dim-bounded driver result."""
-    exploded = vectors.select(
+    # spread before the per-element explode: a single-split scan would run
+    # the whole d×n explode+aggregate map side on one task (partitioning.py)
+    exploded = compute_spread(vectors.select(vec_col)).select(
         F.posexplode(F.col(vec_col)).alias("dim", "v")
     ).select("dim", F.col("v").cast("double").alias("v"))
     rows = (
@@ -56,6 +60,7 @@ def standardize_vectors(
         stats = dimension_stats(vectors, vec_col=vec_col)
     mu = F.array(*[F.lit(m) for m, _ in stats])
     sigma = F.array(*[F.lit(s) for _, s in stats])
+    vectors = compute_spread(vectors.select(id_col, vec_col))
     return vectors.select(
         F.col(id_col),
         F.transform(

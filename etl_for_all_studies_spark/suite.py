@@ -5639,7 +5639,9 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    grams = docs.select(
+    from .partitioning import compute_spread
+
+    grams = compute_spread(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("g")
     )
     # df via a count window over the gram key instead of a groupBy+join
