@@ -554,7 +554,9 @@ def simhash(
     # barrier before the vote aggregation — see minhash_signatures: HOFs get
     # no CSE, so the token hash is materialized once per token
     hashed = persist(
-        docs.select("doc_id", F.transform(tokens, lambda t: poly_hash(t)).alias("th")),
+        compute_spread(docs.select("doc_id", text_col)).select(
+            "doc_id", F.transform(tokens, lambda t: poly_hash(t)).alias("th")
+        ),
         scope,
     )
     # votes as a grouped aggregation over exploded token hashes: all ``bits``

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
 from ..functions.hashing import poly_hash_combined, word_tokens
+from ..partitioning import compute_spread
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
 # Deliberately minimal + deterministic (a real pipeline would plug in fastText
@@ -152,6 +153,10 @@ def annotate_documents(
     with document count). The same numbers, one shuffle keyed by doc id.
     """
     c = F.col(text_col)
+    # spread before the char-pass metrics (fingerprint's packed poly hash,
+    # BPE-ish counting) and the token explode: a single-split scan would
+    # serialize them onto one task (partitioning.py; no-op on wide scans)
+    docs = compute_spread(docs)
     tokens = docs.select(
         F.col(id_col),
         F.explode_outer(word_tokens(F.lower(c))).alias("tok"),
@@ -236,7 +241,8 @@ def unigram_logprob_scores(
     Returns (id, n_tokens, mean_log10_prob).
     """
     toks = persist(
-        docs.select(
+        compute_spread(docs.select(id_col, text_col))
+        .select(
             F.col(id_col),
             F.explode(word_tokens(F.lower(F.col(text_col)))).alias("w"),
         )
@@ -287,7 +293,10 @@ def bigram_logprob_scores(
     """
     tk = word_tokens(F.lower(F.col(text_col)))
     base = persist(
-        docs.select(F.col(id_col), tk.alias("tk"), F.size(tk).alias("nt")), scope
+        compute_spread(docs.select(id_col, text_col)).select(
+            F.col(id_col), tk.alias("tk"), F.size(tk).alias("nt")
+        ),
+        scope,
     )
     uni = base.select(F.explode("tk").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("cu")
