@@ -6709,6 +6709,51 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     ),
 }
 
+# ROUND-7 MID-ROUND RE-ROTATION (standing rule: every plan modified since
+# its last driver check must sit inside the first-50 snapshot window).
+# After the round-7 head rotation above was committed, this round's engine
+# work touched many more plans — the fold/prefix routing correction +
+# compute-spread (span family, whole dedup family, decontaminate,
+# repetition/novelty, editdist, embedding standardization, the
+# annotate_documents consumers, the LM scorers) and the new
+# dedup_minhash_capped valve (never driver-checked). Pull all of them to
+# the front, never-checked first; the relative order of everything else
+# (oldest-checked-first from the head rotation) is preserved. Pure
+# reorder: nothing renamed, dropped, or re-oracled.
+_R7_MODIFIED_FIRST: list[str] = [
+    "dedup_minhash_capped",        # new this round — never driver-checked
+    "dup_spans_incr_keepfirst",    # judge directive r6 #2 — keep leading
+    "dup_spans_rolling",
+    "dup_spans",
+    "dup_spans_incr",
+    "dup_spans_keepfirst",
+    "span_trim",
+    "curation_pipeline",
+    "dedup_minhash",
+    "dedup_minhash_incr",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
+    "dedup_containment",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_keeper",
+    "decontaminate",
+    "doc_repetition",
+    "doc_novelty",
+    "dedup_editdist",
+    "embedding_standardize",
+    "fingerprint",
+    "lang_id",
+    "text_quality",
+    "unigram_logprob",
+    "bigram_logprob",
+]
+assert set(_R7_MODIFIED_FIRST) <= set(QUERY_REGISTRY)
+QUERY_REGISTRY = {
+    **{k: QUERY_REGISTRY[k] for k in _R7_MODIFIED_FIRST},
+    **{k: v for k, v in QUERY_REGISTRY.items() if k not in _R7_MODIFIED_FIRST},
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in QUERY_REGISTRY.items()}
