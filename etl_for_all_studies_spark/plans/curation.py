@@ -74,6 +74,7 @@ def curate_corpus(
     n_shards: int = 16,
     minhash_bands: int = 2,
     verify_threshold: float = 0.5,
+    minhash_max_bucket: int | None = None,
     decontaminate_n: int = 3,
     trim_spans_w: int | None = None,
     scope: CacheScope | None = None,
@@ -99,6 +100,12 @@ def curate_corpus(
     remainder boilerplate inside otherwise-unique survivors. Production
     guidance: 50 tokens (the Lee et al. setting); small fixtures need ~8
     to have any repeats.
+
+    ``minhash_max_bucket`` is the LSH hot-bucket valve passed through to
+    ``minhash_lsh_candidates``: at corpus scale a boilerplate cohort's band
+    bucket emits m(m-1)/2 candidate pairs, so cap it for production runs
+    (pairs survive via any under-cap band). ``None`` keeps exact banding —
+    the oracle-checked default.
     """
     quality = annotate_quality(docs, rules=rules)
     passed = quality.where(F.col("keep") == 1).select(docs.columns)
@@ -117,7 +124,14 @@ def curate_corpus(
     clean = persist(clean, scope)
 
     pairs = minhash_dedup(
-        clean, bands=minhash_bands, verify_threshold=verify_threshold, scope=scope
+        clean,
+        bands=minhash_bands,
+        verify_threshold=verify_threshold,
+        # the LSH hot-bucket valve (minhash_lsh_candidates): production
+        # corpora have boilerplate cohorts whose band buckets grow with the
+        # corpus and emit m(m-1)/2 candidates — cap them here; None = exact
+        max_bucket_size=minhash_max_bucket,
+        scope=scope,
     ).select("doc_a", "doc_b")
     clusters = dedup_clusters(clean, pairs, scope=scope)
     scored = clusters.join(

@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> int:
         help="Also cut repeated W-token passages from kept docs before "
         "sharding (exact-substring span dedup, keep-first semantics)",
     )
+    parser.add_argument(
+        "--minhash-max-bucket", type=int, default=None, metavar="M",
+        help="LSH hot-bucket valve: drop near-dup band buckets larger than "
+        "M before the candidate self-join (a bucket of m docs is m(m-1)/2 "
+        "pairs; boilerplate cohorts grow quadratically without a cap). "
+        "Default: no cap (exact banding)",
+    )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
 
@@ -46,6 +53,7 @@ def main(argv: list[str] | None = None) -> int:
         eval_docs = spark.read.parquet(args.eval) if args.eval else None
         res = curate_corpus(
             docs, eval_docs=eval_docs, out_dir=args.out, n_shards=args.shards,
+            minhash_max_bucket=args.minhash_max_bucket,
             trim_spans_w=args.trim_spans_w, scope=scope,
         )
         n_in = docs.count()

@@ -139,3 +139,40 @@ def test_curate_corpus_with_span_trim_stage(spark):
     assert boiler in {
         r["doc_id"]: r["text"] for r in res0.kept.collect()
     }[2]
+
+
+def test_curate_corpus_minhash_bucket_valve_passthrough(spark):
+    """minhash_max_bucket flows to the LSH candidate stage: with a cap of 2,
+    a 3-identical-doc cluster's band buckets (size 3 in EVERY band) emit no
+    pairs, so all three docs survive as singleton clusters; uncapped, one
+    keeper survives. A 2-doc dup pair sits in calm buckets either way."""
+    from etl_for_all_studies_spark.operators.quality import QualityRules
+    from etl_for_all_studies_spark.plans.curation import curate_corpus
+
+    base = ("the quick brown fox jumps over a lazy dog near the old stone "
+            "bridge while morning light settles on the quiet river town")
+    other = ("completely different content about distributed shuffle "
+             "planning where the optimizer keeps a calm and steady pace")
+    # NEAR-identical trio (distinct texts, so no exact-dup star edges reach
+    # them; suffixes chosen to leave every minhash minimum untouched, so all
+    # three share BOTH band buckets — size 3 > cap 2)
+    rows = [
+        (1, base + " alpha"), (2, base + " beta"), (3, base + " gamma"),
+        (4, other), (5, other),               # exact-dup pair: valve-immune
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = QualityRules(min_words=5, max_words=100, min_mean_word_len=2.0,
+                         max_mean_word_len=8.0, min_type_token_ratio=0.3,
+                         min_stopword_ratio=0.05)
+    uncapped = sorted(
+        r["doc_id"]
+        for r in curate_corpus(docs, rules=rules).kept.select("doc_id").collect()
+    )
+    assert uncapped == [1, 4]
+    capped = sorted(
+        r["doc_id"]
+        for r in curate_corpus(docs, rules=rules, minhash_max_bucket=2)
+        .kept.select("doc_id")
+        .collect()
+    )
+    assert capped == [1, 2, 3, 4]
