@@ -40,7 +40,14 @@ and input-bytes are interpretable. (Contamination hits stay constant — the
 un-ciphered eval set overlaps copy 0 only — but the decon join still scans
 every copy's n-grams, which is the scaling that matters.)
 
-Usage: python tools/bench_scaleup_curation.py [batch|incremental|all] [mult]
+Usage: python tools/bench_scaleup_curation.py [batch|incremental|all] [mult] [cap]
+
+``cap`` (optional, batch mode): pass the LSH hot-bucket valve
+(``curate_corpus(minhash_max_bucket=cap)``) — the cipher corpus's
+stopword-island band buckets grow with the copy count and emit m(m-1)/2
+candidates (measured 164x candidates at 10x, round 7), which is exactly
+the boilerplate-cohort shape the valve exists for; with the cap the
+probe's input/shuffle growth should collapse to ~linear.
 """
 from __future__ import annotations
 
@@ -147,7 +154,7 @@ def _eval_docs(spark):
     )
 
 
-def _run_batch(spark, docs_dir: str, eval_docs) -> dict:
+def _run_batch(spark, docs_dir: str, eval_docs, cap: int | None = None) -> dict:
     """One timed end-to-end curate_corpus over the parquet corpus."""
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -159,7 +166,8 @@ def _run_batch(spark, docs_dir: str, eval_docs) -> dict:
     t0 = time.monotonic()
     with CacheScope() as scope:
         res = curate_corpus(
-            docs, eval_docs=_rename_eval(eval_docs), trim_spans_w=W, scope=scope
+            docs, eval_docs=_rename_eval(eval_docs), trim_spans_w=W,
+            minhash_max_bucket=cap, scope=scope,
         )
         # the run_curation.py audit surface: kept + drop-evidence counts
         n_kept = res.kept.count()
@@ -262,6 +270,7 @@ def _report(tag: str, k: int, runs_1x: list[dict], runs_kx: list[dict],
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else None
     spark = _spark()
     tmp = tempfile.mkdtemp(prefix="curation_probe_")
     try:
@@ -271,9 +280,10 @@ def main() -> None:
         if mode in ("batch", "all"):
             d1 = _replicated_dir(spark, 1, tmp)
             dk = _replicated_dir(spark, mult, tmp)
-            runs1 = [_run_batch(spark, d1, eval_docs) for _ in range(2)]
-            runsk = [_run_batch(spark, dk, eval_docs) for _ in range(2)]
-            _report("curate_corpus", mult, runs1, runsk,
+            runs1 = [_run_batch(spark, d1, eval_docs, cap) for _ in range(2)]
+            runsk = [_run_batch(spark, dk, eval_docs, cap) for _ in range(2)]
+            tag = "curate_corpus" if cap is None else f"curate_corpus cap={cap}"
+            _report(tag, mult, runs1, runsk,
                     _dir_bytes(d1), _dir_bytes(dk))
 
         if mode in ("incremental", "all"):
