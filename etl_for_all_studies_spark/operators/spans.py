@@ -34,17 +34,17 @@ shape — every stage linear and keyed:
      posexplode → per-doc sort → sliding sum — the window's required
      hash distribution is satisfied by the pre-explode repartition, so
      no token-level shuffle is added.
-   - ``"auto"`` (default) = fold, chosen statically. Round 6 routed per
-     document on length, from probe tables where the shuffle-free fold
-     inherited a ONE-partition parquet input while the prefix branch's
-     repartition ran 32-way — an artifact, not a crossover. At equal
-     parallelism (13.5M windows, 32 tasks, best-of-3) fold wins at every
-     tested width — 4–8 s vs 26–40 s at w ∈ {8, 25, 50}, still ahead at
-     w=100 — because the roll pays four 31-step ``pow_mod`` chains per
-     row, more than fold's whole O(w) loop until w reaches several
-     hundred (SCALE.md round 7; ``tools/bench_scaleup_spans.py
-     crossover`` re-measures it fairly). Static choice also means auto
-     builds its plan lazily — no call-time Spark jobs.
+   - ``"auto"`` (default) routes STATICALLY on window width: fold below
+     ``_AUTO_PREFIX_MIN_W`` (= 25), the rolling form at or above. Round 6
+     routed per-document on length from probe tables that compared a
+     single-split fold against a 32-task prefix — parallelism, not
+     algorithm. Fairly measured (13.5M windows, 32 tasks), and with the
+     roll's two real constants fixed (per-row ``pow_mod`` on WindowExec's
+     interpreted projection path → a position-keyed broadcast powers
+     table; O(w) sliding frames → lag-of-running-sums), fold costs
+     2.3→17.7 s across w = 8→100 while the roll holds ~3 s flat — the
+     crossover is genuinely in ``w``, near 16 (SCALE.md round 7). Static
+     choice = lazy plan, no call-time Spark jobs.
 
 3. ONE corpus-wide groupBy on the combined window hash → occurrence
    counts; windows with count > 1 are duplicated (within-doc repeats
@@ -100,6 +100,16 @@ _PAIRS: tuple[tuple[int, int], ...] = ((BASE, MOD), (BASE2, MOD2))
 # modular inverses of the bases (Fermat: b^(m-2) mod m) — the "divide by
 # B^j" weighting the prefix/sliding-sum form needs
 _INV_BASE: tuple[int, ...] = tuple(pow(b, m - 2, m) for b, m in _PAIRS)
+
+# auto-routing threshold on WINDOW WIDTH: fold is O(w)/window with no
+# shuffle; the rolling form is O(1)/window behind one doc-keyed exchange +
+# sort + a broadcast powers table (~2.5 s of fixed machinery at local
+# scale, amortizing at cluster scale). Measured crossover at equal
+# parallelism (13.5M windows, 32 tasks): fold 2.3/5.0/9.5/17.7 s vs
+# rolling ~3 s flat at w = 8/25/50/100 — the lines cross near w ≈ 16;
+# 25 keeps small-fixture folds shuffle-free with margin (SCALE.md round 7)
+_AUTO_PREFIX_MIN_W = 25
+
 
 def _combine(h1: Column, h2: Column) -> Column:
     """Injective combine of the two component hashes: h1·MOD2 + h2 < 2^60."""
@@ -180,10 +190,21 @@ def _window_hashes_prefix(hashed: DataFrame, *, w: int, id_col: str) -> DataFram
     id, posexplode to (id, j, t1, t2) — the explode preserves the hash
     partitioning, so the per-doc window below needs only a local sort —
     weight each token hash by B^{−j}, sliding-sum the last w weights, and
-    renormalize by B^e. Products stay < 2^63: every factor < 2^30 except
-    the raw sliding sum (< w·2^30), which is reduced mod M before the
-    power multiply. Positions are capped at 2^31 tokens/doc by the
-    31-bit ``pow_mod`` unroll."""
+    renormalize by B^e.
+
+    The modular powers come from a POSITION-KEYED BROADCAST TABLE, not a
+    per-row ``pow_mod``: WindowExec evaluates its input and neighboring
+    projections on the interpreted path, where the 31-step unroll measured
+    ~18× its codegen cost (13.5 s vs 0.76 s for the same expressions over
+    13.5M rows) and dominated the whole strategy (~25 s → 1.75 s after the
+    switch, xor-identical; round-7 ablation, SCALE.md). The table is one
+    row per DISTINCT position (Zipf-free: ≤ max doc length), built lazily
+    from the exploded frame itself and broadcast — four ``pow_mod`` chains
+    per distinct position instead of four per window.
+
+    Overflow bounds: every table entry < 2^30; t·inv < 2^60; the running
+    prefix sum < positions·2^30 ≤ 2^61 at the 2^31-token ``pow_mod`` cap;
+    (sum mod M)·pw < 2^60."""
     # PIN the partition count (REPARTITION_BY_NUM): AQE's bytes-based
     # coalescing sees only the compact packed arrays crossing this exchange
     # (~20 KB per 2.7k-token doc) and folds the whole corpus into ONE
@@ -209,24 +230,67 @@ def _window_hashes_prefix(hashed: DataFrame, *, w: int, id_col: str) -> DataFram
         )
     )
     j = F.col("__j")
-    slide = (
+    # one row per DISTINCT position, carrying B^{-j} and B^{j} for both
+    # pairs — the pow_mod chains run once per position value, codegen'd,
+    # outside any window machinery; the exploded frame re-derives from the
+    # persisted arrays, so the distinct's second explode pass is cheap
+    pows = F.broadcast(
+        exploded.select("__j")
+        .distinct()
+        .select(
+            "__j",
+            *[
+                pow_mod(j, _INV_BASE[i], _PAIRS[i][1]).alias(f"__inv{i + 1}")
+                for i in range(2)
+            ],
+            *[
+                pow_mod(j, _PAIRS[i][0], _PAIRS[i][1]).alias(f"__pw{i + 1}")
+                for i in range(2)
+            ],
+        )
+    )
+    joined = exploded.join(pows, "__j")
+    # sliding sum as a DIFFERENCE OF RUNNING PREFIX SUMS: a bounded sliding
+    # frame (rowsBetween(-(w-1), current)) re-aggregates all w frame rows
+    # per output row — O(w)/position, exactly the cost the rolling form
+    # exists to avoid — while the unbounded-preceding running sum and the
+    # lag offset are both O(1)/position incremental frames. Same integers:
+    # P(j) − P(j−w) is the exact w-window sum (raw longs, no intermediate
+    # mod). Both window layers share the (id, order by j) sort — one
+    # exchange, one sort.
+    run = (
         Window.partitionBy(id_col)
         .orderBy("__j")
-        .rowsBetween(-(w - 1), Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    off = Window.partitionBy(id_col).orderBy("__j")
     weighted = [
-        (F.col(f"__t{i + 1}") * pow_mod(j, _INV_BASE[i], _PAIRS[i][1]))
-        % F.lit(_PAIRS[i][1])
+        (F.col(f"__t{i + 1}") * F.col(f"__inv{i + 1}")) % F.lit(_PAIRS[i][1])
         for i in range(2)
     ]
-    summed = exploded.select(
+    prefixes = joined.select(
         id_col,
         "__j",
-        *[F.sum(weighted[i]).over(slide).alias(f"__s{i + 1}") for i in range(2)],
+        "__pw1",
+        "__pw2",
+        *[F.sum(weighted[i]).over(run).alias(f"__p{i + 1}") for i in range(2)],
+    )
+    summed = prefixes.select(
+        id_col,
+        "__j",
+        "__pw1",
+        "__pw2",
+        *[
+            (
+                F.col(f"__p{i + 1}")
+                - F.lag(f"__p{i + 1}", w, 0).over(off)
+            ).alias(f"__s{i + 1}")
+            for i in range(2)
+        ],
     ).where(j >= F.lit(w))
     comps = [
         (F.col(f"__s{i + 1}") % F.lit(_PAIRS[i][1]))
-        * pow_mod(j, _PAIRS[i][0], _PAIRS[i][1])
+        * F.col(f"__pw{i + 1}")
         % F.lit(_PAIRS[i][1])
         for i in range(2)
     ]
@@ -254,26 +318,27 @@ def window_hashes(
 
     ``method``: ``"fold"`` (O(w)/position, in-row, no shuffle),
     ``"prefix"`` (Rabin–Karp rolling sliding-sum, O(1)/position, one
-    doc-keyed exchange), or ``"auto"`` (= fold). All strategies produce
-    BIT-IDENTICAL hashes — the canonical ``Σ t_j·B^(e−j) mod M``
+    doc-keyed exchange), or ``"auto"`` (static routing on ``w``: fold
+    below ``_AUTO_PREFIX_MIN_W``, rolling at or above). All strategies
+    produce BIT-IDENTICAL hashes — the canonical ``Σ t_j·B^(e−j) mod M``
     polynomial per pair — so the choice is purely physical and the DuckDB
     oracle replays any of them.
 
-    Why ``auto`` is simply fold (round-7 correction): the round-6
-    length-based routing rested on a measurement artifact — the crossover
-    probe's corpus came from ONE parquet split, so the shuffle-free fold
-    ran single-task while the prefix branch's repartition spread it over
-    32, and "prefix wins on long docs" was parallelism, not algorithm.
-    Re-measured at equal partitioning (13.5M windows, 32 tasks, best-of-3
-    — ``tools/bench_scaleup_spans.py crossover``, SCALE.md round 7), fold
-    wins at EVERY width tested (4–8 s vs 26–40 s at w ∈ {8, 25, 50};
-    still ahead at w=100): the prefix form's per-row renormalization
-    (four 31-step ``pow_mod`` chains) costs more than fold's whole O(w)
-    loop until w reaches several hundred. ``auto`` therefore builds the
-    fold plan — statically, with NO eager Spark jobs at call time, so the
-    lazy-plan contract from ``caching.py`` holds for every method.
-    ``"prefix"`` remains for the extreme-w regime and as the independent
-    implementation the bit-identity tests cross-check.
+    Round-7 routing history, in full (SCALE.md): round 6 routed per-doc on
+    LENGTH from probe tables that were a parallelism artifact (single-split
+    fold vs 32-task prefix) and ran two eager Spark jobs at plan time to do
+    it. Fair re-measurement first flipped the answer to fold-everywhere —
+    and then profiling the rolling form found its real constant: per-row
+    ``pow_mod`` chains evaluated on WindowExec's interpreted projection
+    path (~18× their codegen cost). Moving the modular powers into a
+    position-keyed broadcast table and the sliding frame to
+    lag-of-running-sums made the rolling form O(1)/window in practice
+    (~3 s flat at 13.5M windows for w ∈ {8..100}, vs fold's linear-in-w
+    2.3→17.7 s), so the crossover is genuinely in ``w`` after all —
+    near 16 at equal parallelism. ``auto`` routes statically on ``w``
+    (NO eager jobs; the lazy-plan contract from ``caching.py`` holds for
+    every method): small-w fixture/bench calls keep the shuffle-free fold,
+    the production w=50 Lee-et-al. setting gets the rolling plan.
     """
     if method not in ("auto", "fold", "prefix"):
         raise ValueError(f"unknown window_hashes method: {method!r}")
@@ -287,10 +352,11 @@ def window_hashes(
     )
     if method == "prefix":
         return _window_hashes_prefix(hashed, w=w, id_col=id_col)
-    # "fold" and "auto": see the docstring — fold measured faster than the
-    # rolling form at every practical w once both run at equal parallelism,
-    # so auto is a static plan choice (lazy, no call-time Spark jobs)
-    return _window_hashes_fold(hashed, w=w, id_col=id_col)
+    if method == "fold" or w < _AUTO_PREFIX_MIN_W:
+        return _window_hashes_fold(hashed, w=w, id_col=id_col)
+    # "auto" at w >= threshold: the rolling form — see the docstring; the
+    # routing is a STATIC plan choice on w alone (lazy, no call-time jobs)
+    return _window_hashes_prefix(hashed, w=w, id_col=id_col)
 
 
 def _merge_hit_windows(hits: DataFrame, *, w: int, id_col: str) -> DataFrame:

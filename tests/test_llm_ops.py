@@ -1365,6 +1365,34 @@ def test_window_hashes_methods_bit_identical_and_auto_lazy(spark):
     assert {d for d, *_ in out["auto"]} == {1, 2, 3, 4}
 
 
+def test_window_hashes_auto_routes_on_window_width(spark):
+    """auto routes statically on w: the shuffle-free fold below the
+    threshold (no Window operator in the plan), the rolling form at or
+    above it (Window + the doc-keyed exchange) — and both sides of the
+    threshold produce hashes bit-identical to the explicit strategies."""
+    from etl_for_all_studies_spark.operators.spans import (
+        _AUTO_PREFIX_MIN_W,
+        window_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i % 13}" for i in range(3 * _AUTO_PREFIX_MIN_W)))],
+        "doc_id long, text string",
+    )
+    below = window_hashes(docs, w=_AUTO_PREFIX_MIN_W - 1, method="auto")
+    above = window_hashes(docs, w=_AUTO_PREFIX_MIN_W, method="auto")
+    assert "Window" not in below._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in above._jdf.queryExecution().executedPlan().toString()
+    for w, df in ((_AUTO_PREFIX_MIN_W - 1, below), (_AUTO_PREFIX_MIN_W, above)):
+        got = sorted((r["pos"], r["h"]) for r in df.collect())
+        for method in ("fold", "prefix"):
+            ref = sorted(
+                (r["pos"], r["h"])
+                for r in window_hashes(docs, w=w, method=method).collect()
+            )
+            assert got == ref
+
+
 def test_pow_mod_out_of_range_exponent_fails_loudly(spark):
     """ADVICE r6: exponent bits above the 31-step unroll were silently
     dropped (wrong hash, not an error) — the guard must raise instead, and
