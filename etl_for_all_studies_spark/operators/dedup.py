@@ -147,13 +147,19 @@ def _shingle_pair_stats(
     # exists for
     sh = persist(shingle_sets(docs, text_col, k), scope)
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("shingle")
+        # df-cap as a count window over the shingle key, not a separate
+        # groupBy + anti-join: the window's exchange hashes on the SAME key
+        # the co-occurrence self-join below needs, so the valve rides the
+        # shuffle the join pays anyway (the LSH bucket-cap trick,
+        # minhash_lsh_candidates)
+        from pyspark.sql import Window
+
+        by_shingle = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(by_shingle))
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
         )
-        sh = sh.join(hot, on="shingle", how="left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
