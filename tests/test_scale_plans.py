@@ -284,3 +284,26 @@ def test_suite_plans_free_of_unpartitioned_windows(spark):
             .toString()
         )
         assert unpartitioned_windows(plan), f"{name} no longer needs allowlisting"
+
+
+def test_compute_spread_contract(spark):
+    """partitioning.compute_spread: repartitions UP to the session's shuffle
+    parallelism when the static plan partitioning is below it, and is a
+    strict IDENTITY (same plan object, no added exchange) when the input is
+    already at or above it — the guard that keeps real multi-split scans
+    untouched at cluster scale."""
+    from etl_for_all_studies_spark.partitioning import compute_spread
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "id long, s string"
+    ).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = compute_spread(narrow)
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r["id"] for r in spread.collect()) == list(range(100))
+
+    wide = spark.createDataFrame(
+        [(i,) for i in range(100)], "id long"
+    ).repartition(target)
+    assert compute_spread(wide) is wide
