@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
+from ..partitioning import compute_spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -67,7 +68,12 @@ def unit_vectors(
     divide — inlining it into the ``transform`` lambda would re-evaluate the
     O(dim) norm aggregate once per element (HOFs get no CSE)."""
     return (
-        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
+        # spread before the O(dim)/row norm+divide: a single-split embedding
+        # scan would serialize the normalization pass onto one task
+        # (partitioning.py; guarded no-op on wide scans)
+        compute_spread(
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
+        )
         .withColumn("__nrm", F.nullif(norm(F.col("__v")), F.lit(0.0)))
         .select(
             id_alias,
