@@ -110,6 +110,19 @@ _INV_BASE: tuple[int, ...] = tuple(pow(b, m - 2, m) for b, m in _PAIRS)
 # 25 keeps small-fixture folds shuffle-free with margin (SCALE.md round 7)
 _AUTO_PREFIX_MIN_W = 25
 
+# Practical per-document length bound for the prefix/rolling path: its
+# position-keyed powers table holds one broadcast row per distinct token
+# position up to the LONGEST document (5 longs ≈ 40 B raw, ~3× that as a
+# broadcast hash relation), so the driver cost is set by a single outlier
+# doc, not the corpus. 2^21 positions ≈ a 2M-token (~10 MB) document and
+# a worst-case ~250 MB broadcast — far above any real pretraining doc and
+# safely inside an 8 GB driver. Beyond it the arithmetic is still exact
+# (pow_mod is correct to 2^31) but the broadcast would OOM the driver with
+# no useful error, so the plan raises loudly at the first over-long doc
+# and points at the fold strategy, which is O(1) driver memory in doc
+# length (ADVICE r7).
+_MAX_PREFIX_DOC_TOKENS = 1 << 21
+
 
 def _combine(h1: Column, h2: Column) -> Column:
     """Injective combine of the two component hashes: h1·MOD2 + h2 < 2^60."""
@@ -203,8 +216,11 @@ def _window_hashes_prefix(hashed: DataFrame, *, w: int, id_col: str) -> DataFram
     per distinct position instead of four per window.
 
     Overflow bounds: every table entry < 2^30; t·inv < 2^60; the running
-    prefix sum < positions·2^30 ≤ 2^61 at the 2^31-token ``pow_mod`` cap;
-    (sum mod M)·pw < 2^60."""
+    prefix sum < positions·2^30 ≤ 2^61 at the 2^31-token ``pow_mod`` cap.
+    The ARITHMETIC cap is not the practical one: the powers table is one
+    broadcast row per position up to the longest doc, so the plan guards
+    at ``_MAX_PREFIX_DOC_TOKENS`` (2^21) and raises loudly past it rather
+    than silently OOM-ing the driver; (sum mod M)·pw < 2^60."""
     # PIN the partition count (REPARTITION_BY_NUM): AQE's bytes-based
     # coalescing sees only the compact packed arrays crossing this exchange
     # (~20 KB per 2.7k-token doc) and folds the whole corpus into ONE
@@ -224,7 +240,30 @@ def _window_hashes_prefix(hashed: DataFrame, *, w: int, id_col: str) -> DataFram
         )
         .select(
             id_col,
-            (F.col("__i") + F.lit(1)).alias("__j"),
+            # loud doc-length guard (see _MAX_PREFIX_DOC_TOKENS): one long
+            # comparison per token, dwarfed by the 4 pow_mod chains/row —
+            # keeps the powers broadcast bounded by construction
+            F.when(
+                F.col("__i") < F.lit(_MAX_PREFIX_DOC_TOKENS),
+                F.col("__i") + F.lit(1),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "window_hashes(strategy='rolling'): document "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            f" exceeds {_MAX_PREFIX_DOC_TOKENS} tokens; "
+                            "the position-keyed powers broadcast is "
+                            "bounded by the longest document — use "
+                            "strategy='fold' for multi-million-token docs"
+                        ),
+                    )
+                )
+            )
+            .alias("__j"),
             F.shiftright(F.col("__t"), PACK_SHIFT).alias("__t1"),
             F.col("__t").bitwiseAND(F.lit(PACK_MASK)).alias("__t2"),
         )

@@ -1,9 +1,18 @@
+import os
 import sys
 import pathlib
 
 import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+# spark.driver.memory is a STATIC conf: the builder setting below is only
+# honored when the fixture launches the process's first JVM. Set it via
+# PYSPARK_SUBMIT_ARGS at conftest import (before any plugin can start a
+# JVM) so whichever code path launches first gets the 8g heap (ADVICE r7).
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell"
+)
 
 
 @pytest.fixture(scope="session")
@@ -22,6 +31,15 @@ def spark():
             # late tests with "Not enough memory to build and broadcast"
             "spark.driver.memory": "8g",
         },
+    )
+    # fail LOUDLY if the heap request was silently ignored (a pre-existing
+    # JVM, or someone overriding PYSPARK_SUBMIT_ARGS): the broadcast-OOM
+    # flake this guards against only shows up dozens of tests later
+    max_heap = spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    assert max_heap >= 6 * 1024**3, (
+        f"test JVM heap is {max_heap / 1024**3:.1f} GiB, expected ~8 GiB — "
+        "a SparkSession was created before the conftest fixture could set "
+        "spark.driver.memory (see tests/conftest.py PYSPARK_SUBMIT_ARGS)"
     )
     yield spark
 

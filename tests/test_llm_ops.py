@@ -1229,6 +1229,28 @@ def test_window_hashes_prefix_bit_identical_to_fold(spark):
         assert fold == roll and fold, f"w={w} mismatch"
 
 
+def test_window_hashes_prefix_doc_length_guard(spark, monkeypatch):
+    """The prefix/rolling path's powers broadcast is one row per position
+    up to the LONGEST doc, so an outlier multi-million-token doc would OOM
+    the driver; the plan instead raises loudly at the first over-long doc
+    (bound shrunk via monkeypatch so the test stays tiny) and the error
+    names the fold fallback. Docs at the bound still hash correctly."""
+    import pytest
+
+    from etl_for_all_studies_spark.operators import spans
+
+    monkeypatch.setattr(spans, "_MAX_PREFIX_DOC_TOKENS", 16)
+    ok = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(16)))], "doc_id long, text string"
+    )
+    assert spans.window_hashes(ok, w=8, method="prefix").count() == 9
+    over = spark.createDataFrame(
+        [(2, " ".join(f"t{i}" for i in range(17)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="strategy='fold'"):
+        spans.window_hashes(over, w=8, method="prefix").count()
+
+
 def test_pow_mod_matches_python_pow(spark):
     """The 31-step binary-exponentiation unroll equals Python ``pow`` for
     both (base, mod) pairs and for the modular-inverse bases the rolling

@@ -307,3 +307,36 @@ def test_compute_spread_contract(spark):
         [(i,) for i in range(100)], "id long"
     ).repartition(target)
     assert compute_spread(wide) is wide
+
+
+def test_compute_spread_lazy_on_derived(spark, tmp_path):
+    """The round-8 lazy-plan contract (ADVICE r7): compute_spread must not
+    run ANY Spark job at plan-build time. On an exchange-bearing derived
+    frame (groupBy) the old ``df.rdd`` probe materialized the upstream
+    shuffle stage eagerly under AQE; the fix degrades to strict identity
+    there, and the scan-rooted narrow path's RDD probe is job-free."""
+    import pyspark.sql.functions as F
+
+    from etl_for_all_studies_spark.partitioning import compute_spread
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"src{i % 3}", f"text {i}") for i in range(100)],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    def n_jobs() -> int:
+        # DAGScheduler's job-id counter == number of jobs submitted so far
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    derived = docs.groupBy("source").agg(F.count("*").alias("n"))
+    before = n_jobs()
+    assert compute_spread(derived) is derived  # exchange-bearing → identity
+    narrow = docs.select("doc_id", "text").filter(F.length("text") > 0)
+    spread = compute_spread(narrow)  # scan-rooted narrow → probed, job-free
+    assert n_jobs() == before, "compute_spread ran a Spark job at plan time"
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the single-split local scan really was spread, and rows are intact
+    assert spread.rdd.getNumPartitions() == target
+    assert spread.count() == 100

@@ -1,0 +1,53 @@
+"""Dump every registry query's executedPlan string to a JSON file.
+
+Round-8 utility for diffing physical plans across an engine change (used
+to compute the modified-since-last-check rotation cohort honestly, not by
+guessing call sites). Plan strings normalize plan-id / exprId noise via
+the same regex the scale-plan lint uses.
+
+Usage: python tools/dump_plans.py OUT.json [SF_DIR]
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def normalize(plan: str) -> str:
+    plan = re.sub(r"#\d+L?", "#x", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
+    plan = re.sub(r"\[id=#?\d+\]", "[id=x]", plan)
+    plan = re.sub(r"/tmp/[^\s,)\]]+", "/tmp/x", plan)
+    return plan
+
+
+def main() -> None:
+    out = sys.argv[1]
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    from etl_for_all_studies_spark import suite
+    from etl_for_all_studies_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dump-plans",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    plans = {}
+    for name, qd in suite.QUERY_REGISTRY.items():
+        try:
+            plans[name] = normalize(
+                qd.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as e:  # noqa: BLE001 - diagnostic dump
+            plans[name] = f"ERROR: {e}"
+    pathlib.Path(out).write_text(json.dumps(plans, indent=1))
+    print(f"wrote {len(plans)} plans to {out}")
+
+
+if __name__ == "__main__":
+    main()
