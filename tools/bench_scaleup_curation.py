@@ -24,8 +24,10 @@ bytes. Pass criteria:
 * scan amplification (input bytes / on-disk corpus bytes) stays flat.
 
 Corpora are REPLICATED WITH A PER-COPY QUALITY-INVARIANT WORD CIPHER:
-each copy rotates the characters of every NON-STOPWORD token by the copy
-index and leaves the quality rules' stopwords verbatim. Unlike the plain
+each copy maps the characters of every NON-STOPWORD token through a
+per-copy AFFINE substitution (312 distinct ciphers — injective past the
+26-copy wrap a plain rotation would hit at the 100x point) and leaves the
+quality rules' stopwords verbatim. Unlike the plain
 alphabet rotation the dedup probes use, this keeps every quality metric
 (word count, word lengths, type-token ratio, stopword ratio) bit-identical
 per copy — a plain rotation turns the stopwords into gibberish and the
@@ -84,25 +86,36 @@ def _spark():
     )
 
 
-def _cipher(text_col, rot: int):
-    """Rotate the chars of every non-stopword token by ``rot``; keep the
-    quality rules' stopwords verbatim. Bijective per token, so word count /
-    word lengths / TTR / stopword ratio — every quality metric — are
-    unchanged, while the text content (shingles, window hashes) is disjoint
-    across rotations."""
+# multipliers coprime to 26 — with 26 shifts that is 312 distinct affine
+# ciphers, so copy indices stay injective far past the 26 where the old
+# plain-rotation family wrapped (copies i and i+26 became EXACT cross-copy
+# duplicates, which would hand the 100x probe a dedup explosion that
+# measures the cipher, not the engine)
+_AFFINE_A = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
+def _cipher(text_col, idx: int):
+    """Substitute the chars of every non-stopword token through the idx-th
+    AFFINE cipher (letter p → a·p + b mod 26); keep the quality rules'
+    stopwords verbatim. Bijective per token, so word count / word lengths /
+    TTR / stopword ratio — every quality metric — are unchanged, while the
+    text content (shingles, window hashes) is disjoint across cipher
+    indices. idx=0 is the identity (copy 0 keeps the raw text, which is
+    what the un-ciphered eval set overlaps for the decontamination leg)."""
     from pyspark.sql import functions as F
 
     from etl_for_all_studies_spark.operators.quality import STOPWORDS
 
-    rot %= 26
-    if rot == 0:
+    a = _AFFINE_A[(idx // 26) % len(_AFFINE_A)]
+    b = idx % 26
+    if a == 1 and b == 0:
         return text_col
-    rotated = ALPHA[rot:] + ALPHA[:rot]
+    mapped = "".join(ALPHA[(a * p + b) % 26] for p in range(26))
     return F.array_join(
         F.transform(
             F.split(text_col, " "),
             lambda w: F.when(w.isin(*STOPWORDS), w).otherwise(
-                F.translate(w, ALPHA, rotated)
+                F.translate(w, ALPHA, mapped)
             ),
         ),
         " ",
@@ -289,11 +302,12 @@ def main() -> None:
         if mode in ("incremental", "all"):
             from etl_for_all_studies_spark.operators.spans import window_hashes
 
-            # rotation 13: the batch shares no ciphered text with the seen
-            # copies (rotations 0..mult-1) — mostly-new content, the regime
-            # the incremental plan exists for
+            # cipher index 200 (affine family 7): outside the seen copies'
+            # indices (0..mult-1, families 0..3 even at mult=100) — the
+            # batch shares no ciphered text with the seen corpus, i.e.
+            # mostly-new content, the regime the incremental plan exists for
             batch_dir = _replicated_dir(
-                spark, 1, tmp, offset_tag=900, rot_offset=13
+                spark, 1, tmp, offset_tag=900, rot_offset=200
             )
             s1 = _replicated_dir(spark, 1, tmp, offset_tag=100)
             sk = _replicated_dir(spark, mult, tmp, offset_tag=200)
