@@ -48,10 +48,13 @@ def _utc_now_iso() -> str:
 
 def _split_dense_studies(
     e: DataFrame, wide_gene_threshold: int | None = None
-) -> tuple[list[int], list[int], list[int]]:
+) -> tuple[list[int], list[int], list[int], dict[int, int]]:
     """Classify studies as dense (every gene covers every sample exactly
     once), WIDE dense (dense with ``n_genes > wide_gene_threshold`` — the
     beyond-envelope shape that needs block pair enumeration), or ragged.
+    Also returns the per-study gene counts the classification aggregation
+    already paid for, so auto mode can size ``n_blocks`` from the widest
+    study instead of a guess.
 
     A study is dense iff (a) no (gene, sample) cell repeats and (b) the
     distinct cells fill the full gene × sample grid. Two-phase screen so the
@@ -101,7 +104,22 @@ def _split_dense_studies(
     )
     dense = [k for k in dense if k not in set(wide)]
     ragged = [r["study_key"] for r in rows if r["study_key"] not in set(dense) | set(wide)]
-    return dense, wide, ragged
+    return dense, wide, ragged, genes
+
+
+# Auto-mode block sizing: keep each block pair's output near
+# (_GENES_PER_BLOCK)² ≈ 4M rows per (sample, block-pair) task. Measured
+# round-8 envelope sweep (SCALE.md): at 20k genes B=10 (2k genes/block)
+# was the sweet spot; smaller blocks buy nothing locally and pay B+1×
+# input replication, larger blocks push per-task output toward the
+# single-reducer pathology block mode exists to remove.
+_GENES_PER_BLOCK = 2000
+
+
+def _derive_n_blocks(max_genes: int) -> int:
+    """Blocks for the widest auto-routed study: ceil(width / 2k), min 2
+    (one block would make the block plan a strictly worse dense plan)."""
+    return max(2, -(-max_genes // _GENES_PER_BLOCK))
 
 
 def _block_pairs(e: DataFrame, n_blocks: int) -> DataFrame:
@@ -186,7 +204,7 @@ def compute_gene_pair_correlations(
     mode: str = "exact",
     computed_at: str | None = None,
     pvalue_dist: str = "normal",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     wide_gene_threshold: int = 1024,
     scope=None,
 ) -> DataFrame:
@@ -214,8 +232,11 @@ def compute_gene_pair_correlations(
     the cost of replicating each input row B+1 times across the two join
     sides — the classic triangle-enumeration tradeoff (shuffle grows √P-ish,
     task output shrinks quadratically). Results are hash-identical to
-    ``mode="dense"`` (tests pin this); pick
-    ``n_blocks ≈ n_genes / 2000`` so a block pair's output stays ~4M rows.
+    ``mode="dense"`` (tests pin this). ``n_blocks=None`` (default) sizes
+    blocks from the data: auto mode derives ``ceil(width / 2000)`` from
+    the widest routed study (block-pair output stays ~4M rows,
+    ``_derive_n_blocks``); an explicit ``mode="block"`` call falls back
+    to 8. Pass a value to override either.
 
     ``pvalue_dist`` pins the SURVEY §7.4.2 fork: ``"normal"`` (default) is
     the reference's no-SciPy fallback — a closed-form JVM-side expression;
@@ -228,7 +249,7 @@ def compute_gene_pair_correlations(
     e = expression.select("study_key", "gene_key", "gsm_accession", "expression_value")
 
     if mode == "auto":
-        dense_keys, wide_keys, ragged_keys = _split_dense_studies(
+        dense_keys, wide_keys, ragged_keys, genes = _split_dense_studies(
             e, wide_gene_threshold=wide_gene_threshold
         )
         parts = []
@@ -241,11 +262,16 @@ def compute_gene_pair_correlations(
                 )
             )
         if wide_keys:
+            nb = (
+                n_blocks
+                if n_blocks is not None
+                else _derive_n_blocks(max(genes[k] for k in wide_keys))
+            )
             parts.append(
                 compute_gene_pair_correlations(
                     e.where(F.col("study_key").isin(wide_keys)),
                     min_samples=min_samples, mode="block", computed_at=ts,
-                    pvalue_dist=pvalue_dist, n_blocks=n_blocks, scope=scope,
+                    pvalue_dist=pvalue_dist, n_blocks=nb, scope=scope,
                 )
             )
         if ragged_keys:
@@ -292,7 +318,7 @@ def compute_gene_pair_correlations(
         e = e.withColumn(
             "rank", average_rank(["study_key", "gene_key"], "expression_value")
         )
-        paired = _block_pairs(e, n_blocks)
+        paired = _block_pairs(e, 8 if n_blocks is None else n_blocks)
     else:
         a = e.alias("a")
         b = e.alias("b")

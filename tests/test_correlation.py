@@ -322,3 +322,60 @@ def test_auto_mode_routes_wide_dense_to_block(spark):
             exact[k]["rho_spearman"], abs=1e-12
         ), k
         assert auto[k]["n_samples"] == exact[k]["n_samples"]
+
+
+def test_auto_mode_derives_n_blocks_from_widest_study(spark, monkeypatch):
+    """n_blocks=None in auto mode must size blocks from the widest routed
+    study (ceil(width/2000), min 2 — the round-8 envelope sweep's
+    ~4M-rows-per-block-pair target), and an explicit n_blocks must still
+    win. Pinned by spying on _block_pairs rather than re-running the 20k
+    probe: the derivation is driver-side arithmetic on counts the router
+    already paid for."""
+    from etl_for_all_studies_spark.plans import correlation as corr_mod
+    from etl_for_all_studies_spark.plans.correlation import _derive_n_blocks
+
+    # the pure derivation: reference envelope (20k genes) => 10 blocks
+    assert _derive_n_blocks(20_000) == 10
+    assert _derive_n_blocks(20_001) == 11
+    assert _derive_n_blocks(2_000) == 2   # min 2: one block = worse dense
+    assert _derive_n_blocks(12) == 2
+
+    wide = {g: {f"S{i}": float((g * 7 + i * 3) % 11) for i in range(4)} for g in range(12)}
+    df = _to_df(spark, wide, study_key=1)
+
+    seen = []
+    real = corr_mod._block_pairs
+
+    def spy(e, n_blocks):
+        seen.append(n_blocks)
+        return real(e, n_blocks)
+
+    monkeypatch.setattr(corr_mod, "_block_pairs", spy)
+    compute_gene_pair_correlations(
+        df, mode="auto", computed_at="x", wide_gene_threshold=8
+    ).collect()
+    assert seen == [_derive_n_blocks(12)] == [2]
+
+    seen.clear()
+    compute_gene_pair_correlations(
+        df, mode="auto", computed_at="x", wide_gene_threshold=8, n_blocks=3
+    ).collect()
+    assert seen == [3]
+
+    # explicit block mode with the default keeps the historical 8
+    seen.clear()
+    compute_gene_pair_correlations(df, mode="block", computed_at="x").collect()
+    assert seen == [8]
+
+
+def test_router_threshold_pinned_to_measured_crossover():
+    """The auto router's default wide_gene_threshold sits at the measured
+    dense/block crossover (SCALE.md round-8 envelope series: dense wins at
+    1k genes, block wins from 2k up, both regimes) — 1024 is the last
+    power-of-two width where the dense plan's single-reducer-per-sample
+    fan-out (~0.5M pairs) still beats block's B+1x input replication."""
+    import inspect
+
+    sig = inspect.signature(compute_gene_pair_correlations)
+    assert sig.parameters["wide_gene_threshold"].default == 1024
+    assert sig.parameters["n_blocks"].default is None

@@ -279,7 +279,7 @@ def test_dense_study_routes_preranked_in_e2e_job(spark, tmp_path, monkeypatch):
         for r2 in spark.read.parquet(str(wh / "dim_study")).collect()
     }
     assert len(routes) == 1, "auto mode must classify exactly once"
-    dense_keys, wide_keys, ragged_keys = routes[0]
+    dense_keys, wide_keys, ragged_keys, _genes = routes[0]
     assert dense_keys == [dim_study["GSE_DENSE"]]   # pre-ranked path
     assert wide_keys == []
     assert ragged_keys == [dim_study["GSE_RAGGED"]]  # per-pair exact path

@@ -37,7 +37,13 @@ UI_PORT = 4055
 # the round-8 envelope grid: crossover anchors (dense vs block at 1k-8k),
 # the n_blocks sweep at 8k, and the reference's 20k envelope (block only:
 # dense at 20k is one reducer emitting 2e8 rows per sample — the
-# pathology block mode exists to remove; probed at 8k instead)
+# pathology block mode exists to remove; probed at 8k instead).
+# ``-nobc`` variants run with autoBroadcastJoinThreshold=-1: locally the
+# tiny synthetic expression table BROADCASTS, which hides the dense
+# mode's single-reducer pathology (the self-join never shuffles on
+# (study, sample) at all); on a cluster where the expression leg is TBs
+# the join shuffles, and that is the regime block mode exists for — the
+# nobc rows are the honest cluster proxy.
 SERIES: list[tuple[int, int, int, str]] = [
     (1000, 4, 8, "dense,block"),
     (2000, 4, 8, "dense,block"),
@@ -45,6 +51,8 @@ SERIES: list[tuple[int, int, int, str]] = [
     (8000, 4, 4, "block"),
     (8000, 4, 8, "dense,block"),
     (8000, 4, 16, "block"),
+    (4000, 4, 8, "dense-nobc,block-nobc"),
+    (8000, 4, 8, "dense-nobc,block-nobc"),
     (20000, 4, 10, "block"),
     (20000, 4, 16, "block"),
 ]
@@ -103,9 +111,15 @@ def run_one(n_genes: int, n_samples: int, n_blocks: int, modes: list[str]) -> No
 
     # the auto router must classify this width correctly: dense at/below
     # the threshold, block above (the SCALE envelope contract)
-    dense_k, wide_k, ragged_k = _split_dense_studies(e, wide_gene_threshold=1024)
+    dense_k, wide_k, ragged_k, _genes = _split_dense_studies(
+        e, wide_gene_threshold=1024
+    )
     pairs = n_genes * (n_genes - 1) // 2
-    for mode in modes:
+    for token in modes:
+        mode, _, variant = token.partition("-")
+        nobc = variant == "nobc"
+        if nobc:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         before = stage_snapshot(UI_PORT)
         t0 = time.monotonic()
         corr = compute_gene_pair_correlations(
@@ -114,13 +128,15 @@ def run_one(n_genes: int, n_samples: int, n_blocks: int, modes: list[str]) -> No
         corr.write.format("noop").mode("overwrite").save()
         wall = time.monotonic() - t0
         stages = diff_stages(before, stage_snapshot(UI_PORT))
+        if nobc:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         print(
             json.dumps(
                 {
                     "n_genes": n_genes,
                     "n_samples": n_samples,
                     "n_blocks": n_blocks if mode == "block" else None,
-                    "mode": mode,
+                    "mode": token,
                     "pairs": pairs,
                     "wall_s": round(wall, 1),
                     "pairs_per_s": int(pairs / wall),
