@@ -22,6 +22,14 @@ def normalize(plan: str) -> str:
     plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
     plan = re.sub(r"\[id=#?\d+\]", "[id=x]", plan)
     plan = re.sub(r"/tmp/[^\s,)\]]+", "/tmp/x", plan)
+    # lambda variable names carry a session-global counter (lambda x_158)
+    # that shifts with everything analyzed earlier in the process — same
+    # noise class as exprIds, normalized the same way
+    plan = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1_x", plan)
+    # Spark truncates long expression lists at a CHARACTER budget, so the
+    # cut point shifts with exprId digit widths — the truncated tail is
+    # noise by construction; collapse the token the ellipsis lands on
+    plan = re.sub(r"[^\s\[\],]*\.\.\.", "x...", plan)
     return plan
 
 
@@ -35,7 +43,13 @@ def main() -> None:
         app_name="dump-plans",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # no truncation: a '...' cut lands at a CHARACTER offset that
+            # shifts with exprId digit widths, defeating normalization
+            "spark.sql.debug.maxToStringFields": "100000",
+            "spark.sql.maxPlanStringLength": "2147483632",
+        },
     )
     plans = {}
     for name, qd in suite.QUERY_REGISTRY.items():
