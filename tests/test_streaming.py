@@ -930,3 +930,147 @@ def test_stream_apply_changelog_legacy_table_without_fingerprint(
     stream_apply_changelog(stream(), table, ckpt, keys=["id"])  # batch 1
     assert {r["id"] for r in read_table_state(spark, table).collect()} == {1, 2}
     assert _os.path.exists(_os.path.join(table, "v=1", "_FINGERPRINT"))
+
+
+def _curation_shard(src_dir, name, rows):
+    import json as _json
+
+    (src_dir / name).write_text(
+        "\n".join(
+            _json.dumps(
+                {"doc_id": i, "text": t, "lang": "en", "source": "s",
+                 "n_chars": len(t)}
+            )
+            for i, t in rows
+        )
+    )
+
+
+def _relaxed_rules():
+    from etl_for_all_studies_spark.operators.quality import QualityRules
+
+    return QualityRules(
+        min_words=3, max_words=1000, min_mean_word_len=0.0,
+        max_mean_word_len=100.0, min_type_token_ratio=0.0,
+        min_stopword_ratio=0.0,
+    )
+
+
+_DOC1 = "the quick brown fox jumps over a lazy dog near the river bank today"
+_DOC2 = "apples and oranges make a fine fruit salad with grapes and melon slices"
+_TWIN = "twins share this exact text body full of repeated words exactly alike"
+_D15 = (
+    "sailors whisper long strange stories then apples and oranges make a "
+    "fine fruit salad finally evening falls quietly over the harbor"
+)
+
+
+def test_stream_curate_corpus_folds_batches_against_history(spark, tmp_path):
+    """Two drains of the curation stream: batch 1 must be curated AGAINST
+    batch 0's admitted corpus — vs-seen exact dup dropped, new×new twins
+    elect one keeper, a repeated passage is trimmed against batch 0's
+    accrued window hashes, and quality failures never land."""
+    from etl_for_all_studies_spark.streaming.corpus import read_corpus_stream
+    from etl_for_all_studies_spark.streaming.curation import (
+        read_accrued_hashes,
+        read_curated_corpus,
+        stream_curate_corpus,
+    )
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(rules=_relaxed_rules(), trim_spans_w=4)
+
+    _curation_shard(src, "a.jsonl", [(1, _DOC1), (2, _DOC2), (3, "tiny")])
+    stream_curate_corpus(read_corpus_stream(spark, str(src)), corpus, ckpt, **kw)
+    assert sorted(
+        r.doc_id for r in read_curated_corpus(spark, corpus).collect()
+    ) == [1, 2]  # doc 3 failed min_words
+
+    _curation_shard(
+        src, "b.jsonl",
+        [(11, _DOC1), (12, "completely novel sentence with many interesting "
+                           "words about sailing boats on calm seas"),
+         (13, _TWIN), (14, _TWIN), (15, _D15)],
+    )
+    stream_curate_corpus(read_corpus_stream(spark, str(src)), corpus, ckpt, **kw)
+
+    kept = {r.doc_id: r.text for r in read_curated_corpus(spark, corpus).collect()}
+    # 11 = exact dup of seen doc 1 -> dropped; 14 lost the twin election to
+    # 13 (min-id keeper); 15 admitted but its copied passage trimmed
+    assert sorted(kept) == [1, 2, 12, 13, 15]
+    assert len(kept[15]) < len(_D15)
+    assert "sailors whisper" in kept[15]  # the novel prefix survives
+
+    audit = spark.read.parquet(f"{corpus}/audit").orderBy("batch_id").collect()
+    assert [r.batch_id for r in audit] == [0, 1]
+    assert audit[0].n_batch == 3 and audit[0].n_admitted == 2
+    assert audit[1].n_batch == 5 and audit[1].n_admitted == 3
+    assert audit[1].n_dropped_vs_seen == 1
+    assert audit[1].n_trimmed_spans >= 1
+
+    # cross-batch hash state: distinct, non-empty, covers both batches
+    hashes = read_accrued_hashes(spark, corpus)
+    assert hashes.count() == hashes.distinct().count() > 0
+
+    # a third drain with no new shards is a no-op (checkpoint carries
+    # source progress): the corpus is unchanged
+    stream_curate_corpus(read_corpus_stream(spark, str(src)), corpus, ckpt, **kw)
+    assert sorted(
+        r.doc_id for r in read_curated_corpus(spark, corpus).collect()
+    ) == [1, 2, 12, 13, 15]
+
+
+def test_stream_curate_crash_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch side effects are at-least-once: replaying a committed
+    batch id must rebuild the SAME partitions, not drop the batch as a
+    duplicate of its own previous output (the self-seen hazard) and not
+    double-append. Pins fold_batch's exclusion of the current batch's own
+    partitions from the seen corpus."""
+    from etl_for_all_studies_spark.sources.corpus import DOCUMENT_SCHEMA
+    from etl_for_all_studies_spark.streaming.corpus import read_corpus_stream
+    from etl_for_all_studies_spark.streaming.curation import (
+        fold_batch,
+        read_curated_corpus,
+        stream_curate_corpus,
+    )
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(rules=_relaxed_rules(), trim_spans_w=4)
+
+    _curation_shard(src, "a.jsonl", [(1, _DOC1), (2, _DOC2)])
+    stream_curate_corpus(read_corpus_stream(spark, str(src)), corpus, ckpt, **kw)
+    _curation_shard(src, "b.jsonl", [(11, _DOC1), (15, _D15)])
+    stream_curate_corpus(read_corpus_stream(spark, str(src)), corpus, ckpt, **kw)
+
+    def snapshot():
+        kept = {
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{corpus}/admitted/batch_id=1").collect()
+        }
+        hashes = {
+            r.h
+            for r in spark.read.parquet(
+                f"{corpus}/window_hashes/batch_id=1"
+            ).collect()
+        }
+        return kept, hashes
+
+    before_kept, before_hashes = snapshot()
+    assert {i for i, _ in before_kept} == {15}  # 11 dropped vs seen doc 1
+
+    # crash-window replay: re-fold the SAME batch id with the same input
+    batch_df = spark.read.schema(DOCUMENT_SCHEMA).json(str(src / "b.jsonl"))
+    fold_batch(batch_df, 1, corpus, **kw)
+
+    after_kept, after_hashes = snapshot()
+    assert after_kept == before_kept  # NOT emptied by self-seen dedup
+    assert after_hashes == before_hashes
+    assert sorted(
+        r.doc_id for r in read_curated_corpus(spark, corpus).collect()
+    ) == [1, 2, 15]  # and nothing double-appended
