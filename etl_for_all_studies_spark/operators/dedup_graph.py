@@ -55,6 +55,51 @@ from ..caching import CacheScope, persist
 logger = logging.getLogger(__name__)
 
 
+def fresh_stats_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` with the origin statistics DROPPED — the safe
+    per-round barrier for iterative DataFrame loops.
+
+    Since SPARK-39748, ``Dataset.localCheckpoint`` attaches the origin
+    plan's statistics to the resulting ``LogicalRDD``. Inside an iterative
+    loop that is a time bomb: round N's plan joins round N-1's checkpoint
+    against itself, size-only estimation MULTIPLIES child ``sizeInBytes``
+    (``SizeInBytesOnlyStatsPlanVisitor.default``), and the product is
+    propagated into round N's checkpoint — so the estimate's BigInt bit
+    length DOUBLES per round (measured: 38 → 6,897 bits in 8 rounds) until
+    ``java.math.BigInteger`` itself overflows at ~2³¹ bits and the job dies
+    with ``ArithmeticException: BigInteger would overflow supported range``
+    (reproduced at round ~22 on a 530k-edge forced-distributed CC run).
+
+    Rebuilding the DataFrame over the already-materialized checkpoint RDD
+    via ``internalCreateDataFrame`` gives the leaf fresh default statistics,
+    constant across rounds (measured: 63 bits every round). Rows are the
+    checkpointed rows — values and schema unchanged. Join-strategy impact:
+    none by design — the iterative loops here either pin strategies with
+    explicit ``broadcast()`` hints (k-means) or are built around shuffle
+    joins (CC, PageRank), and compounded estimates were already far past
+    any broadcast threshold from round 2 on.
+
+    If the (package-private) JVM seam ever moves, falls back to the plain
+    checkpoint and warns — correctness is unchanged, the overflow hazard
+    returns for >20-round loops.
+    """
+    ckpt = df.localCheckpoint()
+    spark = df.sparkSession
+    try:
+        jdf = ckpt._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, spark)
+    except Exception:  # pragma: no cover - internal JVM API moved
+        logger.warning(
+            "fresh_stats_checkpoint: internalCreateDataFrame unavailable; "
+            "falling back to plain localCheckpoint (size-estimate overflow "
+            "possible beyond ~20 iterative rounds)"
+        )
+        return ckpt
+
+
 def exact_dup_star_edges(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -93,7 +138,7 @@ def connected_components(
     dst: str = "v",
     nodes: DataFrame | None = None,
     node_col: str = "node",
-    max_iter: int = 25,
+    max_iter: int = 50,
     local_edge_threshold: int = 2_000_000,
     scope: CacheScope | None = None,
 ) -> DataFrame:
@@ -102,8 +147,16 @@ def connected_components(
 
     ``nodes`` (optional) adds isolated vertices (they become singleton
     clusters); otherwise the vertex set is the edge endpoints. Raises if the
-    propagation hasn't converged after ``max_iter`` rounds (pointer jumping
-    makes that ~2^25-diameter territory — unreachable for dedup graphs).
+    propagation hasn't converged after ``max_iter`` rounds. Round count is
+    NOT simply log2(diameter): path graphs converge in exactly
+    ~log2(L) rounds (measured: L=8192 → 14), but a giant SPARSE component
+    stitched from many clusters (e.g. random detector collisions chaining
+    a corpus's dup groups) re-propagates every time a smaller label wave
+    overtakes a local minimum — a 50k-node giant component needed 27
+    rounds (SCALE.md round 8) while its cluster count had stabilized by
+    round 11. The default cap of 50 keeps double that measured worst case;
+    the per-round existence probe makes extra headroom cost nothing once
+    converged.
 
     Graphs with at most ``local_edge_threshold`` distinct edges are solved
     with driver-side union-find + a broadcast label join (see module
@@ -179,10 +232,13 @@ def connected_components(
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
-        labels = (
-            base.repartition(n_parts, "node")
-            .select("node", F.col("node").alias("comp"))
-            .localCheckpoint()
+        # fresh_stats_checkpoint, NOT plain localCheckpoint: each round's
+        # estimate would otherwise compound into the next round's leaf and
+        # overflow BigInteger around round 22 (see the helper's docstring)
+        labels = fresh_stats_checkpoint(
+            base.repartition(n_parts, "node").select(
+                "node", F.col("node").alias("comp")
+            )
         )
         for round_no in range(1, max_iter + 1):
             nbr_min = (
@@ -203,7 +259,7 @@ def connected_components(
             # the convergence flag rides inside the round's own checkpoint, so
             # the probe below is a filter over materialized data — no extra
             # join (and no extra codegen shape) per round
-            jumped = (
+            jumped = fresh_stats_checkpoint(
                 stepped.join(jump_to, stepped.comp == jump_to.jnode, "left")
                 .select(
                     "node",
@@ -212,7 +268,6 @@ def connected_components(
                     .alias("moved"),
                 )
                 .repartition(n_parts, "node")
-                .localCheckpoint()
             )
             changed = jumped.where(F.col("moved")).limit(1).count()
             labels = jumped.select("node", "comp")

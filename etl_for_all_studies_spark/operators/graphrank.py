@@ -101,7 +101,11 @@ def pagerank(
             ).alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            # stats-resetting barrier: plain localCheckpoint compounds size
+            # estimates across rounds (dedup_graph.fresh_stats_checkpoint)
+            from .dedup_graph import fresh_stats_checkpoint
+
+            ranks = fresh_stats_checkpoint(ranks)
     return ranks
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
 from ..partitioning import compute_spread
+from .dedup_graph import fresh_stats_checkpoint
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -479,10 +480,14 @@ def kmeans_fit(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.transform("pm", lambda s: s["m"]).alias("c_new"))
         )
-        cent = (
-            cent.join(means, "cell", "left")
-            .select("cell", F.coalesce("c_new", "c").alias("c"))
-            .localCheckpoint()
+        # stats-resetting barrier: plain localCheckpoint compounds size
+        # estimates across rounds (dedup_graph.fresh_stats_checkpoint);
+        # kmeans_predict pins the centroid join with an explicit
+        # broadcast() hint, so the reset costs no join strategy
+        cent = fresh_stats_checkpoint(
+            cent.join(means, "cell", "left").select(
+                "cell", F.coalesce("c_new", "c").alias("c")
+            )
         )
     vecs.unpersist()
     return cent

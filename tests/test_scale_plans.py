@@ -340,3 +340,52 @@ def test_compute_spread_lazy_on_derived(spark, tmp_path):
     # the single-split local scan really was spread, and rows are intact
     assert spread.rdd.getNumPartitions() == target
     assert spread.count() == 100
+
+
+def test_fresh_stats_checkpoint_bounds_iterative_estimates(spark):
+    """Iterative loops must use fresh_stats_checkpoint, not plain
+    localCheckpoint: SPARK-39748 propagates origin statistics into the
+    checkpoint's LogicalRDD, size-only estimation multiplies them per
+    round, and the BigInt bit length DOUBLES per iteration until
+    java.math.BigInteger overflows (~round 22; reproduced on a 530k-edge
+    forced-distributed CC run). Pins both halves of the contract: values
+    unchanged, and the estimate stays flat where the plain checkpoint's
+    compounds."""
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.dedup_graph import (
+        fresh_stats_checkpoint,
+    )
+
+    def bits(df):
+        s = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(str(s)).bit_length()
+
+    base = spark.range(50).select(
+        F.col("id").alias("node"), F.col("id").alias("comp")
+    )
+    plain = base.localCheckpoint()
+    fresh = fresh_stats_checkpoint(base)
+    assert sorted(fresh.collect()) == sorted(plain.collect())
+
+    def one_round(labels, barrier):
+        jt = labels.select(
+            F.col("node").alias("jn"), F.col("comp").alias("jc")
+        )
+        return barrier(
+            labels.join(jt, labels.comp == jt.jn, "left").select(
+                "node", F.coalesce("jc", "comp").alias("comp")
+            )
+        )
+
+    plain_bits, fresh_bits = [], []
+    for _ in range(4):
+        plain = one_round(plain, lambda df: df.localCheckpoint())
+        fresh = one_round(fresh, fresh_stats_checkpoint)
+        plain_bits.append(bits(plain))
+        fresh_bits.append(bits(fresh))
+    # the plain path compounds (strictly growing, superlinear); the fresh
+    # path is constant at the default-size estimate
+    assert plain_bits == sorted(plain_bits) and plain_bits[-1] > 4 * plain_bits[0]
+    assert len(set(fresh_bits)) == 1 and fresh_bits[0] <= 64
+    assert sorted(fresh.collect()) == sorted(plain.collect())
