@@ -45,8 +45,11 @@ from ..caching import CacheScope
 from ..operators.quality import QualityRules
 from ..plans.incremental_curation import curate_batch
 
+# batch_id is NOT a data column: the audit partition path (batch_id=N)
+# carries it, and duplicating it in-data makes every read warn
+# COLUMN_ALREADY_EXISTS; readers get batch_id back via partition discovery
 AUDIT_SCHEMA = (
-    "batch_id BIGINT, n_batch BIGINT, n_admitted BIGINT, "
+    "n_batch BIGINT, n_admitted BIGINT, "
     "n_dropped_vs_seen BIGINT, n_contaminated BIGINT, n_trimmed_spans BIGINT"
 )
 
@@ -120,7 +123,6 @@ def fold_batch(
             )
         audit = [
             (
-                batch_id,
                 batch_df.count(),
                 res.admitted.count(),
                 res.dropped_vs_seen.count(),

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Steady-state streaming-curation probe: per-batch fold cost as the
+curated corpus and its window-hash table accrue across K batches.
+
+The 100x-history probe (SCALE.md round 8) measures the asymptote of ONE
+``curate_batch`` fold against a big pre-built history; this probe measures
+the TRAJECTORY the streaming pipeline actually walks — K successive
+disjoint shards folded through ``streaming/curation.py::fold_batch``, each
+against everything the previous folds admitted. Pass criterion: per-batch
+wall is governed by the batch (flat-ish trend with a slow history term
+from the vs-seen joins' seen-side scans), NOT by fold index — a
+superlinear trend would mean per-batch cost compounds and the stream dies
+by accretion.
+
+Shards are cipher-disjoint slices of the sf0.1 corpus (one affine cipher
+index per shard, same family as ``bench_scaleup_curation.py``) so every
+batch is mostly-new content — the steady-state regime. doc_ids are offset
+per shard (stream-wide uniqueness contract).
+
+Usage: python tools/bench_stream_curation.py [n_batches] [trim_w]
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_AFFINE_A = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
+def main() -> None:
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    trim_w = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from pyspark.sql import functions as F
+
+    from etl_for_all_studies_spark.operators.quality import STOPWORDS
+    from etl_for_all_studies_spark.session import get_spark
+    from etl_for_all_studies_spark.streaming.curation import fold_batch
+
+    spark = get_spark(
+        app_name="bench-stream-curation",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        },
+    )
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = base.persist()
+    base.count()
+
+    def cipher(col, idx: int):
+        a = _AFFINE_A[(idx // 26) % len(_AFFINE_A)]
+        b = idx % 26
+        if a == 1 and b == 0:
+            return col
+        mapped = "".join(ALPHA[(a * p + b) % 26] for p in range(26))
+        return F.array_join(
+            F.transform(
+                F.split(col, " "),
+                lambda w: F.when(w.isin(*STOPWORDS), w).otherwise(
+                    F.translate(w, ALPHA, mapped)
+                ),
+            ),
+            " ",
+        )
+
+    tmp = tempfile.mkdtemp(prefix="stream_cur_probe_")
+    corpus = f"{tmp}/corpus"
+    try:
+        walls = []
+        for i in range(n_batches):
+            batch = base.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+                cipher(F.col("text"), i).alias("text"),
+            )
+            t0 = time.monotonic()
+            fold_batch(batch, i, corpus, trim_spans_w=trim_w)
+            walls.append(round(time.monotonic() - t0, 2))
+        audit = {
+            int(r.batch_id): (int(r.n_admitted), int(r.n_dropped_vs_seen))
+            for r in spark.read.parquet(f"{corpus}/audit").collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "n_batches": n_batches,
+                    "batch_docs": base.count(),
+                    "trim_w": trim_w,
+                    "wall_per_batch_s": walls,
+                    "admitted_per_batch": [audit[i][0] for i in range(n_batches)],
+                    "last_over_first_wall": round(walls[-1] / walls[0], 2),
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
