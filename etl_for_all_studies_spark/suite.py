@@ -6719,7 +6719,7 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     ),
 }
 
-# ROUND-8 ROTATION. The standing rule is now CODE, not a comment:
+# ROUND-9 ROTATION. The standing rule is CODE, not a comment:
 # ``tools/last_checked.json`` (regenerated per round by
 # ``tools/gen_last_checked.py`` from the CORRECTNESS_r*.json artifacts)
 # records each query's latest driver check, and
@@ -6727,76 +6727,19 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
 # window is exactly {never-checked} ∪ {ROTATION_MODIFIED} ∪ {the oldest-
 # checked remainder}, with the stale cohort ordered oldest-first.
 #
-# This round (judge directive r8 #1): lead with the 43 queries last
-# driver-checked in r4/r5 — after this window lands, no registry entry is
-# older than 3 rounds. ROTATION_MODIFIED holds the plans whose PHYSICAL
-# plan changed since their last check, established by diffing every
+# This round (judge directive r8 #1/#6): lead with the 27 queries last
+# driver-checked in r6, then fill the window's 23 remaining slots with the
+# oldest r7-checked entries — after this window lands, no registry entry
+# is older than 2 rounds. ROTATION_MODIFIED holds the plans whose PHYSICAL
+# plan changed since their last driver check, established by diffing every
 # query's executedPlan string across the round's engine commits
-# (tools/dump_plans.py): the round-8 compute_spread de-eagering
-# (partitioning.py) left all 126 plans bit-identical; only the
-# dup_spans_rolling doc-length guard (spans.py _MAX_PREFIX_DOC_TOKENS)
-# changed a plan. Window tail = the 6 oldest r6-checked entries. Pure
-# reorder: nothing renamed, dropped, or re-oracled.
-ROTATION_MODIFIED: list[str] = [
-    "dup_spans_rolling",  # r8 prefix-path doc-length guard in the plan
-]
-_R8_STALE_FIRST: list[str] = [
-    # last checked r4 (CORRECTNESS_r04.json), prior relative order
-    "bootstrap_ci",
-    "events_ks_ab",
-    "events_psi",
-    "events_cuped",
-    "user_survival",
-    "user_logrank",
-    # last checked r5
-    "lineitem_ols",
-    "events_attribution",
-    "segment_target_encode",
-    "events_ztest",
-    "events_chi2",
-    "orders_benford",
-    "revenue_concentration",
-    "events_transitions",
-    "user_entropy",
-    "events_anomaly",
-    "weighted_median",
-    "events_auc",
-    "events_calibration",
-    "events_anomaly_expanding",
-    "classifier_score",
-    "splits_leakage_safe",
-    "corpus_shard",
-    "dedup_normalized",
-    "events_sessions_native",
-    "kmeans_embeddings",
-    "vocab_topk",
-    "events_scd2",
-    "value_deciles",
-    "skew_report",
-    "orders_above_avg",
-    "customer_set_ops",
-    "regional_revenue",
-    "cube_revenue",
-    "spearman_block",
-    "events_error_window",
-    "embedding_quantize",
-    "token_heavy_hitters",
-    "embedding_pipeline",
-    "sample_per_source",
-    "tfidf_similar",
-    "orders_snapshot_diff",
-    "semantic_decontam",
-]
-# the remainder, oldest-checked-first (r6 cohort then r7 cohort, prior
-# relative order within each) — the window's tail 6 slots fall on the
-# first entries here, and round 9's rotation starts from this ordering
-_R8_REST: list[str] = [
-    "spearman_suppliers",
-    "spearman_dense_auto",
-    "pricing_summary",
-    "star_join_revenue",
-    "whitelist_semi_join",
-    "anti_join_customers",
+# (tools/dump_plans.py); the round-9 engine work (streaming-curation
+# commit-marker reads + compaction, wide-ETL chunked unpivot) touches no
+# registered query's plan, so the set is empty. Pure reorder: nothing
+# renamed, dropped, or re-oracled.
+ROTATION_MODIFIED: list[str] = []
+_R9_R6_COHORT: list[str] = [
+    # last checked r6 (CORRECTNESS_r06.json), prior relative order
     "unpivot_part",
     "props_normalize",
     "dq_completion",
@@ -6824,6 +6767,9 @@ _R8_REST: list[str] = [
     "events_skewed_agg",
     "events_funnel",
     "events_pivot",
+]
+_R9_R7_COHORT: list[str] = [
+    # last checked r7 — the first 23 complete the window, oldest-first
     "dedup_minhash_capped",
     "dup_spans_incr_keepfirst",
     "dup_spans",
@@ -6874,9 +6820,62 @@ _R8_REST: list[str] = [
     "welch_ab_test",
     "mannwhitney_ab",
 ]
-_R8_ORDER = _R8_STALE_FIRST + ROTATION_MODIFIED + _R8_REST
-assert sorted(_R8_ORDER) == sorted(QUERY_REGISTRY), "rotation must be a pure reorder"
-QUERY_REGISTRY = {k: QUERY_REGISTRY[k] for k in _R8_ORDER}
+_R9_R8_COHORT: list[str] = [
+    # last checked r8, prior relative order
+    "bootstrap_ci",
+    "events_ks_ab",
+    "events_psi",
+    "events_cuped",
+    "user_survival",
+    "user_logrank",
+    "lineitem_ols",
+    "events_attribution",
+    "segment_target_encode",
+    "events_ztest",
+    "events_chi2",
+    "orders_benford",
+    "revenue_concentration",
+    "events_transitions",
+    "user_entropy",
+    "events_anomaly",
+    "weighted_median",
+    "events_auc",
+    "events_calibration",
+    "events_anomaly_expanding",
+    "classifier_score",
+    "splits_leakage_safe",
+    "corpus_shard",
+    "dedup_normalized",
+    "events_sessions_native",
+    "kmeans_embeddings",
+    "vocab_topk",
+    "events_scd2",
+    "value_deciles",
+    "skew_report",
+    "orders_above_avg",
+    "customer_set_ops",
+    "regional_revenue",
+    "cube_revenue",
+    "spearman_block",
+    "events_error_window",
+    "embedding_quantize",
+    "token_heavy_hitters",
+    "embedding_pipeline",
+    "sample_per_source",
+    "tfidf_similar",
+    "orders_snapshot_diff",
+    "semantic_decontam",
+    "dup_spans_rolling",
+    "spearman_suppliers",
+    "spearman_dense_auto",
+    "pricing_summary",
+    "star_join_revenue",
+    "whitelist_semi_join",
+    "anti_join_customers",
+]
+_R9_ORDER = _R9_R6_COHORT + ROTATION_MODIFIED + _R9_R7_COHORT + _R9_R8_COHORT
+assert sorted(_R9_ORDER) == sorted(QUERY_REGISTRY), "rotation must be a pure reorder"
+QUERY_REGISTRY = {k: QUERY_REGISTRY[k] for k in _R9_ORDER}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -31,13 +31,27 @@ def _load():
 
 def test_last_checked_is_current():
     """The committed last_checked.json must match a regeneration from the
-    CORRECTNESS artifacts — a new driver round without a rerun of
-    tools/gen_last_checked.py fails here first."""
+    CORRECTNESS artifacts *as of its own horizon*, and that horizon may
+    trail the newest artifact by at most one round.
+
+    The driver drops CORRECTNESS_r{N}.json AFTER the builder's last commit
+    of round N, so at every judge checkpoint exactly one artifact newer
+    than the committed horizon legitimately exists — tolerate it. A gap of
+    two or more rounds means a round went by without the builder rerunning
+    tools/gen_last_checked.py — fail loudly (VERDICT r8 #1)."""
     import tools.gen_last_checked as gen
 
     _, last = _load()
-    assert last == gen.build(), (
-        "tools/last_checked.json is stale — rerun tools/gen_last_checked.py"
+    horizon = max(last.values(), default=0)
+    assert last == gen.build(cap=horizon), (
+        "tools/last_checked.json disagrees with the artifacts at its own "
+        "horizon — rerun tools/gen_last_checked.py"
+    )
+    newest = max(gen.artifact_rounds(), default=0)
+    assert newest - horizon <= 1, (
+        f"rotation bookkeeping missed a round: newest artifact r{newest} "
+        f"vs committed horizon r{horizon} — rerun tools/gen_last_checked.py "
+        "and re-rotate the registry window"
     )
 
 
