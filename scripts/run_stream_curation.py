@@ -49,12 +49,19 @@ def main(argv: list[str] | None = None) -> int:
         "--max-files-per-trigger", type=int, default=1,
         help="Shards per micro-batch (tune to cluster size)",
     )
+    parser.add_argument(
+        "--compact", action="store_true",
+        help="After the drain, compact closed batch partitions (all but "
+             "the newest committed batch) into one generation partition",
+    )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
 
     from etl_for_all_studies_spark.session import get_spark
     from etl_for_all_studies_spark.streaming.corpus import read_corpus_stream
     from etl_for_all_studies_spark.streaming.curation import (
+        compact_batches,
+        read_audit,
         read_curated_corpus,
         stream_curate_corpus,
     )
@@ -72,16 +79,25 @@ def main(argv: list[str] | None = None) -> int:
         eval_docs=eval_docs,
         trim_spans_w=args.trim_spans_w,
     )
-    audit_dir = pathlib.Path(args.corpus) / "audit"
-    batches = admitted = 0
-    if audit_dir.is_dir():
-        for row in spark.read.parquet(str(audit_dir)).collect():
-            batches += 1
-            admitted += row.n_admitted
-    corpus_total = read_curated_corpus(spark, args.corpus).count()
+    compacted = (
+        len(compact_batches(spark, args.corpus)) if args.compact else 0
+    )
+    # a drain that processed zero batches leaves no corpus state at all —
+    # report batches=0 instead of tripping over the missing directory
+    audit = read_audit(spark, args.corpus)
+    batches = admitted = corpus_total = 0
+    if audit is not None:
+        from pyspark.sql import functions as F
+
+        row = audit.agg(
+            F.count(F.lit(1)).alias("b"), F.sum("n_admitted").alias("a")
+        ).collect()[0]
+        batches, admitted = row["b"], int(row["a"])
+        corpus_total = read_curated_corpus(spark, args.corpus).count()
     print(
         f"batches={batches} admitted_total={admitted} "
-        f"corpus_docs={corpus_total} elapsed={time.monotonic() - t0:.1f}s"
+        f"corpus_docs={corpus_total} compacted={compacted} "
+        f"elapsed={time.monotonic() - t0:.1f}s"
     )
     return 0
 

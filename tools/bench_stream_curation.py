@@ -17,7 +17,15 @@ index per shard, same family as ``bench_scaleup_curation.py``) so every
 batch is mostly-new content — the steady-state regime. doc_ids are offset
 per shard (stream-wide uniqueness contract).
 
-Usage: python tools/bench_stream_curation.py [n_batches] [trim_w]
+Round 9 extends the probe to the 50-100 fold regime, where the fixed
+per-fold costs the 8-fold run couldn't see — the `batch_id=*` listing,
+per-partition parquet footer reads, and small-file accretion — get a
+chance to trend. `compact_every=K` exercises `compact_batches` as the
+maintenance story: every K folds, closed batches collapse into one
+generation partition, bounding both the listing and the file count.
+
+Usage: python tools/bench_stream_curation.py [n_batches] [trim_w] \
+           [docs_per_batch] [compact_every]
 """
 from __future__ import annotations
 
@@ -34,15 +42,30 @@ ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _AFFINE_A = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
 
+def _count_files(root: pathlib.Path) -> int:
+    return sum(
+        1
+        for d in root.iterdir()
+        for f in d.iterdir()
+        if f.is_file() and f.suffix == ".parquet"
+    ) if root.is_dir() else 0
+
+
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     trim_w = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    docs_per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 0  # 0 = all
+    compact_every = int(sys.argv[4]) if len(sys.argv) > 4 else 0  # 0 = never
 
     from pyspark.sql import functions as F
 
     from etl_for_all_studies_spark.operators.quality import STOPWORDS
     from etl_for_all_studies_spark.session import get_spark
-    from etl_for_all_studies_spark.streaming.curation import fold_batch
+    from etl_for_all_studies_spark.streaming.curation import (
+        compact_batches,
+        fold_batch,
+        read_audit,
+    )
 
     spark = get_spark(
         app_name="bench-stream-curation",
@@ -57,6 +80,8 @@ def main() -> None:
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
         "doc_id", "text"
     )
+    if docs_per_batch:
+        base = base.where(F.col("doc_id") < docs_per_batch)
     base = base.persist()
     base.count()
 
@@ -79,7 +104,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="stream_cur_probe_")
     corpus = f"{tmp}/corpus"
     try:
-        walls = []
+        walls, compact_walls = [], []
         for i in range(n_batches):
             batch = base.select(
                 (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
@@ -88,23 +113,40 @@ def main() -> None:
             t0 = time.monotonic()
             fold_batch(batch, i, corpus, trim_spans_w=trim_w)
             walls.append(round(time.monotonic() - t0, 2))
+            if compact_every and (i + 1) % compact_every == 0:
+                t0 = time.monotonic()
+                compact_batches(spark, corpus, min_batches=2)
+                compact_walls.append(round(time.monotonic() - t0, 2))
         audit = {
             int(r.batch_id): (int(r.n_admitted), int(r.n_dropped_vs_seen))
-            for r in spark.read.parquet(f"{corpus}/audit").collect()
+            for r in read_audit(spark, corpus).collect()
         }
-        print(
-            json.dumps(
-                {
-                    "n_batches": n_batches,
-                    "batch_docs": base.count(),
-                    "trim_w": trim_w,
-                    "wall_per_batch_s": walls,
-                    "admitted_per_batch": [audit[i][0] for i in range(n_batches)],
-                    "last_over_first_wall": round(walls[-1] / walls[0], 2),
-                }
+        n = len(walls)
+        q = max(1, n // 4)
+        out = {
+            "n_batches": n_batches,
+            "batch_docs": base.count(),
+            "trim_w": trim_w,
+            "compact_every": compact_every,
+            "wall_per_batch_s": walls,
+            "admitted_per_batch": [audit[i][0] for i in range(n_batches)],
+            "last_over_first_wall": round(walls[-1] / walls[0], 2),
+            # warmup-insensitive trend: mean of the last quartile over the
+            # second quartile (first quartile carries JIT/codegen warmup)
+            "q4_over_q2_wall": round(
+                (sum(walls[n - q:]) / q) / (sum(walls[q: 2 * q]) / q), 2
             ),
-            flush=True,
-        )
+            "final_state_files": {
+                "admitted": _count_files(pathlib.Path(corpus) / "admitted"),
+                "window_hashes": _count_files(
+                    pathlib.Path(corpus) / "window_hashes"
+                ),
+                "audit": _count_files(pathlib.Path(corpus) / "audit"),
+            },
+        }
+        if compact_walls:
+            out["compact_wall_s"] = compact_walls
+        print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
