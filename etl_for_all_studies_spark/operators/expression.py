@@ -52,9 +52,23 @@ def expression_wide_to_long(
     wide: DataFrame,
     metadata_samples: Sequence[str],
     accession: str,
+    gene_whitelist: DataFrame | None = None,
 ) -> DataFrame:
     """Wide matrix → long `(gse_accession, ensembl_id, gsm_accession,
-    expression_value)` with bad-cell drop semantics (O-14 + melt + O-15)."""
+    expression_value)` with bad-cell drop semantics (O-14 + melt + O-15).
+
+    ``gene_whitelist`` applies the O-13 gene filter as a broadcast semi-join
+    on the WIDE side, before the unpivot — the reference's own order
+    (``expression_processing.py:83-84`` skips non-whitelist gene rows while
+    still row-oriented, before emitting cells). Catalyst cannot push a
+    semi-join below the unpivot's Expand (only the derived not-null/
+    not-empty predicates migrate), so without the prefilter every CELL pays
+    the Expand + try_cast + hash-probe; with it, only rows do — at the
+    reference's 10k-sample envelope that is a per-study factor of
+    n_samples (10,000×) on the Expand's output volume whenever the
+    whitelist is selective, and one cheap row probe when it isn't.
+    Passing the whitelist here makes :func:`filter_to_whitelist`
+    downstream redundant (kept for long-form callers)."""
     kept, missing = intersect_sample_columns(wide, metadata_samples)
     if missing:
         logger.warning(
@@ -66,6 +80,15 @@ def expression_wide_to_long(
             f"Study {accession}: no expression columns match metadata samples"
         )
     pruned = wide.select("ensembl_id", *[F.col(f"`{c}`") for c in kept])
+    if gene_whitelist is not None:
+        wl = gene_whitelist.select(
+            F.trim(F.col("ensembl_id")).alias("_wl_ensembl_id")
+        )
+        pruned = pruned.join(
+            F.broadcast(wl),
+            F.trim(F.col("ensembl_id")) == F.col("_wl_ensembl_id"),
+            "left_semi",
+        )
     long = pruned.unpivot(
         ids=["ensembl_id"],
         values=kept,

@@ -24,6 +24,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope
 from ..config import AppConfig
 from ..operators.dims import (
     build_dim_gene,
@@ -32,7 +33,7 @@ from ..operators.dims import (
     build_dim_sample,
     build_dim_study,
 )
-from ..operators.expression import expression_wide_to_long, filter_to_whitelist
+from ..operators.expression import expression_wide_to_long
 from ..operators.metadata_norm import metadata_quality, normalize_metadata
 from ..session import get_spark
 from ..sources.discovery import discover_studies, discover_study_files
@@ -103,96 +104,122 @@ def run_pipeline(
     if not staged:
         return PipelineResult([], failures, 0, [], time.monotonic() - t0)
 
-    # Phase 2 — ONE batched collect of every study's sample list (the
-    # column-pruning driver metadata for O-14) instead of one job per study:
-    # plan construction stays O(1) Spark jobs as the study count grows.
-    # Cardinality is total samples (≤50k/study), same driver footprint as
-    # the per-study collects it replaces.
-    all_md = _union_all([md for _, _, md, _ in staged])
-    samples_by_study: dict[str, list[str]] = {}
-    for gse, gsm in (
-        all_md.select("gse_accession", "gsm_accession").distinct().collect()
-    ):
-        samples_by_study.setdefault(gse, []).append(gsm)
+    # NOTE on scan splits (measured at the 10k-sample wide envelope,
+    # SCALE.md round 9): shrinking spark.sql.files.maxPartitionBytes to add
+    # parse parallelism does NOT help the 10k-column TSV read on local[32]
+    # — 64/128/256 MiB all land at 55-67 s per 2x10^8-cell scan while
+    # 20 MiB *regresses* 2.5x (per-task parser setup and row-width
+    # allocation dominate at that column count). The engine therefore
+    # leaves the split at the session default and attacks scan COUNT
+    # instead: the persisted barriers below make each wide file parse once
+    # per run, not once per downstream action.
+    scope = CacheScope()
+    try:
+        # Phase 2 — ONE batched collect of every study's sample list (the
+        # column-pruning driver metadata for O-14) instead of one job per study:
+        # plan construction stays O(1) Spark jobs as the study count grows.
+        # Cardinality is total samples (≤50k/study), same driver footprint as
+        # the per-study collects it replaces.
+        all_md = _union_all([md for _, _, md, _ in staged])
+        samples_by_study: dict[str, list[str]] = {}
+        for gse, gsm in (
+            all_md.select("gse_accession", "gsm_accession").distinct().collect()
+        ):
+            samples_by_study.setdefault(gse, []).append(gsm)
 
-    # Phase 3 — per-study unpivot plans against the collected sample lists;
-    # a study whose expression header shares no columns with its metadata is
-    # quarantined here (ExpressionSchemaError), after the batch job.
-    metadata_parts: list[DataFrame] = []
-    expression_parts: list[DataFrame] = []
-    processed: list[str] = []
-    for study_dir, accession, md, wide in staged:
-        try:
-            long = expression_wide_to_long(
-                wide, samples_by_study.get(accession, []), accession
-            )
-            expression_parts.append(filter_to_whitelist(long, genes))
-            metadata_parts.append(md)
-            processed.append(accession)
-        except Exception as exc:  # noqa: BLE001
-            logger.exception("Study %s failed; quarantined", study_dir)
-            failures.append(StudyFailure(study_dir, f"{type(exc).__name__}: {exc}"))
+        # Phase 3 — per-study unpivot plans against the collected sample lists;
+        # a study whose expression header shares no columns with its metadata is
+        # quarantined here (ExpressionSchemaError), after the batch job.
+        metadata_parts: list[DataFrame] = []
+        expression_parts: list[DataFrame] = []
+        processed: list[str] = []
+        for study_dir, accession, md, wide in staged:
+            try:
+                # whitelist applied on the WIDE side (O-13 before the melt, the
+                # reference's own order): the semi-join probes gene rows, not
+                # cells — Catalyst can't push it below the Expand itself
+                long = expression_wide_to_long(
+                    wide,
+                    samples_by_study.get(accession, []),
+                    accession,
+                    gene_whitelist=genes,
+                )
+                expression_parts.append(long)
+                metadata_parts.append(md)
+                processed.append(accession)
+            except Exception as exc:  # noqa: BLE001
+                logger.exception("Study %s failed; quarantined", study_dir)
+                failures.append(StudyFailure(study_dir, f"{type(exc).__name__}: {exc}"))
 
-    if not metadata_parts:
-        return PipelineResult([], failures, 0, [], time.monotonic() - t0)
+        if not metadata_parts:
+            return PipelineResult([], failures, 0, [], time.monotonic() - t0)
 
-    metadata = _union_all(metadata_parts)
-    expression = _union_all(expression_parts)
+        # both frames have several downstream consumers (metadata: five
+        # dim builds + the DQ report; expression: dim_gene + the fact
+        # build) and each consumer is its own action — without a
+        # barrier every action re-parses the wide TSVs (measured
+        # 60-80 s/scan at the 10k-sample envelope). Sizes are bounded:
+        # metadata by total samples, expression by whitelist-kept
+        # cells (MEMORY_AND_DISK spills rather than evicts).
+        metadata = scope.persist(_union_all(metadata_parts))
+        expression = scope.persist(_union_all(expression_parts))
 
-    # -- dimension builds (existing keys preserved; O-46/O-47 set-at-a-time) --
-    dim_study = build_dim_study(wh.read("dim_study"), metadata)
-    wh.overwrite_dim("dim_study", dim_study)
-    dim_study = wh.read("dim_study")
+        # -- dimension builds (existing keys preserved; O-46/O-47 set-at-a-time) --
+        dim_study = build_dim_study(wh.read("dim_study"), metadata)
+        wh.overwrite_dim("dim_study", dim_study)
+        dim_study = wh.read("dim_study")
 
-    dim_illness = build_dim_illness(wh.read("dim_illness"), metadata)
-    wh.overwrite_dim("dim_illness", dim_illness)
-    dim_illness = wh.read("dim_illness")
+        dim_illness = build_dim_illness(wh.read("dim_illness"), metadata)
+        wh.overwrite_dim("dim_illness", dim_illness)
+        dim_illness = wh.read("dim_illness")
 
-    dim_platform = build_dim_platform(wh.read("dim_platform"), metadata)
-    wh.overwrite_dim("dim_platform", dim_platform)
-    dim_platform = wh.read("dim_platform")
+        dim_platform = build_dim_platform(wh.read("dim_platform"), metadata)
+        wh.overwrite_dim("dim_platform", dim_platform)
+        dim_platform = wh.read("dim_platform")
 
-    dim_gene = build_dim_gene(wh.read("dim_gene"), expression)
-    wh.overwrite_dim("dim_gene", dim_gene)
-    dim_gene = wh.read("dim_gene")
+        dim_gene = build_dim_gene(wh.read("dim_gene"), expression)
+        wh.overwrite_dim("dim_gene", dim_gene)
+        dim_gene = wh.read("dim_gene")
 
-    dim_sample = build_dim_sample(
-        wh.read("dim_sample"), metadata, dim_study, dim_illness, dim_platform
-    )
-    wh.overwrite_dim("dim_sample", dim_sample)
-    dim_sample = wh.read("dim_sample")
-
-    # -- fact build: long expression × dims (broadcast probes, O-22/O-23) --
-    fact = (
-        expression.join(F.broadcast(dim_study), on="gse_accession")
-        .join(F.broadcast(dim_gene), on="ensembl_id")
-        .join(
-            F.broadcast(dim_sample.select("sample_key", "gsm_accession", "study_key")),
-            on=["gsm_accession", "study_key"],
+        dim_sample = build_dim_sample(
+            wh.read("dim_sample"), metadata, dim_study, dim_illness, dim_platform
         )
-        .select("sample_key", "gene_key", "expression_value", "study_key")
-    )
-    written = wh.append_fact(
-        "fact_expression", fact, dedup_keys=["sample_key", "gene_key", "study_key"]
-    )
+        wh.overwrite_dim("dim_sample", dim_sample)
+        dim_sample = wh.read("dim_sample")
 
-    quality_rows = [r.asDict() for r in metadata_quality(metadata).collect()]
-    if config.logging.log_data_quality:
-        for row in quality_rows:
-            logger.info("DQ %s", row)
-    if config.logging.log_record_counts:
-        logger.info("fact_expression rows appended: %d", written)
+        # -- fact build: long expression × dims (broadcast probes, O-22/O-23) --
+        fact = (
+            expression.join(F.broadcast(dim_study), on="gse_accession")
+            .join(F.broadcast(dim_gene), on="ensembl_id")
+            .join(
+                F.broadcast(dim_sample.select("sample_key", "gsm_accession", "study_key")),
+                on=["gsm_accession", "study_key"],
+            )
+            .select("sample_key", "gene_key", "expression_value", "study_key")
+        )
+        written = wh.append_fact(
+            "fact_expression", fact, dedup_keys=["sample_key", "gene_key", "study_key"]
+        )
 
-    if with_correlations:
-        from .correlation_job import run_correlation_job
+        quality_rows = [r.asDict() for r in metadata_quality(metadata).collect()]
+        if config.logging.log_data_quality:
+            for row in quality_rows:
+                logger.info("DQ %s", row)
+        if config.logging.log_record_counts:
+            logger.info("fact_expression rows appended: %d", written)
 
-        run_correlation_job(config, spark=spark, mode=correlation_mode)
+        if with_correlations:
+            from .correlation_job import run_correlation_job
 
-    elapsed = time.monotonic() - t0
-    if config.logging.log_processing_time:
-        logger.info("pipeline finished in %.2fs", elapsed)
-    _ = own_spark  # session lifetime is the caller's concern
-    return PipelineResult(processed, failures, written, quality_rows, elapsed)
+            run_correlation_job(config, spark=spark, mode=correlation_mode)
+
+        elapsed = time.monotonic() - t0
+        if config.logging.log_processing_time:
+            logger.info("pipeline finished in %.2fs", elapsed)
+        _ = own_spark  # session lifetime is the caller's concern
+        return PipelineResult(processed, failures, written, quality_rows, elapsed)
+    finally:
+        scope.release()
 
 
 __all__ = ["PipelineResult", "StudyFailure", "run_pipeline"]

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.diff import apply_changelog
+from .util import await_drain
 
 _VERSION_FILE = "_VERSION"
 _FINGERPRINT_FILE = "_FINGERPRINT"
@@ -204,7 +205,7 @@ def stream_apply_changelog(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    await_drain(q, await_seconds)
 
 
 def vacuum_table(table_dir: str, *, keep_last: int = 2) -> list[str]:

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.corpus import DOCUMENT_SCHEMA
+from .util import await_drain
 
 
 def read_corpus_stream(
@@ -65,7 +66,7 @@ def stream_ingest_corpus(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    await_drain(q, await_seconds)
 
 
 __all__ = ["read_corpus_stream", "stream_ingest_corpus"]

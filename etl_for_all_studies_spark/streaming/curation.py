@@ -78,6 +78,7 @@ from pyspark.sql import functions as F
 from ..caching import CacheScope
 from ..operators.quality import QualityRules
 from ..plans.incremental_curation import curate_batch
+from .util import await_drain
 
 # batch_id is NOT a data column: the audit partition path (batch_id=N)
 # carries it, and duplicating it in-data makes every read warn
@@ -280,15 +281,7 @@ def stream_curate_corpus(
         .trigger(availableNow=True)
         .start()
     )
-    if await_seconds is None:
-        q.awaitTermination()
-    elif not q.awaitTermination(await_seconds):
-        q.stop()
-        raise TimeoutError(
-            f"streaming curation drain exceeded {await_seconds}s; "
-            "stopped mid-backlog — corpus state covers only committed "
-            "batches, rerun to resume from the checkpoint"
-        )
+    await_drain(q, await_seconds)
 
 
 def compact_batches(

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .util import await_drain
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -291,7 +293,7 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    await_drain(q, await_seconds)
 
 
 def attribute_clicks(

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.drift import psi
+from .util import await_drain
 
 
 def stream_monitor_drift(
@@ -63,7 +64,7 @@ def stream_monitor_drift(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    await_drain(q, await_seconds)
 
 
 __all__ = ["stream_monitor_drift"]

@@ -52,6 +52,30 @@ def test_unpivot_cast_drop_and_whitelist(spark, wide, study_tree):
     assert filtered.count() == 11
 
 
+def test_wide_side_whitelist_prefilter_matches_postfilter(
+    spark, wide, study_tree
+):
+    """The gene whitelist applied on the WIDE side (before the melt — the
+    reference's row-oriented order, expression_processing.py:83-84) must
+    admit exactly the rows the long-side semi-join admits, and its join
+    must execute BELOW the Expand so only gene rows pay the probe."""
+    genes = read_gene_filter(spark, str(study_tree["genes"]))
+    post = filter_to_whitelist(
+        expression_wide_to_long(wide, ["S1", "S2", "S3"], "GSE1"), genes
+    )
+    pre = expression_wide_to_long(
+        wide, ["S1", "S2", "S3"], "GSE1", gene_whitelist=genes
+    )
+    key = ["ensembl_id", "gsm_accession", "expression_value"]
+    assert sorted(map(tuple, pre.select(key).collect())) == sorted(
+        map(tuple, post.select(key).collect())
+    )
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "BroadcastHashJoin" in plan
+    # top-down tree: Expand printing before the join = join runs below it
+    assert plan.index("Expand") < plan.index("BroadcastHashJoin")
+
+
 def test_gene_filter_validation(spark, tmp_path):
     f = tmp_path / "genes.tsv"
     f.write_text("wrong_col\nX\n")
