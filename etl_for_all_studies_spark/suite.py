@@ -6734,9 +6734,11 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
 # plan changed since their last driver check, established by diffing every
 # query's executedPlan string across the round's engine commits
 # (tools/dump_plans.py); the round-9 engine work (streaming-curation
-# commit-marker reads + compaction, wide-ETL chunked unpivot) touches no
-# registered query's plan, so the set is empty. Pure reorder: nothing
-# renamed, dropped, or re-oracled.
+# commit-marker reads + compaction, the wide-side whitelist prefilter and
+# scan-once barriers in plans/pipeline.py) touches no module a registered
+# query imports — suite.py reaches only stats/dedup/similarity/textops/
+# plans.correlation and the unchanged quantile_normalize — so the set is
+# empty. Pure reorder: nothing renamed, dropped, or re-oracled.
 ROTATION_MODIFIED: list[str] = []
 _R9_R6_COHORT: list[str] = [
     # last checked r6 (CORRECTNESS_r06.json), prior relative order

@@ -82,7 +82,7 @@ def main() -> None:
     n_samples = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     n_genes = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
 
-    from etl_for_all_studies_spark import run_pipeline
+    from etl_for_all_studies_spark import run_correlation_job, run_pipeline
     from etl_for_all_studies_spark.config import config_from_dict
     from etl_for_all_studies_spark.session import get_spark
 
@@ -117,6 +117,13 @@ def main() -> None:
         t0 = time.monotonic()
         res = run_pipeline(cfg, spark=spark)
         etl_s = time.monotonic() - t0
+        # sample-DEPTH correlation envelope: 120 whitelist-kept genes =
+        # 7,140 pairs, each over n_samples shared samples — the per-pair
+        # intersection/rank volume axis (pairs x n), complementary to the
+        # r8 gene-WIDTH probe (2x10^8 pairs at n=40)
+        t0 = time.monotonic()
+        corr = run_correlation_job(cfg, spark=spark)
+        corr_s = time.monotonic() - t0
         print(
             json.dumps(
                 {
@@ -132,6 +139,9 @@ def main() -> None:
                         n_samples * n_genes / etl_s
                     ),
                     "failures": len(res.failures),
+                    "corr_pairs": sum(corr.pair_counts.values()),
+                    "corr_sec": round(corr_s, 1),
+                    "corr_rank_rows": 120 * n_samples,
                     "peak_rss_gib": round(
                         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
                         / 1024**2,

@@ -28,8 +28,15 @@ def normalize(plan: str) -> str:
     plan = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1_x", plan)
     # Spark truncates long expression lists at a CHARACTER budget, so the
     # cut point shifts with exprId digit widths — the truncated tail is
-    # noise by construction; collapse the token the ellipsis lands on
-    plan = re.sub(r"[^\s\[\],]*\.\.\.", "x...", plan)
+    # noise by construction; collapse everything from the enclosing
+    # bracket/comma boundary to the ellipsis (a token-level collapse left
+    # one boundary token of drift per cut — measured r8→r9 false diffs on
+    # FileScan DataFilters metadata, which maxMetadataStringLength
+    # truncates independently of the plan-string budget)
+    plan = re.sub(r"[^\[\],]*\.\.\.", "x...", plan)
+    # with-common-expr aliases carry the same session-global counter class
+    # as lambda variables
+    plan = re.sub(r"_common_expr_\d+", "_common_expr_x", plan)
     return plan
 
 
@@ -49,16 +56,27 @@ def main() -> None:
             # shifts with exprId digit widths, defeating normalization
             "spark.sql.debug.maxToStringFields": "100000",
             "spark.sql.maxPlanStringLength": "2147483632",
+            # scan-node metadata (DataFilters/Location lists) truncates at
+            # its own budget, independent of maxPlanStringLength
+            "spark.sql.maxMetadataStringLength": "1000000",
         },
     )
     plans = {}
-    for name, qd in suite.QUERY_REGISTRY.items():
+    # NAME order + a cache clear per query: the registry's rotation order
+    # must not leak into the dump (a reorder shifts which persisted
+    # intermediates are already materialized when a later plan is built,
+    # flipping size-based choices like BroadcastNestedLoopJoin build side
+    # and isFinalPlan markers inside InMemoryRelation subtrees — measured
+    # as 5 false diffs across the r9 rotation)
+    for name in sorted(suite.QUERY_REGISTRY):
+        qd = suite.QUERY_REGISTRY[name]
         try:
             plans[name] = normalize(
                 qd.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
             )
         except Exception as e:  # noqa: BLE001 - diagnostic dump
             plans[name] = f"ERROR: {e}"
+        spark.catalog.clearCache()
     pathlib.Path(out).write_text(json.dumps(plans, indent=1))
     print(f"wrote {len(plans)} plans to {out}")
 
