@@ -40,9 +40,16 @@ def run_correlation_job(
     accessions: Sequence[str] | None = None,
     spark: SparkSession | None = None,
     *,
-    mode: str = "exact",
+    mode: str = "auto",
     pvalue_dist: str = "normal",
 ) -> CorrelationJobResult:
+    # mode="auto" default (round 9): results are identical in every mode —
+    # the router sends ragged studies to the exact per-pair plan and dense
+    # ones to the pre-ranked plan — but the default was "exact", which at
+    # SAMPLE depth pays per-pair intersection ranking: measured 58.4 s
+    # exact vs 7.8 s auto at 120 genes x 10,000 samples (the reference's
+    # stated sample floor). The classification aggregation auto adds is
+    # one bounded job (SCALE.md round 9).
     t0 = time.monotonic()
     spark = spark or get_spark(
         app_name=config.spark.app_name,

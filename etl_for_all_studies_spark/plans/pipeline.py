@@ -68,7 +68,7 @@ def run_pipeline(
     config: AppConfig,
     spark: SparkSession | None = None,
     *,
-    correlation_mode: str = "exact",
+    correlation_mode: str = "auto",
     with_correlations: bool = False,
 ) -> PipelineResult:
     """Run the full ETL over every study under ``processing.input_directory``."""

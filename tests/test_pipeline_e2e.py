@@ -316,3 +316,22 @@ def test_dense_study_routes_preranked_in_e2e_job(spark, tmp_path, monkeypatch):
         assert rho_a == pytest.approx(rho_e, abs=1e-12), k
         assert p_a == pytest.approx(p_e, abs=1e-6), k
         assert q_a == pytest.approx(q_e, abs=1e-6), k
+
+
+def test_correlation_job_defaults_to_auto_routing():
+    """Round-9 default: identical results in every mode, so the job routes
+    per-study (ragged → exact, dense → pre-ranked) unless overridden —
+    exact-by-default paid per-pair intersection ranking, measured 7.5x
+    slower at the reference's 10k-sample floor (SCALE.md round 9)."""
+    import inspect
+
+    from etl_for_all_studies_spark.plans.correlation_job import (
+        run_correlation_job,
+    )
+    from etl_for_all_studies_spark.plans.pipeline import run_pipeline
+
+    assert inspect.signature(run_correlation_job).parameters["mode"].default == "auto"
+    assert (
+        inspect.signature(run_pipeline).parameters["correlation_mode"].default
+        == "auto"
+    )
