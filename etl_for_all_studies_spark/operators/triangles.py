@@ -1,0 +1,108 @@
+"""Triangle counting over an undirected edge list — degree-ordered wedge
+enumeration (the third graph member after connected components and PageRank).
+
+Triangles are the primitive behind clustering coefficients, community
+strength, and spam/bot detection on co-occurrence graphs; for curation they
+flag tightly cross-linked duplicate families that pairwise scores miss.
+
+The naive count joins edges on a shared endpoint and checks the closing
+edge: wedge volume is Σ deg(v)², which a single celebrity vertex turns
+quadratic. The standard fix (degree ordering / "forward" algorithm,
+Chiba–Nishizeki; Suri & Vassilvitskii WWW'11 for the MapReduce form) orients
+every undirected edge from its lower-(degree, id) endpoint to the higher —
+each triangle then has exactly ONE wedge rooted at its minimum-order vertex,
+and out-degree under this orientation is bounded by O(√m), so wedge volume
+falls from Σ deg² to O(m^{3/2}) REGARDLESS of skew: the celebrity vertex has
+huge in-degree but tiny out-degree, because almost all its neighbors order
+below it.
+
+Spark-first shape — three equi-joins, all on vertex/edge keys:
+
+1. degrees: one map-side-combined count over the canonicalized edge set;
+2. orientation: two broadcast-or-shuffle hash joins tagging each endpoint's
+   degree, then a ``CASE`` flip — no extra shuffle beyond the joins;
+3. wedges ⋈ closing edge: self-join of the oriented list on the root
+   (keyed by vertex), then an equi-join of ``(a, b)`` wedge tips against
+   the canonical edge set (keyed by the edge pair).
+
+Every triangle is found exactly once (at its minimum-order root), so local
+per-vertex counts attribute each triangle to all three corners via one
+explode — no multiplicity correction needed.
+
+At 100 TB: m^{3/2} is the known lower envelope for exact triangle
+enumeration; all shuffles are keyed by vertex/edge (AQE splits residual
+hot-root skew), and nothing is driver-resident.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct undirected edges as ``(src < dst)`` pairs; self-loops dropped."""
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.where(F.col(src) != F.col(dst))
+        .select(lo.alias("src"), hi.alias("dst"))
+        .distinct()
+    )
+
+
+def _oriented(e: DataFrame) -> DataFrame:
+    """Orient each canonical edge from lower to higher (degree, id)."""
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionAll(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tagged = (
+        e.join(deg.select(F.col("v").alias("src"), F.col("deg").alias("deg_s")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("deg_d")), "dst")
+    )
+    src_first = (F.col("deg_s") < F.col("deg_d")) | (
+        (F.col("deg_s") == F.col("deg_d")) & (F.col("src") < F.col("dst"))
+    )
+    return tagged.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("w"),
+    )
+
+
+def enumerate_triangles(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Every triangle exactly once as ``(v_a < v_b < v_c)`` vertex triples."""
+    e = canonical_edges(edges, src, dst)
+    o = _oriented(e)
+    a, b = o.alias("a"), o.alias("b")
+    wedges = a.join(
+        b,
+        on=[F.col("a.u") == F.col("b.u"), F.col("a.w") < F.col("b.w")],
+    ).select(
+        F.col("a.u").alias("root"),
+        F.col("a.w").alias("src"),  # tips in canonical (lo, hi) order
+        F.col("b.w").alias("dst"),
+    )
+    closed = wedges.join(e, ["src", "dst"])
+    triple = F.array_sort(F.array("root", "src", "dst"))
+    return closed.select(
+        triple[0].alias("v_a"), triple[1].alias("v_b"), triple[2].alias("v_c")
+    )
+
+
+def local_triangle_counts(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """``(vertex, n_triangles)`` for every vertex in ≥1 triangle.
+
+    Each triangle (found once at its degree-order root) credits all three
+    corners — one explode, one map-side-combined count.
+    """
+    tri = enumerate_triangles(edges, src=src, dst=dst)
+    corners = tri.select(
+        F.explode(F.array("v_a", "v_b", "v_c")).alias("vertex")
+    )
+    return corners.groupBy("vertex").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -6550,6 +6550,211 @@ FROM kept
 
 
 # --------------------------------------------------------------------------
+# 46. prefix-filtered exact Jaccard join (round 9) — the AllPairs/PPJoin
+#     scale path: exact near-dup semantics over the FULL shingle universe
+#     (unlike the df-capped valve) with the candidate join bounded by
+#     prefix document frequency instead of Σdf² (operators/prefixjoin.py).
+#     Runs UNBOUNDED over documents — no doc_id cap, no df cap.
+# --------------------------------------------------------------------------
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (t=0.9, k=9): this synthetic corpus has a tiny shingle vocabulary, so
+    # prefixes stay hot far longer than on natural Zipf text — measured
+    # sf0.1 candidate volume: t=0.6/k=5 → ~16% of Σdf² (110 s); t=0.9/k=5 →
+    # 1.1M cands (+posfilter 410k, 20 s); t=0.9/k=9 → 16k cands (5 s).
+    # Semantics are exact at every (t, k); only candidate volume moves —
+    # all three settings find the same 255 clone pairs at sf0.1.
+    from .operators.prefixjoin import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_pairs(docs, k=9, threshold=0.9)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        ((F.floor(F.col("jaccard") * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("jaccard"),
+    )
+
+
+# the oracle is the brute-force co-occurrence form — prefix filtering is
+# exact (no false negatives: the globally-smallest common shingle of any
+# J≥t pair is pigeonholed into both prefixes), so results must be identical
+_SQL_JACCARD_PREFIX = """
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, GREATEST(length(text) - 8, 0) + 1),
+                   i -> text[i : i + 8])
+  )) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.set_size AS size_a, sb.set_size AS size_b,
+       (FLOOR((common / (sa.set_size + sb.set_size - common)) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / (sa.set_size + sb.set_size - common) >= 0.9
+"""
+
+
+# --------------------------------------------------------------------------
+# 47. triangle counting (round 9) — degree-ordered wedge enumeration over
+#     the part co-order graph (operators/triangles.py): orientation bounds
+#     wedge volume at O(m^1.5) regardless of degree skew. The mod-4 vertex
+#     slice keeps the synthetic graph's wedge volume bench-bounded at sf0.1
+#     (610k wedges) while leaving thousands of triangles at every SF.
+# --------------------------------------------------------------------------
+
+def q_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.triangles import local_triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 4 == 0)
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    edges = a.join(
+        b,
+        on=[
+            F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+            F.col("a.l_partkey") < F.col("b.l_partkey"),
+        ],
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    out = local_triangle_counts(edges)
+    return out.select(F.col("vertex").alias("part"), "n_triangles")
+
+
+# oracle: naive closed-wedge enumeration on the canonical (src < dst) edge
+# set — each triangle a<b<c appears exactly once as e(a,b) ⋈ e(a,c) ⋈ e(b,c)
+_SQL_TRIANGLE_PARTS = """
+WITH pp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.src AS va, e1.dst AS vb, e2.dst AS vc
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.src AND e1.dst < e2.dst
+  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+corners AS (SELECT UNNEST([va, vb, vc]) AS part FROM tri)
+SELECT part, COUNT(*) AS n_triangles FROM corners GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 48. small-quantity-order revenue (round 9) — TPC-H Q17 analog: a
+#     correlated scalar aggregate subquery (per-part average quantity)
+#     written as SQL on purpose, like orders_above_avg: Catalyst MUST
+#     decorrelate it into an aggregate + join for the shape to be viable at
+#     scale, and the oracle runs the identical text. The cutoff is
+#     quantized to the 1e-6 grid so the boundary decision is
+#     partial-aggregation-order-independent.
+# --------------------------------------------------------------------------
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SQL_SMALL_QTY)
+
+
+_SQL_SMALL_QTY = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_small_orders
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#9'
+  AND l_quantity < (
+    SELECT (FLOOR(0.2 * AVG(l2.l_quantity) * 1000000.0 + 0.5001) / 1000000.0)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# 49. promo revenue share (round 9) — TPC-H Q14 analog: conditional
+#     aggregation over one ship-year; part is broadcast, lineitem is
+#     scanned once with the date filter pushed to the parquet scan.
+# --------------------------------------------------------------------------
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    out = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias("__promo"),
+        F.sum(rev).alias("__total"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+    share = F.col("__promo") / F.col("__total") * 100.0
+    return out.select(
+        ((F.floor(share * 1000000.0 + F.lit(0.5001)) / 1000000.0) + F.lit(0.0)).alias("promo_pct"),
+        F.round(F.col("__promo"), 2).alias("promo_revenue"),
+        F.col("n_lineitems"),
+    )
+
+
+_SQL_PROMO_REVENUE = """
+WITH agg AS (
+  SELECT SUM(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS promo,
+         SUM(l_extendedprice * (1 - l_discount)) AS total,
+         COUNT(*) AS n_lineitems
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT (FLOOR((promo / total * 100.0) * 1000000.0 + 0.5001) / 1000000.0) + 0.0 AS promo_pct,
+       ROUND(promo, 2) AS promo_revenue,
+       n_lineitems
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# 50. high-balance customers with no urgent orders (round 9) — TPC-H Q22
+#     analog: a global scalar subquery (positive-balance average, quantized)
+#     plus a NOT EXISTS anti-join, grouped by market segment. Same
+#     identical-SQL-text discipline as orders_above_avg.
+# --------------------------------------------------------------------------
+
+def q_high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_HIGH_BALANCE)
+
+
+_SQL_HIGH_BALANCE = """
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT (FLOOR(AVG(c2.c_acctbal) * 1000000.0 + 0.5001) / 1000000.0)
+  FROM customer c2 WHERE c2.c_acctbal > 0.0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -6717,6 +6922,17 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "dedup_minhash_capped": QueryDef(
         q_dedup_minhash_capped, _SQL_MINHASH_CAPPED
     ),
+    # round-9 additions (appended per the registry-frozen rule: new names
+    # only, each with its oracle + COVERAGE.md row in the same commit)
+    "dedup_jaccard_prefix": QueryDef(
+        q_dedup_jaccard_prefix, _SQL_JACCARD_PREFIX
+    ),
+    "triangle_parts": QueryDef(q_triangle_parts, _SQL_TRIANGLE_PARTS),
+    "small_qty_revenue": QueryDef(q_small_qty_revenue, _SQL_SMALL_QTY),
+    "promo_revenue": QueryDef(q_promo_revenue, _SQL_PROMO_REVENUE),
+    "high_balance_inactive": QueryDef(
+        q_high_balance_inactive, _SQL_HIGH_BALANCE
+    ),
 }
 
 # ROUND-9 ROTATION. The standing rule is CODE, not a comment:
@@ -6740,6 +6956,15 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
 # plans.correlation and the unchanged quantile_normalize — so the set is
 # empty. Pure reorder: nothing renamed, dropped, or re-oracled.
 ROTATION_MODIFIED: list[str] = []
+_R9_NEW: list[str] = [
+    # round-9 additions — never driver-checked, so the standing rule puts
+    # them at the head of the window, ahead of the stale r6 cohort
+    "dedup_jaccard_prefix",
+    "triangle_parts",
+    "small_qty_revenue",
+    "promo_revenue",
+    "high_balance_inactive",
+]
 _R9_R6_COHORT: list[str] = [
     # last checked r6 (CORRECTNESS_r06.json), prior relative order
     "unpivot_part",
@@ -6875,7 +7100,9 @@ _R9_R8_COHORT: list[str] = [
     "whitelist_semi_join",
     "anti_join_customers",
 ]
-_R9_ORDER = _R9_R6_COHORT + ROTATION_MODIFIED + _R9_R7_COHORT + _R9_R8_COHORT
+_R9_ORDER = (
+    _R9_NEW + _R9_R6_COHORT + ROTATION_MODIFIED + _R9_R7_COHORT + _R9_R8_COHORT
+)
 assert sorted(_R9_ORDER) == sorted(QUERY_REGISTRY), "rotation must be a pure reorder"
 QUERY_REGISTRY = {k: QUERY_REGISTRY[k] for k in _R9_ORDER}
 
