@@ -16,12 +16,22 @@ class InputFormatError(ValueError):
     """Raised when an input file violates its documented schema."""
 
 
+# Spark's univocity CSV parser hard-fails past 20,480 columns by default
+# (ArrayIndexOutOfBoundsException, found by the 50k-sample envelope probe —
+# tools/bench_etl_wide.py). The reference's stated envelope is 10k-50k
+# samples/study (docs/genomic-etl-requirements.md:35), i.e. up to a
+# 50,001-column expression TSV; 200k gives 4x headroom at ~1.6 MB of
+# parser row-buffer per task — negligible against executor heaps.
+_MAX_TSV_COLUMNS = 200_000
+
+
 def _read_tsv(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.option("sep", "\t")
         .option("header", True)
         .option("inferSchema", False)  # all strings; casts are explicit downstream
         .option("encoding", "UTF-8")
+        .option("maxColumns", _MAX_TSV_COLUMNS)
         .csv(path)
     )
 

@@ -1,0 +1,203 @@
+"""Streaming heavy hitters: a mergeable Misra–Gries summary folded per
+micro-batch — bounded state, any-time top-k, exactly-once replay.
+
+The deployment loop for ``operators/heavyhitters.py``: the batch operator
+answers "top-k of THIS corpus" with candidates + exact recount; a stream
+of token/URL/entity events instead needs an *any-time* answer over
+everything seen so far, without ever re-scanning history. MG summaries are
+mergeable (Agarwal et al., PODS'12): given two summaries with ``m``
+counters, add matching counters, then shrink back to ``m`` by subtracting
+the (m+1)-th largest weight from every counter and dropping non-positives.
+The merged error keeps the MG contract — every weight under-estimates the
+true count by at most ``n_total/(m+1)``, so any item with true frequency
+above that bound is GUARANTEED present in the summary, forever, with state
+bounded at ``m`` rows no matter how much history accrues.
+
+Fold shape (``foreachBatch``, same bridge as cdc/monitoring/curation —
+a batch-relative fold, not a row-wise or windowed aggregation):
+
+1. per-batch summary: ``misra_gries_candidates`` (the one deliberate
+   Python-in-the-path operator — per-partition bounded dicts over Arrow
+   batches), then one groupBy merging the per-partition summaries;
+2. merge with the prior state (≤ m rows read back from parquet): union →
+   sum weights per item → subtract the (m+1)-th largest → keep positive.
+   The shrink's global window runs over ≤ partitions·m + m rows — a
+   driver-bounded summary table, not data (the reason a single-partition
+   sort is acceptable HERE and nowhere else);
+3. write the post-fold state to ``state_dir/batch_id=N/`` — the full
+   summary every fold, so a crash replay of batch N rebuilds identically
+   from batch N−1's state (same self-excluding replay contract as
+   ``streaming/curation.py``: the fold reads only batches < N).
+
+State layout: each committed fold is one ≤ m-row parquet partition; reads
+take the max committed batch only, so history never accumulates into the
+fold (old partitions are audit trail; a maintenance delete of
+``batch_id < horizon`` is safe at any time and needs no compaction story —
+the live state is always exactly one partition).
+
+Reference parity: none — the reference has no streaming surface; this is
+beyond-reference capability for monitoring 100 TB-scale token streams.
+"""
+from __future__ import annotations
+
+import os
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.heavyhitters import misra_gries_candidates
+from .util import await_drain
+
+_STATE_SCHEMA = "item string, weight long, n_total long"
+
+
+def _committed_batches(state_dir: str) -> list[int]:
+    """batch_id partitions with a parquet _SUCCESS commit marker."""
+    root = pathlib.Path(state_dir)
+    if not root.is_dir():
+        return []
+    out = []
+    for p in root.glob("batch_id=*"):
+        if (p / "_SUCCESS").exists():
+            out.append(int(p.name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def read_state(
+    spark: SparkSession, state_dir: str, *, before: int | None = None
+) -> DataFrame:
+    """The latest committed summary (≤ m rows), optionally only from
+    batches strictly before ``before`` (the fold's replay self-exclusion)."""
+    batches = _committed_batches(state_dir)
+    if before is not None:
+        batches = [b for b in batches if b < before]
+    if not batches:
+        return spark.createDataFrame([], _STATE_SCHEMA)
+    latest = pathlib.Path(state_dir) / f"batch_id={batches[-1]}"
+    return spark.read.schema(_STATE_SCHEMA).parquet(str(latest))
+
+
+def merge_summaries(
+    state: DataFrame, batch_summary: DataFrame, *, m: int
+) -> DataFrame:
+    """Mergeable-MG combine: sum matching counters, shrink to ``m``.
+
+    Both inputs are (item, weight) under-estimate summaries; the output
+    carries ≤ m rows. The shrink subtracts the (m+1)-th largest merged
+    weight (0 when ≤ m items survive the union — in that regime the merge
+    is LOSSLESS, e.g. whenever true vocabulary ≤ m).
+    """
+    merged = (
+        state.select("item", "weight")
+        .unionByName(batch_summary.select("item", "weight"))
+        .groupBy("item")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    # ≤ partitions·m + m rows: a bounded summary, so the single-partition
+    # rank window is deliberate (module docstring) — data never flows here
+    w = Window.orderBy(F.col("weight").desc(), F.col("item").asc())
+    ranked = merged.withColumn("__rank", F.row_number().over(w))
+    kth = ranked.where(F.col("__rank") == m + 1).select(
+        F.col("weight").alias("__decr")
+    )
+    return (
+        ranked.crossJoin(
+            F.broadcast(
+                kth.unionByName(
+                    ranked.sparkSession.createDataFrame([(0,)], "__decr long")
+                ).agg(F.max("__decr").alias("__decr"))
+            )
+        )
+        .where(
+            (F.col("__rank") <= m) & (F.col("weight") - F.col("__decr") > 0)
+        )
+        .select("item", (F.col("weight") - F.col("__decr")).alias("weight"))
+    )
+
+
+def fold_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    *,
+    item_col: str = "item",
+    m: int = 4096,
+) -> None:
+    """Fold one micro-batch into the summary; idempotent under replay
+    (reads only committed state < ``batch_id``, overwrites its own
+    partition)."""
+    spark = batch_df.sparkSession
+    prior = read_state(spark, state_dir, before=batch_id)
+    per_part = misra_gries_candidates(
+        batch_df.select(F.col(item_col).cast("string").alias("item")),
+        item_col="item",
+        m=m,
+    )
+    batch_summary = (
+        per_part.groupBy("item")
+        .agg(F.sum("weight_lower_bound").alias("weight"))
+    )
+    batch_n = batch_df.count()
+    prior_n = prior.select(F.max("n_total")).collect()[0][0] or 0
+    new_state = merge_summaries(prior, batch_summary, m=m).withColumn(
+        "n_total", F.lit(prior_n + batch_n).cast("long")
+    )
+    # ≤ m rows: one file per fold keeps the state read a single-footer scan
+    new_state.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+
+
+def stream_heavy_hitters(
+    items_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    item_col: str = "item",
+    m: int = 4096,
+    await_seconds: float | None = None,
+) -> None:
+    """Drain the available stream, folding each micro-batch into the
+    mergeable summary at ``state_dir`` (availableNow; loud bounded drain)."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(batch_df, batch_id, state_dir, item_col=item_col, m=m)
+
+    q = (
+        items_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drain(q, await_seconds)
+
+
+def top_k_from_state(
+    spark: SparkSession, state_dir: str, *, k: int = 20
+) -> DataFrame:
+    """(item, weight, rank, n_total) — the any-time answer.
+
+    Contract (mergeable-MG): ``weight ≤ true count ≤ weight +
+    n_total/(m+1)``, and every item whose true count exceeds
+    ``n_total/(m+1)`` is guaranteed present in the state. When the true
+    vocabulary never exceeded ``m``, weights are EXACT counts. Rank is
+    (weight desc, item asc) — deterministic.
+    """
+    state = read_state(spark, state_dir)
+    w = Window.orderBy(F.col("weight").desc(), F.col("item").asc())
+    return (
+        state.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("item", "weight", "rank", "n_total")
+    )
+
+
+__all__ = [
+    "fold_batch",
+    "merge_summaries",
+    "read_state",
+    "stream_heavy_hitters",
+    "top_k_from_state",
+]

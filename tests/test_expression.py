@@ -129,3 +129,20 @@ def test_quantile_normalize_bolstad_example(spark):
     }
     assert g[("s2", "A", "g1")] == 75.0 and g[("s2", "B", "g1")] == 75.0
     assert g[("s1", "A", "g2")] == 1.5  # s1 unchanged by s2's scale
+
+
+def test_wide_tsv_beyond_univocity_default_column_cap(spark, tmp_path):
+    """Spark's univocity parser rejects >20,480 columns unless maxColumns is
+    raised — the reference's envelope is 10k-50k samples/study, so a wide
+    read at 25k columns must parse (found by the 50k-sample probe)."""
+    from etl_for_all_studies_spark.sources.study_io import read_expression_wide
+
+    n = 25_000
+    p = tmp_path / "wide.tsv"
+    with p.open("w") as f:
+        f.write("Gene\t" + "\t".join(f"S{i}" for i in range(n)) + "\n")
+        f.write("ENSG01\t" + "\t".join("1.5" for _ in range(n)) + "\n")
+    df = read_expression_wide(spark, str(p))
+    assert len(df.columns) == n + 1
+    row = df.select("ensembl_id", f"S{n - 1}").collect()
+    assert row == [("ENSG01", "1.5")]
