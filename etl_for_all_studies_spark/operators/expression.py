@@ -110,6 +110,119 @@ def expression_wide_to_long(
     )
 
 
+# Above this sample-column count the pipeline melts from a TEXT scan
+# instead of a wide CSV schema. Measured at the 50k-sample envelope
+# (tools/bench_etl_wide.py): Spark's wide-row CSV path is superlinear in
+# column count — per-cell throughput fell 4x from 10k to 50k columns
+# (1.15M → 0.40M cells/s; 2,485 s ETL) because every row materializes a
+# 50k-field UnsafeRow and univocity tokenizes every cell of every row,
+# whitelist-dropped or not. The text melt keeps rows narrow (one string),
+# probes ONLY the first field for the whitelist (substring_index — no full
+# split for dropped genes), and explodes just the kept rows' cells.
+_TEXT_MELT_THRESHOLD = 4096
+
+
+def expression_text_to_long(
+    spark,
+    path: str,
+    metadata_samples: Sequence[str],
+    accession: str,
+    gene_whitelist: DataFrame | None = None,
+) -> DataFrame:
+    """Ultra-wide twin of :func:`expression_wide_to_long`: same output,
+    same O-13/O-14/O-15 semantics, built from ``spark.read.text``.
+
+    Shape: one narrow string row per line → whitelist semi-join on the
+    FIRST tab field (``substring_index`` — dropped gene rows never pay a
+    full split) → ``split`` + ``posexplode`` of kept rows → broadcast join
+    of cell position → (kept) sample name, which applies the O-14 pruning
+    positionally → ``try_cast`` bad-cell drop. Every cell-level stage runs
+    only on whitelist-kept rows; the full-corpus scan cost is I/O plus one
+    first-field probe per line.
+
+    Contract: plain TSV (no quoted fields embedding tabs/newlines) — the
+    format the reference's own reader emits/consumes
+    (``expression_processing.py:38-52`` splits on the delimiter with no
+    quote handling). The pipeline routes here only above
+    ``_TEXT_MELT_THRESHOLD`` columns and only when the header carries no
+    quote character; under the threshold the univocity path (full CSV
+    dialect) remains the default.
+    """
+    from ..sources.study_io import InputFormatError, sniff_header
+
+    header = sniff_header(path)
+    if header is None:
+        raise InputFormatError(
+            f"Text melt needs a locally sniffable header: {path}"
+        )
+    if len(header) < 2:
+        raise InputFormatError(
+            f"Expression file must have a gene column plus ≥1 sample column: {path}"
+        )
+    first = header[0].strip()
+    if first.casefold() not in {"gene", "ensembl_id"}:
+        raise InputFormatError(
+            f"Expression file's first column must be 'Gene' or 'ensembl_id', got {first!r}: {path}"
+        )
+    wanted = set(metadata_samples)
+    kept_pos = [(i, name) for i, name in enumerate(header) if i > 0 and name in wanted]
+    missing = sorted(wanted - {name for _, name in kept_pos})
+    if missing:
+        logger.warning(
+            "Study %s: %d metadata samples missing from expression header: %s",
+            accession, len(missing), missing[:10],
+        )
+    if not kept_pos:
+        raise ExpressionSchemaError(
+            f"Study {accession}: no expression columns match metadata samples"
+        )
+
+    lines = spark.read.text(path)
+    header_line = "\t".join(header)
+    rows = lines.where(
+        (F.col("value") != header_line) & (F.length(F.col("value")) > 0)
+    )
+    if gene_whitelist is not None:
+        wl = gene_whitelist.select(
+            F.trim(F.col("ensembl_id")).alias("_wl_ensembl_id")
+        )
+        rows = rows.join(
+            F.broadcast(wl),
+            F.trim(F.substring_index(F.col("value"), "\t", 1))
+            == F.col("_wl_ensembl_id"),
+            "left_semi",
+        )
+    # ensembl_id MUST be computed in a projection BELOW the generator:
+    # expressions selected alongside posexplode land in the Project above
+    # the Generate node and are re-evaluated per EXPLODED row — with
+    # element_at(split(value), 1) that re-splits the whole line once per
+    # CELL, O(cells × line_length) = quadratic in sample count (measured:
+    # the 50k-sample melt materialized in ~19 min with the inline form,
+    # ~6 s with this split; count() actions masked it by pruning the
+    # column). Two selects keep the split/probe once-per-input-row;
+    # CollapseProject cannot merge through Generate.
+    parsed = rows.select(
+        F.trim(F.substring_index(F.col("value"), "\t", 1)).alias("ensembl_id"),
+        F.split(F.col("value"), "\t", -1).alias("__arr"),
+    )
+    cells = parsed.select(
+        "ensembl_id",
+        F.posexplode(F.col("__arr")).alias("pos", "raw_value"),  # pos 0 = gene id
+    )
+    pos_df = spark.createDataFrame(kept_pos, "pos int, gsm_accession string")
+    return (
+        cells.join(F.broadcast(pos_df), "pos")  # O-14: unkept positions drop here
+        .withColumn("expression_value", F.col("raw_value").try_cast("double"))
+        .where(F.col("expression_value").isNotNull())  # O-15 bad-cell drop
+        .select(
+            F.lit(accession).alias("gse_accession"),
+            "ensembl_id",
+            "gsm_accession",
+            "expression_value",
+        )
+    )
+
+
 def filter_to_whitelist(long: DataFrame, gene_whitelist: DataFrame) -> DataFrame:
     """Gene whitelist semi-join (O-13, ``expression_processing.py:83-84``).
 

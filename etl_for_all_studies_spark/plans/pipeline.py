@@ -33,7 +33,11 @@ from ..operators.dims import (
     build_dim_sample,
     build_dim_study,
 )
-from ..operators.expression import expression_wide_to_long
+from ..operators.expression import (
+    _TEXT_MELT_THRESHOLD,
+    expression_text_to_long,
+    expression_wide_to_long,
+)
 from ..operators.metadata_norm import metadata_quality, normalize_metadata
 from ..session import get_spark
 from ..sources.discovery import discover_studies, discover_study_files
@@ -89,14 +93,17 @@ def run_pipeline(
     # frame and open the wide expression scan (header-only inference; no
     # data-scale job). A study with missing/malformed files is quarantined
     # (O-45).
-    staged: list[tuple[str, str, DataFrame, DataFrame]] = []
+    staged: list[tuple[str, str, DataFrame, DataFrame, str]] = []
     for study_dir in discover_studies(config.processing.input_directory):
         try:
             files = discover_study_files(study_dir)
             raw_md = read_metadata_raw(spark, str(files.metadata_path))
             md = normalize_metadata(raw_md, files.accession, config.field_mappings)
             wide = read_expression_wide(spark, str(files.expression_path))
-            staged.append((str(study_dir), files.accession, md, wide))
+            staged.append(
+                (str(study_dir), files.accession, md, wide,
+                 str(files.expression_path))
+            )
         except Exception as exc:  # noqa: BLE001 — quarantine, don't kill the run
             logger.exception("Study %s failed; quarantined", study_dir)
             failures.append(StudyFailure(str(study_dir), f"{type(exc).__name__}: {exc}"))
@@ -120,7 +127,7 @@ def run_pipeline(
         # plan construction stays O(1) Spark jobs as the study count grows.
         # Cardinality is total samples (≤50k/study), same driver footprint as
         # the per-study collects it replaces.
-        all_md = _union_all([md for _, _, md, _ in staged])
+        all_md = _union_all([md for _, _, md, _, _ in staged])
         samples_by_study: dict[str, list[str]] = {}
         for gse, gsm in (
             all_md.select("gse_accession", "gsm_accession").distinct().collect()
@@ -133,17 +140,33 @@ def run_pipeline(
         metadata_parts: list[DataFrame] = []
         expression_parts: list[DataFrame] = []
         processed: list[str] = []
-        for study_dir, accession, md, wide in staged:
+        for study_dir, accession, md, wide, expr_path in staged:
             try:
                 # whitelist applied on the WIDE side (O-13 before the melt, the
                 # reference's own order): the semi-join probes gene rows, not
-                # cells — Catalyst can't push it below the Expand itself
-                long = expression_wide_to_long(
-                    wide,
-                    samples_by_study.get(accession, []),
-                    accession,
-                    gene_whitelist=genes,
-                )
+                # cells — Catalyst can't push it below the Expand itself.
+                # Ultra-wide studies (>_TEXT_MELT_THRESHOLD sample columns,
+                # plain-TSV header) melt from a TEXT scan instead: Spark's
+                # wide-row CSV path is superlinear in column count (measured
+                # 4x per-cell slowdown from 10k to 50k columns, SCALE.md r9)
+                if (
+                    len(wide.columns) - 1 > _TEXT_MELT_THRESHOLD
+                    and not any('"' in c for c in wide.columns)
+                ):
+                    long = expression_text_to_long(
+                        spark,
+                        expr_path,
+                        samples_by_study.get(accession, []),
+                        accession,
+                        gene_whitelist=genes,
+                    )
+                else:
+                    long = expression_wide_to_long(
+                        wide,
+                        samples_by_study.get(accession, []),
+                        accession,
+                        gene_whitelist=genes,
+                    )
                 expression_parts.append(long)
                 metadata_parts.append(md)
                 processed.append(accession)
@@ -164,28 +187,44 @@ def run_pipeline(
         metadata = scope.persist(_union_all(metadata_parts))
         expression = scope.persist(_union_all(expression_parts))
 
+        # per-phase walls at INFO (O-48): at the wide-sample envelope the
+        # phase split is the first diagnostic question — log it always
+        phase_t = time.monotonic()
+
+        def _mark(name: str) -> None:
+            nonlocal phase_t
+            now = time.monotonic()
+            if config.logging.log_processing_time:
+                logger.info("phase %s: %.1fs", name, now - phase_t)
+            phase_t = now
+
         # -- dimension builds (existing keys preserved; O-46/O-47 set-at-a-time) --
         dim_study = build_dim_study(wh.read("dim_study"), metadata)
         wh.overwrite_dim("dim_study", dim_study)
         dim_study = wh.read("dim_study")
+        _mark("dim_study")
 
         dim_illness = build_dim_illness(wh.read("dim_illness"), metadata)
         wh.overwrite_dim("dim_illness", dim_illness)
         dim_illness = wh.read("dim_illness")
+        _mark("dim_illness")
 
         dim_platform = build_dim_platform(wh.read("dim_platform"), metadata)
         wh.overwrite_dim("dim_platform", dim_platform)
         dim_platform = wh.read("dim_platform")
+        _mark("dim_platform")
 
         dim_gene = build_dim_gene(wh.read("dim_gene"), expression)
         wh.overwrite_dim("dim_gene", dim_gene)
         dim_gene = wh.read("dim_gene")
+        _mark("dim_gene")
 
         dim_sample = build_dim_sample(
             wh.read("dim_sample"), metadata, dim_study, dim_illness, dim_platform
         )
         wh.overwrite_dim("dim_sample", dim_sample)
         dim_sample = wh.read("dim_sample")
+        _mark("dim_sample")
 
         # -- fact build: long expression × dims (broadcast probes, O-22/O-23) --
         fact = (
@@ -200,8 +239,10 @@ def run_pipeline(
         written = wh.append_fact(
             "fact_expression", fact, dedup_keys=["sample_key", "gene_key", "study_key"]
         )
+        _mark("fact_expression")
 
         quality_rows = [r.asDict() for r in metadata_quality(metadata).collect()]
+        _mark("dq")
         if config.logging.log_data_quality:
             for row in quality_rows:
                 logger.info("DQ %s", row)

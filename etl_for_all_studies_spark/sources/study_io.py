@@ -20,18 +20,40 @@ class InputFormatError(ValueError):
 # (ArrayIndexOutOfBoundsException, found by the 50k-sample envelope probe —
 # tools/bench_etl_wide.py). The reference's stated envelope is 10k-50k
 # samples/study (docs/genomic-etl-requirements.md:35), i.e. up to a
-# 50,001-column expression TSV; 200k gives 4x headroom at ~1.6 MB of
-# parser row-buffer per task — negligible against executor heaps.
+# 50,001-column expression TSV. maxColumns is sized from the file's OWN
+# header (+16 headroom) because univocity's per-row cost scales with the
+# SETTING, not the actual width — a flat 200k ceiling measured +37% on the
+# whole 10k-column ETL (174 s vs 127 s); the ceiling is only the fallback
+# when the header can't be sniffed (non-local path).
 _MAX_TSV_COLUMNS = 200_000
+_HEADER_SNIFF_BYTES = 64 * 1024 * 1024  # loud guard: a header row this big
+# is corrupt input, not a wide study (50k tab-separated GSM ids ≈ 0.5 MB)
+
+
+def sniff_header(path: str) -> list[str] | None:
+    """First-line column names via a driver-side read; None when the path
+    isn't locally readable (object store / HDFS URI — callers fall back)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.readline(_HEADER_SNIFF_BYTES)
+    except OSError:
+        return None
+    if not head.endswith(b"\n") and len(head) >= _HEADER_SNIFF_BYTES:
+        raise InputFormatError(
+            f"Header row exceeds {_HEADER_SNIFF_BYTES} bytes: {path}"
+        )
+    return head.decode("utf-8").rstrip("\r\n").split("\t")
 
 
 def _read_tsv(spark: SparkSession, path: str) -> DataFrame:
+    header = sniff_header(path)
+    max_cols = len(header) + 16 if header else _MAX_TSV_COLUMNS
     return (
         spark.read.option("sep", "\t")
         .option("header", True)
         .option("inferSchema", False)  # all strings; casts are explicit downstream
         .option("encoding", "UTF-8")
-        .option("maxColumns", _MAX_TSV_COLUMNS)
+        .option("maxColumns", max_cols)
         .csv(path)
     )
 

@@ -146,3 +146,94 @@ def test_wide_tsv_beyond_univocity_default_column_cap(spark, tmp_path):
     assert len(df.columns) == n + 1
     row = df.select("ensembl_id", f"S{n - 1}").collect()
     assert row == [("ENSG01", "1.5")]
+
+
+def _messy_tsv(tmp_path):
+    """Fixture with every melt edge: bad cells, an unkept column, a missing
+    metadata sample, whitespace-padded gene ids, an empty trailing field."""
+    p = tmp_path / "messy.tsv"
+    p.write_text(
+        "Gene\tS1\tS2\tUNKEPT\tS3\n"
+        "ENSG01\t1.5\tbad\t9\t2.5\n"
+        " ENSG02 \t-3\t\t9\t4e2\n"      # padded id, empty cell
+        "ENSG03\tNaN\t0\t9\t7\n"        # NaN parses as double NaN? no: try_cast -> NaN is valid
+        "DROPME\t1\t2\t9\t3\n"
+    )
+    return str(p)
+
+
+def test_text_melt_matches_wide_melt(spark, tmp_path):
+    """expression_text_to_long is a bit-exact twin of expression_wide_to_long
+    on the same file — O-13 whitelist, O-14 pruning, O-15 bad-cell drop."""
+    from etl_for_all_studies_spark.operators.expression import (
+        expression_text_to_long,
+    )
+
+    import math
+
+    path = _messy_tsv(tmp_path)
+    samples = ["S1", "S2", "S3", "SMISSING"]
+    wl = spark.createDataFrame(
+        [("ENSG01",), ("ENSG02",), ("ENSG03",)], "ensembl_id string"
+    )
+
+    def canon(df):  # NaN == NaN for the comparison (both paths keep "NaN")
+        return sorted(
+            tuple("NaN" if isinstance(v, float) and math.isnan(v) else v
+                  for v in row)
+            for row in df.collect()
+        )
+
+    wide_df = read_expression_wide(spark, path)
+    via_wide = canon(
+        expression_wide_to_long(wide_df, samples, "GSEX", gene_whitelist=wl)
+    )
+    via_text = canon(
+        expression_text_to_long(spark, path, samples, "GSEX", gene_whitelist=wl)
+    )
+    assert via_text == via_wide
+    genes_seen = {r[1] for r in via_text}
+    assert "DROPME" not in genes_seen and "ENSG02" in genes_seen
+    cols_seen = {r[2] for r in via_text}
+    assert cols_seen == {"S1", "S2", "S3"}  # UNKEPT pruned positionally
+
+
+def test_text_melt_validation_parity(spark, tmp_path):
+    from etl_for_all_studies_spark.operators.expression import (
+        expression_text_to_long,
+    )
+
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("notgene\tS1\nX\t1.0\n")
+    with pytest.raises(InputFormatError):
+        expression_text_to_long(spark, str(bad), ["S1"], "GSEX")
+    ok = tmp_path / "ok.tsv"
+    ok.write_text("Gene\tS1\nX\t1.0\n")
+    with pytest.raises(ExpressionSchemaError):
+        expression_text_to_long(spark, str(ok), ["ZZZ"], "GSEX")
+
+
+def test_pipeline_routes_ultrawide_to_text_melt(spark, study_tree, monkeypatch):
+    """Force the threshold to 1 so the fixture study takes the text path
+    end-to-end through run_pipeline — identical warehouse facts."""
+    import etl_for_all_studies_spark.plans.pipeline as pl
+    from etl_for_all_studies_spark import run_pipeline
+    from etl_for_all_studies_spark.config import config_from_dict
+
+    cfg = config_from_dict(
+        {
+            "warehouse": {"path": str(study_tree["root"] / "wh_textmelt")},
+            "processing": {
+                "input_directory": str(study_tree["studies"]),
+                "gene_filter_file": str(study_tree["genes"]),
+            },
+            "logging": {"log_level": "WARNING"},
+        }
+    )
+    monkeypatch.setattr(pl, "_TEXT_MELT_THRESHOLD", 1)
+    res = run_pipeline(cfg, spark=spark)
+    assert not res.failures and res.fact_rows_written > 0
+    facts = spark.read.parquet(
+        str(study_tree["root"] / "wh_textmelt" / "fact_expression")
+    )
+    assert facts.count() == res.fact_rows_written
