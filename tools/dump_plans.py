@@ -6,6 +6,18 @@ guessing call sites). Plan strings normalize plan-id / exprId noise via
 the same regex the scale-plan lint uses.
 
 Usage: python tools/dump_plans.py OUT.json [SF_DIR]
+       python tools/dump_plans.py --one QUERY [SF_DIR]   # fresh-session plan
+
+A residual noise class the whole-registry dump CANNOT normalize away:
+``RewriteDistinctAggregates`` numbers its grouping ids (``gid``) by an
+exprId-sensitive grouping, so a query with multiple distinct aggregates
+(profile_customer) renumbers its Expand/FILTER gids when the queries
+analyzed BEFORE it in the same session change — e.g. when new registry
+entries sort earlier by name (measured r9: 5 appended queries flipped
+``gid = 5`` to ``gid = 2`` with zero semantic change). Confirm any
+suspicious diff with ``--one``: build ONLY that query in a fresh session
+on both commits; identical output ⇒ session-counter noise, not a plan
+change.
 """
 from __future__ import annotations
 
@@ -41,6 +53,9 @@ def normalize(plan: str) -> str:
 
 
 def main() -> None:
+    if sys.argv[1] == "--one":
+        _one(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01")
+        return
     out = sys.argv[1]
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     from etl_for_all_studies_spark import suite
@@ -78,6 +93,26 @@ def main() -> None:
             plans[name] = f"ERROR: {e}"
         spark.catalog.clearCache()
     pathlib.Path(out).write_text(json.dumps(plans, indent=1))
+
+
+def _one(name: str, sf: str) -> None:
+    """Fresh-session single-query dump (module docstring: gid noise)."""
+    from etl_for_all_studies_spark import suite
+    from etl_for_all_studies_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dump-one-plan",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.debug.maxToStringFields": "100000",
+            "spark.sql.maxPlanStringLength": "2147483632",
+            "spark.sql.maxMetadataStringLength": "1000000",
+        },
+    )
+    qd = suite.QUERY_REGISTRY[name]
+    print(normalize(qd.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()))
     print(f"wrote {len(plans)} plans to {out}")
 
 
