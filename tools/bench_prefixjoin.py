@@ -117,8 +117,19 @@ def main() -> None:
         t0 = time.time()
         n_pairs = jaccard_prefix_pairs(docs, k=9, threshold=0.9).count()
         wall = time.time() - t0
+        # head-to-head: MinHash-LSH at the same threshold — probabilistic
+        # recall (a missed band ⇒ missed pair) vs the prefix join's exact
+        # contract, same corpus, same verify threshold
+        from etl_for_all_studies_spark.operators.dedup import minhash_dedup
+
+        t0 = time.time()
+        n_mh = minhash_dedup(
+            docs, k=9, num_hashes=16, bands=4, verify_threshold=0.9
+        ).count()
+        mh_wall = time.time() - t0
         print(f"{s:>6} {n + n_clones:>8} {sum_df2:>14} {n_cand:>10} "
-              f"{n_pairs:>7} {n_clones:>7} {wall:>7.2f}")
+              f"{n_pairs:>7} {n_clones:>7} {wall:>7.2f} "
+              f"| minhash: {n_mh} pairs {mh_wall:.2f}s")
         docs.unpersist()
 
 
