@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import CacheScope, persist
+
 
 def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Distinct undirected edges as ``(src < dst)`` pairs; self-loops dropped."""
@@ -72,11 +74,23 @@ def _oriented(e: DataFrame) -> DataFrame:
 
 
 def enumerate_triangles(
-    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
-    """Every triangle exactly once as ``(v_a < v_b < v_c)`` vertex triples."""
-    e = canonical_edges(edges, src, dst)
-    o = _oriented(e)
+    """Every triangle exactly once as ``(v_a < v_b < v_c)`` vertex triples.
+
+    Barriers: the canonical edge set feeds the degree union (×2), the
+    orientation tagging, AND the closing-edge probe; the oriented list
+    feeds both sides of the wedge self-join. Without persists each branch
+    re-runs the caller's (often join-built) edge construction — measured
+    12 re-executions of the co-order self-join in the suite query's
+    unbarriered plan.
+    """
+    e = persist(canonical_edges(edges, src, dst), scope)
+    o = persist(_oriented(e), scope)
     a, b = o.alias("a"), o.alias("b")
     wedges = a.join(
         b,
@@ -94,14 +108,18 @@ def enumerate_triangles(
 
 
 def local_triangle_counts(
-    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """``(vertex, n_triangles)`` for every vertex in ≥1 triangle.
 
     Each triangle (found once at its degree-order root) credits all three
     corners — one explode, one map-side-combined count.
     """
-    tri = enumerate_triangles(edges, src=src, dst=dst)
+    tri = enumerate_triangles(edges, src=src, dst=dst, scope=scope)
     corners = tri.select(
         F.explode(F.array("v_a", "v_b", "v_c")).alias("vertex")
     )
