@@ -104,10 +104,17 @@ def prefix_candidates(
         .withColumn("__size", F.count(F.lit(1)).over(by_doc_all))
     )
     # prefix length |T| − ⌈t·|T|⌉ + 1 — the globally-smallest common element
-    # of any J≥t pair is pigeonholed into both prefixes (module docstring)
-    prefix = ranked.where(
-        F.col("__pos") <= F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
-    ).select("doc_id", "shingle", "__size", "__pos")
+    # of any J≥t pair is pigeonholed into both prefixes (module docstring).
+    # Barrier: the prefix frame feeds BOTH sides of the candidate self-join;
+    # unbarriered, the df + row_number + size window chain (two exchanges)
+    # re-executes per side (6 Window nodes in the plan instead of 3)
+    prefix = persist(
+        ranked.where(
+            F.col("__pos")
+            <= F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
+        ).select("doc_id", "shingle", "__size", "__pos"),
+        scope,
+    )
 
     a = prefix.alias("a")
     b = prefix.alias("b")
