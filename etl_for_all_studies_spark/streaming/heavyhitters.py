@@ -174,6 +174,27 @@ def stream_heavy_hitters(
     await_drain(q, await_seconds)
 
 
+def prune_state(state_dir: str, *, keep_last: int = 8) -> list[int]:
+    """Delete committed state partitions older than the newest ``keep_last``.
+
+    Safe at ANY time: every fold reads only the single newest committed
+    partition, so older ``batch_id=N`` dirs are pure audit trail — and a
+    crash replay of live batch N rebuilds from N−1, which ``keep_last ≥ 2``
+    always retains. Returns the pruned batch ids.
+    """
+    if keep_last < 2:
+        raise ValueError("keep_last must be ≥ 2 to preserve the replay parent")
+    batches = _committed_batches(state_dir)
+    prune = batches[:-keep_last] if len(batches) > keep_last else []
+    import shutil
+
+    for b in prune:
+        shutil.rmtree(
+            pathlib.Path(state_dir) / f"batch_id={b}", ignore_errors=True
+        )
+    return prune
+
+
 def top_k_from_state(
     spark: SparkSession, state_dir: str, *, k: int = 20
 ) -> DataFrame:

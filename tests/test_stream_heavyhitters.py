@@ -101,3 +101,23 @@ def test_merge_shrink_matches_handrolled_mg_merge(spark):
     # merged: a13 b7 e6 c4 d2 f2 → 5th largest (weight desc, item asc:
     # a,b,e,c,d,f) is d=2 → subtract 2, keep top-4 positives
     assert got == {("a", 11), ("b", 5), ("e", 4), ("c", 2)}
+
+
+def test_prune_state_keeps_replay_parent_and_answer(spark, tmp_path):
+    from etl_for_all_studies_spark.streaming.heavyhitters import prune_state
+
+    state = str(tmp_path / "state")
+    for i in range(6):
+        b = spark.createDataFrame([("x",)] * (i + 1), "item string")
+        fold_batch(b, i, state, m=16)
+    before = {r.item: r.weight for r in read_state(spark, state).collect()}
+    pruned = prune_state(state, keep_last=2)
+    assert pruned == [0, 1, 2, 3]
+    after = {r.item: r.weight for r in read_state(spark, state).collect()}
+    assert after == before == {"x": 21}  # 1+2+..+6
+    # replay of the live batch still folds from the retained parent
+    b5 = spark.createDataFrame([("x",)] * 6, "item string")
+    fold_batch(b5, 5, state, m=16)
+    assert {r.item: r.weight for r in read_state(spark, state).collect()} == {"x": 21}
+    with pytest.raises(ValueError):
+        prune_state(state, keep_last=1)
