@@ -121,3 +121,19 @@ def test_prune_state_keeps_replay_parent_and_answer(spark, tmp_path):
     assert {r.item: r.weight for r in read_state(spark, state).collect()} == {"x": 21}
     with pytest.raises(ValueError):
         prune_state(state, keep_last=1)
+
+
+def test_torn_state_partition_is_invisible(spark, tmp_path):
+    """A batch_id dir without parquet's _SUCCESS marker (crash mid-write)
+    must be invisible to reads AND to the next fold's replay parent."""
+    import pathlib
+
+    state = str(tmp_path / "state")
+    fold_batch(spark.createDataFrame([("x",)] * 3, "item string"), 0, state, m=8)
+    torn = pathlib.Path(state) / "batch_id=1"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"not parquet")
+    st = {r.item: r.weight for r in read_state(spark, state).collect()}
+    assert st == {"x": 3}  # the torn partition never surfaces
+    fold_batch(spark.createDataFrame([("x",)] * 2, "item string"), 1, state, m=8)
+    assert {r.item: r.weight for r in read_state(spark, state).collect()} == {"x": 5}
