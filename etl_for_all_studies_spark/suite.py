@@ -6755,6 +6755,65 @@ GROUP BY c_mktsegment
 
 
 # --------------------------------------------------------------------------
+# 51. exact near-dup clustering via the prefix join (round 9) — the
+#     composition: prefix-filtered exact Jaccard pairs (§46) feed the same
+#     connected-components + keeper machinery as the simhash clusters —
+#     cluster membership is EXACT at the threshold, not sketch-approximate.
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup_graph import dedup_clusters
+    from .operators.prefixjoin import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_pairs(docs, k=9, threshold=0.9)
+    return dedup_clusters(docs, pairs)
+
+
+_SQL_CLUSTERS_PREFIX = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(1, GREATEST(length(text) - 8, 0) + 1),
+                   i -> text[i : i + 8])
+  )) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_a AS u, doc_b AS v
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE common / (sa.set_size + sb.set_size - common) >= 0.9
+),
+star0 AS (
+  SELECT doc_id AS u, MIN(doc_id) OVER (PARTITION BY md5(text)) AS v
+  FROM documents
+),
+star AS (SELECT u, v FROM star0 WHERE u != v),
+edges0 AS (SELECT u, v FROM star UNION SELECT u, v FROM near),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+nodes AS (SELECT doc_id AS node FROM documents),
+walk AS (
+  SELECT node, node AS reach FROM nodes
+  UNION
+  SELECT w.node, e.v AS reach FROM walk w JOIN edges e ON e.u = w.reach
+),
+comp AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY 1),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT comp.node AS doc_id, comp.cluster_id, csize.cluster_size,
+       CAST(CASE WHEN comp.node = comp.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+         AS is_keeper
+FROM comp JOIN csize USING (cluster_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -6933,6 +6992,9 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
     "high_balance_inactive": QueryDef(
         q_high_balance_inactive, _SQL_HIGH_BALANCE
     ),
+    "dedup_clusters_prefix": QueryDef(
+        q_dedup_clusters_prefix, _SQL_CLUSTERS_PREFIX
+    ),
 }
 
 # ROUND-9 ROTATION. The standing rule is CODE, not a comment:
@@ -6964,6 +7026,7 @@ _R9_NEW: list[str] = [
     "small_qty_revenue",
     "promo_revenue",
     "high_balance_inactive",
+    "dedup_clusters_prefix",
 ]
 _R9_R6_COHORT: list[str] = [
     # last checked r6 (CORRECTNESS_r06.json), prior relative order
