@@ -165,11 +165,22 @@ def main() -> None:
     )
     file_payload = dict(payload)
     file_payload["queries_all"] = timings_all
+    p90 = round(spreads[int(len(spreads) * 0.9)], 3)
     file_payload["noise_band"] = {
         "median_spread": round(spreads[len(spreads) // 2], 3),
-        "p90_spread": round(spreads[int(len(spreads) * 0.9)], 3),
+        "p90_spread": p90,
         "max_spread": round(spreads[-1], 3),
     }
+    # self-documenting noise (VERDICT r9 #2): entries whose own repeat
+    # spread exceeds 2x the suite's p90 spread ran under a load wave —
+    # their committed min is still the best steady-state estimate, but a
+    # round-over-round delta on a flagged entry is NOT attributable to the
+    # plan without a re-measure (tools/bench_one.py)
+    file_payload["noisy_queries"] = sorted(
+        name
+        for name, ts in timings_all.items()
+        if min(ts) > 0 and (max(ts) - min(ts)) / min(ts) > 2.0 * p90
+    )
     out_path = pathlib.Path(__file__).resolve().parent / "bench_results" / "bench_full.json"
     out_path.parent.mkdir(exist_ok=True)
     out_path.write_text(json.dumps(file_payload, indent=1, sort_keys=True) + "\n")

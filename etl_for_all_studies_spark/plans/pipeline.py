@@ -41,7 +41,12 @@ from ..operators.expression import (
 from ..operators.metadata_norm import metadata_quality, normalize_metadata
 from ..session import get_spark
 from ..sources.discovery import discover_studies, discover_study_files
-from ..sources.study_io import read_expression_wide, read_gene_filter, read_metadata_raw
+from ..sources.study_io import (
+    read_expression_wide,
+    read_gene_filter,
+    read_metadata_raw,
+    sniff_header,
+)
 from ..sources.warehouse import Warehouse
 
 logger = logging.getLogger(__name__)
@@ -148,10 +153,17 @@ def run_pipeline(
                 # Ultra-wide studies (>_TEXT_MELT_THRESHOLD sample columns,
                 # plain-TSV header) melt from a TEXT scan instead: Spark's
                 # wide-row CSV path is superlinear in column count (measured
-                # 4x per-cell slowdown from 10k to 50k columns, SCALE.md r9)
+                # 4x per-cell slowdown from 10k to 50k columns, SCALE.md r9).
+                # Quote detection must read the RAW header: univocity strips
+                # quotes during parsing, so wide.columns never contains '"'
+                # even for a fully-quoted file — a quoted ultra-wide study
+                # must stay on the CSV path (which unquotes data cells) or
+                # '"1.5"' would fail try_cast in the text melt.
+                raw_header = sniff_header(expr_path)
                 if (
                     len(wide.columns) - 1 > _TEXT_MELT_THRESHOLD
-                    and not any('"' in c for c in wide.columns)
+                    and raw_header is not None
+                    and not any('"' in c for c in raw_header)
                 ):
                     long = expression_text_to_long(
                         spark,

@@ -42,7 +42,13 @@ def sniff_header(path: str) -> list[str] | None:
         raise InputFormatError(
             f"Header row exceeds {_HEADER_SNIFF_BYTES} bytes: {path}"
         )
-    return head.decode("utf-8").rstrip("\r\n").split("\t")
+    try:
+        return head.decode("utf-8").rstrip("\r\n").split("\t")
+    except UnicodeDecodeError:
+        # non-UTF-8 first line: fall back to the _MAX_TSV_COLUMNS ceiling
+        # rather than failing every _read_tsv at the driver-side sniff —
+        # the Spark CSV scan handles the bytes with its own lenient decode
+        return None
 
 
 def _read_tsv(spark: SparkSession, path: str) -> DataFrame:

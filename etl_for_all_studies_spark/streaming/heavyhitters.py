@@ -128,25 +128,54 @@ def fold_batch(
     (reads only committed state < ``batch_id``, overwrites its own
     partition)."""
     spark = batch_df.sparkSession
+    committed = _committed_batches(state_dir)
+    if committed and batch_id < committed[-1]:
+        # Replay only ever re-runs the LAST batch (batch_id == max committed,
+        # when the state write landed but the checkpoint offset didn't) or
+        # advances past it. A batch_id BELOW the max means the streaming
+        # checkpoint restarted its numbering against a reused state_dir —
+        # new folds would write low-numbered partitions that read_state
+        # (which takes the max) silently never surfaces.
+        raise RuntimeError(
+            f"fold_batch got batch_id={batch_id} < max committed state batch "
+            f"{committed[-1]} in {state_dir}: state_dir/checkpoint_dir "
+            "mismatch (fresh checkpoint against reused state?). Pair each "
+            "state_dir with one checkpoint_dir, or clear both together."
+        )
     prior = read_state(spark, state_dir, before=batch_id)
-    per_part = misra_gries_candidates(
-        batch_df.select(F.col(item_col).cast("string").alias("item")),
-        item_col="item",
-        m=m,
-    )
-    batch_summary = (
-        per_part.groupBy("item")
-        .agg(F.sum("weight_lower_bound").alias("weight"))
-    )
-    batch_n = batch_df.count()
-    prior_n = prior.select(F.max("n_total")).collect()[0][0] or 0
-    new_state = merge_summaries(prior, batch_summary, m=m).withColumn(
-        "n_total", F.lit(prior_n + batch_n).cast("long")
-    )
-    # ≤ m rows: one file per fold keeps the state read a single-footer scan
-    new_state.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"batch_id={batch_id}")
-    )
+    items = batch_df.select(
+        F.col(item_col).cast("string").alias("item")
+    ).persist()
+    try:
+        # the count materializes the cache, so the micro-batch's source
+        # files are scanned ONCE per fold (the MG pass below reads cache)
+        batch_n = items.count()
+        per_part = misra_gries_candidates(items, item_col="item", m=m)
+        batch_summary = (
+            per_part.groupBy("item")
+            .agg(F.sum("weight_lower_bound").alias("weight"))
+        )
+        # prior-n rides the fold's single write action as a broadcast 1-row
+        # aggregate over the ≤ m-row state instead of an eager collect —
+        # one fewer job per fold
+        prior_n = prior.agg(
+            F.coalesce(F.max("n_total"), F.lit(0)).alias("__prior_n")
+        )
+        new_state = (
+            merge_summaries(prior, batch_summary, m=m)
+            .crossJoin(F.broadcast(prior_n))
+            .withColumn(
+                "n_total",
+                (F.col("__prior_n") + F.lit(batch_n)).cast("long"),
+            )
+            .drop("__prior_n")
+        )
+        # ≤ m rows: one file per fold keeps the state read a single-footer scan
+        new_state.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+    finally:
+        items.unpersist()
 
 
 def stream_heavy_hitters(

@@ -237,3 +237,65 @@ def test_pipeline_routes_ultrawide_to_text_melt(spark, study_tree, monkeypatch):
         str(study_tree["root"] / "wh_textmelt" / "fact_expression")
     )
     assert facts.count() == res.fact_rows_written
+
+
+def test_quoted_ultrawide_stays_on_csv_path(spark, study_tree, monkeypatch):
+    """A quoted expression TSV above the melt threshold must route to the
+    CSV wide path (which unquotes cells), not the text melt (where '"1.5"'
+    fails try_cast and is silently dropped). univocity strips quotes during
+    parsing, so the guard must read the RAW header (ADVICE r9, medium)."""
+    import etl_for_all_studies_spark.plans.pipeline as pl
+    from etl_for_all_studies_spark import run_pipeline
+    from etl_for_all_studies_spark.config import config_from_dict
+
+    # re-write the fixture study fully quoted (header fields + cells)
+    expr = study_tree["studies"] / "GSE1" / "expression_GSE1.tsv"
+    quoted = "\n".join(
+        "\t".join(f'"{c}"' for c in line.split("\t"))
+        for line in expr.read_text().rstrip("\n").split("\n")
+    )
+    expr.write_text(quoted + "\n")
+
+    cfg = config_from_dict(
+        {
+            "warehouse": {"path": str(study_tree["root"] / "wh_quoted")},
+            "processing": {
+                "input_directory": str(study_tree["studies"]),
+                "gene_filter_file": str(study_tree["genes"]),
+            },
+            "logging": {"log_level": "WARNING"},
+        }
+    )
+    monkeypatch.setattr(pl, "_TEXT_MELT_THRESHOLD", 1)
+    res = run_pipeline(cfg, spark=spark)
+    assert not res.failures
+    facts = spark.read.parquet(
+        str(study_tree["root"] / "wh_quoted" / "fact_expression")
+    )
+    # same 11 facts the unquoted fixture yields (4 whitelist genes × S1-S3,
+    # ENSG04/S1 'NA' dropped) — quoted values parsed, nothing silently lost
+    assert res.fact_rows_written == facts.count() == 11
+    wh = study_tree["root"] / "wh_quoted"
+    genes = spark.read.parquet(str(wh / "dim_gene"))
+    samples = spark.read.parquet(str(wh / "dim_sample"))
+    vals = {
+        (r.ensembl_id, r.gsm_accession): r.expression_value
+        for r in facts.join(genes, "gene_key")
+        .join(samples, "sample_key")
+        .select("ensembl_id", "gsm_accession", "expression_value")
+        .collect()
+    }
+    assert vals[("ENSG02", "S2")] == pytest.approx(1.5)
+
+
+def test_sniff_header_non_utf8_falls_back(tmp_path, spark):
+    """A non-UTF-8 byte in the header returns None (ceiling fallback)
+    instead of raising from every _read_tsv (ADVICE r9, low)."""
+    from etl_for_all_studies_spark.sources.study_io import sniff_header
+
+    p = tmp_path / "latin1.tsv"
+    p.write_bytes(b"Gene\tS\xe9ries\nENSG01\t1.0\n")
+    assert sniff_header(str(p)) is None
+    # the Spark CSV scan still reads it leniently
+    df = read_expression_wide(spark, str(p))
+    assert df.count() == 1

@@ -137,3 +137,19 @@ def test_torn_state_partition_is_invisible(spark, tmp_path):
     assert st == {"x": 3}  # the torn partition never surfaces
     fold_batch(spark.createDataFrame([("x",)] * 2, "item string"), 1, state, m=8)
     assert {r.item: r.weight for r in read_state(spark, state).collect()} == {"x": 5}
+
+
+def test_fold_batch_rejects_restarted_batch_ids(spark, tmp_path):
+    """A batch_id below the max committed state batch means the checkpoint
+    restarted against a reused state_dir — new folds would write partitions
+    read_state never surfaces. Must fail loudly (ADVICE r9, low)."""
+    state = str(tmp_path / "state")
+    df = spark.createDataFrame([("x",)], "item string")
+    fold_batch(df, 5, state, m=8)
+    # replay of the SAME batch is fine (crash-replay contract) ...
+    fold_batch(df, 5, state, m=8)
+    # ... and advancing is fine
+    fold_batch(df, 6, state, m=8)
+    # ... but a lower id is a state/checkpoint mismatch
+    with pytest.raises(RuntimeError, match="max committed state batch"):
+        fold_batch(df, 3, state, m=8)

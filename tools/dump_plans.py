@@ -93,6 +93,7 @@ def main() -> None:
             plans[name] = f"ERROR: {e}"
         spark.catalog.clearCache()
     pathlib.Path(out).write_text(json.dumps(plans, indent=1))
+    print(f"wrote {len(plans)} plans to {out}")
 
 
 def _one(name: str, sf: str) -> None:
@@ -113,7 +114,6 @@ def _one(name: str, sf: str) -> None:
     )
     qd = suite.QUERY_REGISTRY[name]
     print(normalize(qd.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()))
-    print(f"wrote {len(plans)} plans to {out}")
 
 
 if __name__ == "__main__":
