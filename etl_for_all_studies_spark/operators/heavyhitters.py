@@ -34,13 +34,25 @@ from pyspark.sql import functions as F
 
 
 def misra_gries_candidates(
-    items: DataFrame, *, item_col: str = "item", m: int = 4096
+    items: DataFrame,
+    *,
+    item_col: str = "item",
+    m: int = 4096,
+    emit_partition_totals: bool = False,
 ) -> DataFrame:
     """Per-partition MG summaries → (item, weight_lower_bound) candidates.
 
     ``weight_lower_bound`` is the MG counter value (an under-estimate of the
     partition-local count by at most ``n_p/(m+1)``); callers wanting exact
     numbers recount — see :func:`heavy_hitters`.
+
+    ``emit_partition_totals=True`` additionally yields ONE sentinel row per
+    partition — ``(NULL, n_p)`` with the partition's row count — so a
+    caller can recover the batch total from the same single pass instead of
+    a separate ``count()`` action (the streaming fold's one-scan contract,
+    ``streaming/heavyhitters.py``). Item values are never NULL otherwise
+    (NULL inputs are skipped by the summary), so the sentinel is
+    unambiguous.
     """
     schema = f"{item_col} string, weight_lower_bound long"
 
@@ -48,7 +60,9 @@ def misra_gries_candidates(
         import pandas as pd
 
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for value in pdf[item_col]:
                 if value is None:
                     continue
@@ -65,12 +79,12 @@ def misra_gries_candidates(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame(
-            {
-                item_col: list(counters.keys()),
-                "weight_lower_bound": list(counters.values()),
-            }
-        )
+        keys = list(counters.keys())
+        vals = list(counters.values())
+        if emit_partition_totals:
+            keys.append(None)
+            vals.append(n_part)
+        yield pd.DataFrame({item_col: keys, "weight_lower_bound": vals})
 
     return items.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
         summarize, schema

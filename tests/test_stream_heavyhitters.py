@@ -153,3 +153,39 @@ def test_fold_batch_rejects_restarted_batch_ids(spark, tmp_path):
     # ... but a lower id is a state/checkpoint mismatch
     with pytest.raises(RuntimeError, match="max committed state batch"):
         fold_batch(df, 3, state, m=8)
+
+
+def test_fused_fold_matches_reference_merge(spark, tmp_path):
+    """fold_batch's fused single-action form (sentinel totals + window
+    carries) must produce exactly merge_summaries(prior, batch_summary)
+    plus the correct n_total — the mode-equivalence pin the fused plan's
+    docstring promises."""
+    from etl_for_all_studies_spark.operators.heavyhitters import (
+        misra_gries_candidates,
+    )
+
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(f"a{i % 7}",) for i in range(40)] + [("hot",)] * 25, "item string"
+    )
+    b1 = spark.createDataFrame(
+        [(f"b{i % 9}",) for i in range(50)] + [("hot",)] * 15, "item string"
+    )
+    m = 6
+    fold_batch(b0, 0, state, m=m)
+    fold_batch(b1, 1, state, m=m)
+    got = {(r.item, r.weight) for r in read_state(spark, state).collect()}
+
+    prior = read_state(spark, state, before=1)
+    summary1 = (
+        misra_gries_candidates(b1, m=m)
+        .groupBy("item")
+        .agg(F.sum("weight_lower_bound").alias("weight"))
+    )
+    want = {
+        (r.item, r.weight)
+        for r in merge_summaries(prior, summary1, m=m).collect()
+    }
+    assert got == want
+    n_total = read_state(spark, state).select(F.max("n_total")).collect()[0][0]
+    assert n_total == 65 + 65
