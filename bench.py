@@ -73,6 +73,14 @@ def main() -> None:
         "weighted_median",
         "chunk_documents",
         "events_anomaly",
+        # r9 load-wave cohort: 2-5x repeat-to-repeat ambient swings on
+        # bit-identical plans (VERDICT r9 — events_covisit 1.33->2.96,
+        # item_pagerank 5.03->6.25, kmeans_embeddings 1.41->2.56 with an
+        # empty plan diff); 4-sample floor + decorrelation re-sample
+        "events_covisit",
+        "item_pagerank",
+        "kmeans_embeddings",
+        "vocab_topk",
     }
     for name, qd in QUERY_REGISTRY.items():
         req = max(repeats, 4) if name in high_variance else repeats
