@@ -68,8 +68,8 @@ def profile_shingle_dfs(
     k: int = 5,
     profile_fraction: float = 1.0,
 ) -> dict[str, float]:
-    """``{n_docs, total_occurrences, vocab, sum_df2}`` — the router's
-    classification aggregation (bounded: a 4-number collect)."""
+    """``{total_occurrences, vocab, sum_df2}`` — the router's
+    classification aggregation (bounded: a 3-number collect, ONE job)."""
     if not 0.0 < profile_fraction <= 1.0:
         raise ValueError(f"profile_fraction must be in (0, 1], got {profile_fraction}")
     base = docs.select("doc_id", text_col)
@@ -90,7 +90,6 @@ def profile_shingle_dfs(
     )
     f = profile_fraction
     return {
-        "n_docs": docs.count() if f == 1.0 else None,
         "total_occurrences": float(row["total"]) / f,
         "vocab": float(row["vocab"]),
         # df scales ~f for non-hapax shingles → Σdf² scales ~f²; the 1/f²

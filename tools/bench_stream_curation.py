@@ -24,8 +24,13 @@ chance to trend. `compact_every=K` exercises `compact_batches` as the
 maintenance story: every K folds, closed batches collapse into one
 generation partition, bounding both the listing and the file count.
 
+Round 10 runs the 100-500 fold horizon (VERDICT r9 next #5); small
+batches there are fixed-cost-dominated (~50 Spark jobs/fold), so the
+``partitions`` arg right-sizes the session — shuffle partitions ≫ batch
+rows just taxes the scheduler without exercising anything extra.
+
 Usage: python tools/bench_stream_curation.py [n_batches] [trim_w] \
-           [docs_per_batch] [compact_every]
+           [docs_per_batch] [compact_every] [partitions]
 """
 from __future__ import annotations
 
@@ -56,6 +61,7 @@ def main() -> None:
     trim_w = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     docs_per_batch = int(sys.argv[3]) if len(sys.argv) > 3 else 0  # 0 = all
     compact_every = int(sys.argv[4]) if len(sys.argv) > 4 else 0  # 0 = never
+    partitions = int(sys.argv[5]) if len(sys.argv) > 5 else 32
 
     from pyspark.sql import functions as F
 
@@ -69,8 +75,8 @@ def main() -> None:
 
     spark = get_spark(
         app_name="bench-stream-curation",
-        master="local[32]",
-        shuffle_partitions=32,
+        master=f"local[{partitions}]",
+        shuffle_partitions=partitions,
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.driver.memory": "48g",
