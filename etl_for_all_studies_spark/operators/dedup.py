@@ -455,6 +455,8 @@ def incremental_minhash_dedup(
     num_hashes: int = 16,
     bands: int = 2,
     verify_threshold: float = 0.5,
+    new_signatures: DataFrame | None = None,
+    seen_signatures: DataFrame | None = None,
     scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs touching a NEW batch only: (new×seen) ∪ (new×new) —
@@ -466,10 +468,20 @@ def incremental_minhash_dedup(
     kept set.
 
     Cost model: banded candidates come from TWO equi-joins keyed by band
-    content — new-batch bands against the (stored, in production
-    precomputed) seen-side band table, and the new batch against itself.
-    Both are proportional to band collisions with the batch, independent of
-    |seen|² . Verification intersects shingle sets for candidates only.
+    content — new-batch bands against the seen-side band table, and the new
+    batch against itself. Both are proportional to band collisions with the
+    batch, independent of |seen|². Verification intersects shingle sets for
+    CANDIDATE docs only (the shingle arrays are built behind a semi-join on
+    the candidate ids, so the per-batch HOF cost tracks candidates, never
+    |seen| — the 300-fold streaming probe measured the unrestricted form's
+    per-fold wall growing ~2.7× by fold 200 from exactly this term).
+
+    ``seen_signatures`` / ``new_signatures`` accept PRECOMPUTED
+    ``minhash_signatures`` tables (same ``text_col``/``k``/``num_hashes`` —
+    caller contract): a stored corpus should persist its signatures once at
+    admission and hand them back per batch instead of re-hashing all of
+    history every fold (``streaming/curation.py`` does exactly this via its
+    signatures state leg).
 
     Doc ids must be disjoint across the two inputs (the warehouse contract).
     Output: (doc_a, doc_b, vs_seen, n_shared_bands, common, jaccard), pairs
@@ -477,11 +489,15 @@ def incremental_minhash_dedup(
     """
     rows_per_band = num_hashes // bands
     sig_new = persist(
-        minhash_signatures(new_docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope),
+        minhash_signatures(new_docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope)
+        if new_signatures is None
+        else new_signatures,
         scope,
     )
     sig_seen = persist(
-        minhash_signatures(seen_docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope),
+        minhash_signatures(seen_docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope)
+        if seen_signatures is None
+        else seen_signatures,
         scope,
     )
     bn = _band_explode(sig_new, bands, rows_per_band)

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
 from ..operators.contamination import decontaminate
-from ..operators.dedup import incremental_minhash_dedup
+from ..operators.dedup import incremental_minhash_dedup, minhash_signatures
 from ..operators.dedup_graph import connected_components
 from ..operators.quality import QualityRules, annotate_quality
 
@@ -71,6 +71,12 @@ class IncrementalCurationResult:
     #                                  the admitted batch (pre-trim ∪ post-
     #                                  trim-junction) — append to the
     #                                  warehouse seen-hash table
+    new_signatures: DataFrame | None = None  # (doc_id, sig) MinHash
+    #                                  signatures of the FINAL (post-trim)
+    #                                  admitted docs — store them and hand
+    #                                  the accumulated table back as
+    #                                  seen_signatures so no fold ever
+    #                                  re-hashes the stored corpus
 
 
 def curate_batch(
@@ -83,6 +89,7 @@ def curate_batch(
     verify_threshold: float = 0.5,
     trim_spans_w: int | None = None,
     seen_window_hashes: DataFrame | None = None,
+    seen_signatures: DataFrame | None = None,
     scope: CacheScope | None = None,
 ) -> IncrementalCurationResult:
     """Fold ``new_docs`` into the corpus whose kept set is ``seen_docs``.
@@ -96,6 +103,15 @@ def curate_batch(
     or within the batch — are cut from the admitted text with keep-first
     semantics. The caller appends ``new_window_hashes`` to the warehouse
     seen-hash table after a successful batch commit.
+
+    ``seen_signatures`` is the stored corpus's accumulated MinHash
+    signature table ((doc_id, sig), same k=5/num_hashes=16 defaults as the
+    dedup stage): when provided, the vs-seen banding reads it instead of
+    re-hashing every seen doc — the O(|history|) HOF term the 300-fold
+    streaming probe measured growing per fold. ``new_signatures`` on the
+    result is the post-trim admitted batch's table to accrue; unioning the
+    per-batch tables reproduces ``minhash_signatures`` of the stored corpus
+    exactly (equivalence is test-pinned).
     """
     quality = annotate_quality(new_docs, rules=rules)
     passed = quality.where(F.col("keep") == 1).select(new_docs.columns)
@@ -112,6 +128,7 @@ def curate_batch(
         seen_docs,
         bands=minhash_bands,
         verify_threshold=verify_threshold,
+        seen_signatures=seen_signatures,
         scope=scope,
     )
     if scope is not None:
@@ -196,6 +213,12 @@ def curate_batch(
             win.select("h").unionByName(junction_h).distinct()
         )
 
+    # signatures of the FINAL admitted text (post-trim when trimming):
+    # accruing pre-trim signatures would drift from what a recompute over
+    # the STORED corpus produces, so the accrual hashes exactly what the
+    # corpus stores — per-batch cost, batch-sized
+    new_signatures = minhash_signatures(admitted, scope=scope)
+
     return IncrementalCurationResult(
         admitted=admitted,
         quality=quality,
@@ -205,6 +228,7 @@ def curate_batch(
         new_clusters=clusters,
         trimmed_spans=trimmed_spans,
         new_window_hashes=new_window_hashes,
+        new_signatures=new_signatures,
     )
 
 

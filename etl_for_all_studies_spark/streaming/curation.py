@@ -19,6 +19,7 @@ here is therefore keyed by the batch id —
 
     corpus_dir/admitted/batch_id=N/        the admitted (possibly trimmed) docs
     corpus_dir/window_hashes/batch_id=N/   the batch's hash accrual (trim mode)
+    corpus_dir/signatures/batch_id=N/      the admitted docs' MinHash table
     corpus_dir/audit/batch_id=N/           one row of drop accounting
 
 — and a replay OVERWRITES its own partition with a bit-identical result
@@ -175,6 +176,17 @@ def fold_batch(
         hash_paths = _committed_paths(corpus_dir, "window_hashes", batch_id)
         if hash_paths:
             seen_hashes = spark.read.parquet(*hash_paths)
+    # accrued signature state: usable only when EVERY committed admitted
+    # partition has a matching signatures partition (a corpus started
+    # before the signatures leg existed, or compacted without it, falls
+    # back to re-hashing — incomplete coverage would silently drop
+    # vs-seen candidates for the uncovered batches)
+    seen_sigs = None
+    sig_paths = _committed_paths(corpus_dir, "signatures", batch_id)
+    if seen_paths and len(sig_paths) == len(seen_paths) and {
+        pathlib.Path(p).name for p in sig_paths
+    } == {pathlib.Path(p).name for p in seen_paths}:
+        seen_sigs = spark.read.parquet(*sig_paths)
 
     with CacheScope() as scope:
         batch_df = scope.persist(batch_df)
@@ -187,6 +199,7 @@ def fold_batch(
             verify_threshold=verify_threshold,
             trim_spans_w=trim_spans_w,
             seen_window_hashes=seen_hashes,
+            seen_signatures=seen_sigs,
             scope=scope,
         )
         # the admitted frame is written AND counted — pin it so neither
@@ -206,6 +219,12 @@ def fold_batch(
             res.new_window_hashes.write.mode("overwrite").parquet(
                 f"{corpus_dir}/window_hashes/batch_id={batch_id}"
             )
+        # signatures accrual: the post-trim admitted table's MinHash rows,
+        # written BEFORE the audit commit marker like every other leg —
+        # the next fold dedups vs seen without re-hashing history
+        res.new_signatures.write.mode("overwrite").parquet(
+            f"{corpus_dir}/signatures/batch_id={batch_id}"
+        )
 
         # drop accounting in ONE action: a union of single-row aggregates
         # over the persisted/compact legs (five separate .count() actions
@@ -336,6 +355,7 @@ def compact_batches(
     gen_id = -gen
     admitted_dirs = _batch_dirs(f"{corpus_dir}/admitted")
     hash_dirs = _batch_dirs(f"{corpus_dir}/window_hashes")
+    sig_dirs = _batch_dirs(f"{corpus_dir}/signatures")
     audit_dirs = _batch_dirs(f"{corpus_dir}/audit")
 
     adm_src = [str(admitted_dirs[i]) for i in sources if i in admitted_dirs]
@@ -358,6 +378,15 @@ def compact_batches(
         ).write.mode("overwrite").parquet(
             f"{corpus_dir}/window_hashes/batch_id={gen_id}"
         )
+
+    # signatures ride along ONLY when every compacted source has them —
+    # a partial generation table would pass the fold's completeness check
+    # by name while silently missing the uncovered batches' docs
+    sig_src = [str(sig_dirs[i]) for i in sources if i in sig_dirs]
+    if len(sig_src) == len(adm_src):
+        spark.read.parquet(*sig_src).coalesce(max(1, n_files)).write.mode(
+            "overwrite"
+        ).parquet(f"{corpus_dir}/signatures/batch_id={gen_id}")
 
     # archive accounting: the compacted batches' live audit rows PLUS the
     # archives of every generation this one consumes (else re-compaction
@@ -406,7 +435,7 @@ def compact_batches(
     # maintenance tail — superseded dirs and manifests consumed by this
     # generation; best-effort (readers already ignore them)
     for i in sources:
-        for dirs in (admitted_dirs, hash_dirs, audit_dirs):
+        for dirs in (admitted_dirs, hash_dirs, sig_dirs, audit_dirs):
             if i in dirs:
                 shutil.rmtree(dirs[i], ignore_errors=True)
     for g in consumed_gens:

@@ -1462,3 +1462,46 @@ def test_incremental_new_documents_md5_digests_version_stable(spark):
     }
     # only the unseen digest surfaces, valued exactly at the hashlib md5
     assert out == {expected[texts[0]]: (1, 2)}
+
+
+def test_incremental_minhash_precomputed_signatures_match_recompute(spark):
+    """Passing stored minhash_signatures tables (the streaming accrual
+    contract) must be bit-identical to the recompute path — same pairs,
+    same scores — and the candidate-restricted verification changes
+    nothing (it prunes shingle construction, never results)."""
+    from etl_for_all_studies_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("dog", "cat")),
+        (10, base + " extra"),
+        (11, base + " extra"),
+        (12, "completely unrelated text with nothing shared at all here"),
+        (13, "ab"),  # < k chars: signature-less, must not pair or crash
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seen = docs.where(F.col("doc_id") < 10)
+    new = docs.where(F.col("doc_id") >= 10)
+
+    def key(df):
+        return {
+            (r.doc_a, r.doc_b, r.vs_seen, r.n_shared_bands, r.common,
+             round(r.jaccard, 9))
+            for r in df.collect()
+        }
+
+    recompute = key(incremental_minhash_dedup(new, seen, bands=2))
+    stored = key(
+        incremental_minhash_dedup(
+            new,
+            seen,
+            bands=2,
+            new_signatures=minhash_signatures(new),
+            seen_signatures=minhash_signatures(seen),
+        )
+    )
+    assert stored == recompute and recompute

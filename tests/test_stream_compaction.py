@@ -224,3 +224,56 @@ def test_stream_cli_reports_zero_batches_on_empty_source(spark, tmp_path, capsys
     assert rc == 0
     out = capsys.readouterr().out
     assert "batches=0" in out and "corpus_docs=0" in out
+
+
+def test_signature_accrual_matches_recompute_and_survives_compaction(
+    spark, folded_corpus
+):
+    """The signatures state leg must reproduce minhash_signatures of the
+    stored corpus exactly (post-trim text), compaction must carry the leg,
+    and the post-compaction fold must still drop dups of compacted docs
+    through the accrued (generation) signatures."""
+    from etl_for_all_studies_spark.operators.dedup import minhash_signatures
+
+    corpus = folded_corpus
+    # every committed batch wrote a signatures partition
+    assert _partition_ids(corpus, "signatures") == _partition_ids(
+        corpus, "admitted"
+    )
+    # accrued union == recompute over the stored (post-trim) corpus
+    want = {
+        (r.doc_id, tuple(r.sig))
+        for r in minhash_signatures(
+            read_curated_corpus(spark, corpus)
+        ).collect()
+    }
+    got = {
+        (r.doc_id, tuple(r.sig))
+        for r in spark.read.parquet(f"{corpus}/signatures/batch_id=*").collect()
+    }
+    assert got == want
+
+    # compaction rewrites the leg into the generation partition; a dup of
+    # a COMPACTED doc is still dropped on the fast path afterwards
+    assert compact_batches(spark, corpus, min_batches=2)
+    assert _partition_ids(corpus, "signatures") == _partition_ids(
+        corpus, "admitted"
+    )
+    _fold(spark, corpus, 4, [(60, _DOCS[4]), (61, _DOCS[6])])  # 60 dup of 40
+    final = {r.doc_id for r in read_curated_corpus(spark, corpus).collect()}
+    assert 61 in final and 60 not in final
+
+
+def test_signature_leg_fallback_when_coverage_partial(spark, tmp_path):
+    """A corpus whose signatures leg is missing (pre-accrual corpora, or a
+    generation compacted without it) must fall back to re-hashing history —
+    same admissions — while new folds self-heal the leg forward."""
+    corpus = str(tmp_path / "corpus")
+    _fold(spark, corpus, 0, [(10, _DOCS[0]), (11, _DOCS[1])])
+    shutil.rmtree(os.path.join(corpus, "signatures"))
+    # fold 1 has no signature coverage for batch 0 → recompute path; the
+    # vs-seen dup of doc 10 must still be caught
+    _fold(spark, corpus, 1, [(20, _DOCS[0]), (21, _DOCS[2])])
+    kept = {r.doc_id for r in read_curated_corpus(spark, corpus).collect()}
+    assert kept == {10, 11, 21}
+    assert _partition_ids(corpus, "signatures") == {1}
