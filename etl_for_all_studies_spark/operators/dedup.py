@@ -335,6 +335,23 @@ def _band_explode(
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
 
 
+def exact_rows_per_band(num_hashes: int, bands: int) -> int:
+    """``num_hashes / bands``, raising unless it divides exactly.
+
+    A silent ``//`` truncation (16//3 → 5 rows/band) would band on only
+    ``bands · rows_per_band`` of the hash functions with no warning,
+    quietly weakening the recall contract (VERDICT r10 #6)."""
+    if bands <= 0:
+        raise ValueError(f"bands must be positive, got {bands}")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) "
+            "exactly — a truncated rows_per_band would silently ignore "
+            f"{num_hashes % bands} of the hash functions"
+        )
+    return num_hashes // bands
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     *,
@@ -408,7 +425,7 @@ def minhash_dedup(
     ``max_bucket_size`` bounds the banding itself against hot buckets — see
     ``minhash_lsh_candidates`` for the valve's recall contract.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = exact_rows_per_band(num_hashes, bands)
     # persist the sketch tables: they are tiny relative to the corpus, and
     # without a materialization barrier Catalyst inlines the (interpreted,
     # higher-order-function) signature expression into every downstream
@@ -487,7 +504,7 @@ def incremental_minhash_dedup(
     Output: (doc_a, doc_b, vs_seen, n_shared_bands, common, jaccard), pairs
     canonicalized doc_a < doc_b; ``vs_seen`` = 1 iff one side is a seen doc.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = exact_rows_per_band(num_hashes, bands)
     sig_new = persist(
         minhash_signatures(new_docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope)
         if new_signatures is None
@@ -527,7 +544,17 @@ def incremental_minhash_dedup(
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         .withColumn("vs_seen", F.lit(0).cast("long"))
     )
-    cands = (
+    # lineage truncation, not just a persist: the candidate frame is
+    # referenced by the verify join AND (twice) by the semi-join below, and
+    # each reference re-inlines the band-join tree with its 16-way MinHash
+    # HOF expressions into the logical plan — through the incremental
+    # curation plan's own multi-reference of `pairs` that compounds to a
+    # plan string large enough to OOM the driver building explainString
+    # (measured on the streaming CLI). The checkpoint caps the plan at a
+    # LogicalRDD leaf; rows are bounded by band collisions with the batch.
+    from .dedup_graph import fresh_stats_checkpoint
+
+    cands = fresh_stats_checkpoint(
         ns.unionByName(nn)
         .select(
             F.least("new_id", "other_id").alias("doc_a"),
@@ -536,11 +563,21 @@ def incremental_minhash_dedup(
             "n_shared_bands",
         )
     )
+    # verification reads text ONLY for candidate docs: the semi-join below
+    # keeps the per-fold HOF cost proportional to band collisions with the
+    # batch, never |seen| (ADVICE r10 — without it every fold materialized
+    # shingle arrays for the entire stored corpus in the verify stage,
+    # surviving the signatures-leg fix of the hashing term)
+    cand_ids = cands.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cands.select(F.col("doc_b").alias("doc_id"))
+    )
     sets = persist(
         compute_spread(
-            new_docs.select("doc_id", F.col(text_col).alias("__t")).unionByName(
+            new_docs.select("doc_id", F.col(text_col).alias("__t"))
+            .unionByName(
                 seen_docs.select("doc_id", F.col(text_col).alias("__t"))
             )
+            .join(cand_ids, on="doc_id", how="left_semi")
         ).select("doc_id", char_shingles(F.col("__t"), k).alias("shingles")),
         scope,
     )

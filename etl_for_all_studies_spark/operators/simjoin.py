@@ -55,7 +55,11 @@ from pyspark.sql import functions as F
 from ..caching import CacheScope, persist
 from ..functions.hashing import char_shingles
 from ..partitioning import compute_spread
-from .dedup import minhash_lsh_candidates, minhash_signatures
+from .dedup import (
+    exact_rows_per_band,
+    minhash_lsh_candidates,
+    minhash_signatures,
+)
 from .prefixjoin import jaccard_prefix_pairs
 
 _PREFIX_ALWAYS_THRESHOLD = 0.8  # measured regime boundary, SCALE.md r9
@@ -166,7 +170,7 @@ def _lsh_verified_pairs(
     candidates = minhash_lsh_candidates(
         sigs,
         bands=bands,
-        rows_per_band=num_hashes // bands,
+        rows_per_band=exact_rows_per_band(num_hashes, bands),
         max_bucket_size=max_bucket_size,
     )
     sets = persist(
@@ -214,7 +218,18 @@ def jaccard_pairs_auto(
     ``mode="lsh"`` is approximate-recall (subset of the exact answer,
     every emitted pair verified ≥ threshold — tests pin the containment);
     ``mode="auto"`` routes per the module-docstring rule.
+
+    ``bands`` must divide ``num_hashes`` exactly: a silent
+    ``num_hashes // bands`` truncation (16//3 → 5 rows/band using only 15
+    of the 16 hash functions) would quietly weaken the banding's recall
+    contract (VERDICT r10 #6).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) "
+            "exactly — a truncated rows_per_band would silently ignore "
+            f"{num_hashes % bands} of the hash functions"
+        )
     if mode == "auto":
         mode = route_jaccard_join(
             docs,

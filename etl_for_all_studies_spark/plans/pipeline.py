@@ -158,11 +158,11 @@ def run_pipeline(
                 # quotes during parsing, so wide.columns never contains '"'
                 # even for a fully-quoted file — a quoted ultra-wide study
                 # must stay on the CSV path (which unquotes data cells) or
-                # '"1.5"' would fail try_cast in the text melt.
-                raw_header = sniff_header(expr_path)
-                if (
-                    len(wide.columns) - 1 > _TEXT_MELT_THRESHOLD
-                    and raw_header is not None
+                # '"1.5"' would fail try_cast in the text melt. The sniff is
+                # a second driver-side header read, so only ultra-wide
+                # candidates pay it (ADVICE r10).
+                if len(wide.columns) - 1 > _TEXT_MELT_THRESHOLD and (
+                    (raw_header := sniff_header(expr_path)) is not None
                     and not any('"' in c for c in raw_header)
                 ):
                     long = expression_text_to_long(

@@ -69,6 +69,7 @@ trim stage append reader-consistently.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import pathlib
 import shutil
@@ -77,6 +78,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope
+from ..operators.dedup import minhash_signatures
 from ..operators.quality import QualityRules
 from ..plans.incremental_curation import curate_batch
 from .util import await_drain
@@ -379,14 +381,48 @@ def compact_batches(
             f"{corpus_dir}/window_hashes/batch_id={gen_id}"
         )
 
-    # signatures ride along ONLY when every compacted source has them —
-    # a partial generation table would pass the fold's completeness check
-    # by name while silently missing the uncovered batches' docs
+    # signatures must cover EVERY compacted source — a partial generation
+    # table would pass the fold's completeness check by name while silently
+    # missing the uncovered batches' docs. Uncovered batches (a corpus
+    # started before the signatures leg, or compacted without it) are
+    # BACKFILLED by re-hashing their admitted partitions (ADVICE r10 — the
+    # old all-or-nothing rule rmtree'd the covered batches' signatures
+    # without writing a generation partition, silently discarding accrued
+    # coverage and pinning the corpus to the recompute path forever). The
+    # fold's own accrual hashes the post-trim admitted text with
+    # ``minhash_signatures`` defaults, so the backfill reproduces stored
+    # rows bit-identically (deterministic seeds, same text).
     sig_src = [str(sig_dirs[i]) for i in sources if i in sig_dirs]
-    if len(sig_src) == len(adm_src):
-        spark.read.parquet(*sig_src).coalesce(max(1, n_files)).write.mode(
-            "overwrite"
-        ).parquet(f"{corpus_dir}/signatures/batch_id={gen_id}")
+    sig_missing = [
+        i for i in sources if i in admitted_dirs and i not in sig_dirs
+    ]
+    if adm_src and (sig_src or sig_missing):
+        frames = []
+        if sig_src:
+            frames.append(spark.read.parquet(*sig_src))
+        if sig_missing:
+            logging.getLogger(__name__).warning(
+                "compact_batches: %d of %d source batches have no "
+                "signatures partition (%s) — backfilling from their "
+                "admitted text so generation %d keeps full coverage",
+                len(sig_missing),
+                len(adm_src),
+                sig_missing,
+                gen,
+            )
+            frames.append(
+                minhash_signatures(
+                    spark.read.parquet(
+                        *[str(admitted_dirs[i]) for i in sig_missing]
+                    )
+                )
+            )
+        gen_sigs = frames[0]
+        for f in frames[1:]:
+            gen_sigs = gen_sigs.unionByName(f)
+        gen_sigs.coalesce(max(1, n_files)).write.mode("overwrite").parquet(
+            f"{corpus_dir}/signatures/batch_id={gen_id}"
+        )
 
     # archive accounting: the compacted batches' live audit rows PLUS the
     # archives of every generation this one consumes (else re-compaction

@@ -65,17 +65,27 @@ def _committed_batches(state_dir: str) -> list[int]:
 
 
 def read_state(
-    spark: SparkSession, state_dir: str, *, before: int | None = None
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    before: int | None = None,
+    include_sentinel: bool = False,
 ) -> DataFrame:
     """The latest committed summary (≤ m rows), optionally only from
-    batches strictly before ``before`` (the fold's replay self-exclusion)."""
+    batches strictly before ``before`` (the fold's replay self-exclusion).
+
+    The stored partition also holds one NULL-item row carrying the running
+    ``n_total`` independently of item survival (ADVICE r10); it is hidden
+    by default — only the fold itself reads it (``include_sentinel=True``)
+    so ``__prior_n`` survives a shrink that drops every counter."""
     batches = _committed_batches(state_dir)
     if before is not None:
         batches = [b for b in batches if b < before]
     if not batches:
         return spark.createDataFrame([], _STATE_SCHEMA)
     latest = pathlib.Path(state_dir) / f"batch_id={batches[-1]}"
-    return spark.read.schema(_STATE_SCHEMA).parquet(str(latest))
+    df = spark.read.schema(_STATE_SCHEMA).parquet(str(latest))
+    return df if include_sentinel else df.where(F.col("item").isNotNull())
 
 
 def merge_summaries(
@@ -157,7 +167,9 @@ def fold_batch(
             "mismatch (fresh checkpoint against reused state?). Pair each "
             "state_dir with one checkpoint_dir, or clear both together."
         )
-    prior = read_state(spark, state_dir, before=batch_id)
+    prior = read_state(
+        spark, state_dir, before=batch_id, include_sentinel=True
+    )
     per_part = misra_gries_candidates(
         batch_df.select(F.col(item_col).cast("string").alias("item")),
         item_col="item",
@@ -202,6 +214,13 @@ def fold_batch(
     kth = ranked.where(
         (F.col("__rank") == m + 1) & F.col("item").isNotNull()
     ).select(F.col("weight").alias("__decr"))
+    # The NULL-item row is KEPT (weight forced back to 0) as the running-
+    # total carrier: if the shrink drops every counter (m+1 items with tied
+    # weights make weight−decr == 0 for all), an items-only state would be
+    # empty and the next fold's __prior_n would silently reset to 0,
+    # understating the n_total/(m+1) error bound (ADVICE r10). Carrying it
+    # on the same leg preserves the fused one-action/one-scan fold;
+    # read_state hides it from every consumer except the fold itself.
     new_state = (
         ranked.crossJoin(
             F.broadcast(
@@ -211,19 +230,25 @@ def fold_batch(
             )
         )
         .where(
-            F.col("item").isNotNull()
-            & (F.col("__rank") <= m)
-            & (F.col("weight") - F.col("__decr") > 0)
+            F.col("item").isNull()
+            | (
+                (F.col("__rank") <= m)
+                & (F.col("weight") - F.col("__decr") > 0)
+            )
         )
         .select(
             "item",
-            (F.col("weight") - F.col("__decr")).alias("weight"),
+            F.when(F.col("item").isNull(), F.lit(0))
+            .otherwise(F.col("weight") - F.col("__decr"))
+            .cast("long")
+            .alias("weight"),
             (F.col("__prior_n") + F.col("__batch_n")).cast("long").alias(
                 "n_total"
             ),
         )
     )
-    # ≤ m rows: one file per fold keeps the state read a single-footer scan
+    # ≤ m+1 rows (items + the total carrier): one file per fold keeps the
+    # state read a single-footer scan
     new_state.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch_id={batch_id}")
     )

@@ -1505,3 +1505,33 @@ def test_incremental_minhash_precomputed_signatures_match_recompute(spark):
         )
     )
     assert stored == recompute and recompute
+
+
+def test_incremental_minhash_verify_reads_candidates_only(spark):
+    """The verify stage's shingle arrays must be built behind a LEFT-SEMI
+    join on the candidate ids (ADVICE r10): without it every streaming
+    fold materializes char_shingles over the entire stored corpus, an
+    O(|history|)-per-fold term the signatures leg does not remove."""
+    from etl_for_all_studies_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    seen = spark.createDataFrame(
+        [(i, f"stored corpus document number {i} about topic {i % 3}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "stored corpus document number 0 about topic 0"),
+         (101, "a completely different new arrival text")],
+        "doc_id long, text string",
+    )
+    out = incremental_minhash_dedup(new, seen, bands=2, verify_threshold=0.5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, (
+        "verify stage lost its candidate-id semi-join — shingles would be "
+        "materialized for the whole stored corpus every fold"
+    )
+    # and the restriction changes nothing semantically: the dup is found
+    got = {(r.doc_a, r.doc_b, r.vs_seen) for r in out.collect()}
+    assert (0, 100, 1) in got

@@ -128,3 +128,24 @@ def test_registered_slice_routes_prefix_at_oracle_sf(spark):
         F.col("doc_id") % 4 == 0
     )
     assert route_jaccard_join(docs, k=9, threshold=0.6) == "prefix"
+
+
+def test_bands_must_divide_num_hashes_loudly():
+    """num_hashes // bands truncation (16//3 → 5 rows/band on 15 of 16
+    hashes) silently weakened the banding's recall contract — now a loud
+    ValueError everywhere rows_per_band is derived (VERDICT r10 #6)."""
+    from etl_for_all_studies_spark.operators.dedup import exact_rows_per_band
+
+    assert exact_rows_per_band(16, 4) == 4
+    with pytest.raises(ValueError, match="must divide num_hashes"):
+        exact_rows_per_band(16, 3)
+    with pytest.raises(ValueError, match="positive"):
+        exact_rows_per_band(16, 0)
+
+
+def test_auto_rejects_non_dividing_bands(spark):
+    docs = spark.createDataFrame(
+        [(1, "some text here"), (2, "other text here")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="must divide num_hashes"):
+        jaccard_pairs_auto(docs, num_hashes=16, bands=3).collect()

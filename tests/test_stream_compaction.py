@@ -277,3 +277,54 @@ def test_signature_leg_fallback_when_coverage_partial(spark, tmp_path):
     kept = {r.doc_id for r in read_curated_corpus(spark, corpus).collect()}
     assert kept == {10, 11, 21}
     assert _partition_ids(corpus, "signatures") == {1}
+
+
+def test_partial_signature_coverage_backfilled_at_compaction(
+    spark, tmp_path, caplog
+):
+    """Compacting a corpus with PARTIAL signature coverage must not discard
+    the covered batches' signatures (ADVICE r10: the old all-or-nothing
+    rule rmtree'd them without writing a generation partition, silently
+    pinning the corpus to the recompute path forever). The missing batches
+    are backfilled from their admitted text — bit-identical to the fold's
+    own accrual — with a loud warning, so the generation has FULL coverage
+    and the next fold takes the fast path."""
+    import logging
+
+    from etl_for_all_studies_spark.operators.dedup import minhash_signatures
+
+    corpus = str(tmp_path / "corpus")
+    _fold(spark, corpus, 0, [(10, _DOCS[0]), (11, _DOCS[1])])
+    # simulate a pre-accrual batch: batch 0 has no signatures partition
+    shutil.rmtree(os.path.join(corpus, "signatures"))
+    _fold(spark, corpus, 1, [(20, _DOCS[2]), (21, _DOCS[3])])
+    _fold(spark, corpus, 2, [(30, _DOCS[4]), (31, _DOCS[5])])
+    assert _partition_ids(corpus, "signatures") == {1, 2}
+
+    with caplog.at_level(logging.WARNING):
+        assert compact_batches(spark, corpus, min_batches=2)
+    assert any("backfilling" in r.message for r in caplog.records)
+    # full coverage restored: every admitted partition (the generation +
+    # the live tail) has a matching signatures partition
+    assert _partition_ids(corpus, "signatures") == _partition_ids(
+        corpus, "admitted"
+    )
+    # the generation table == recompute over the stored corpus (backfill
+    # is bit-identical: deterministic seeds, same post-trim text)
+    want = {
+        (r.doc_id, tuple(r.sig))
+        for r in minhash_signatures(
+            read_curated_corpus(spark, corpus)
+        ).collect()
+    }
+    got = {
+        (r.doc_id, tuple(r.sig))
+        for r in spark.read.parquet(
+            f"{corpus}/signatures/batch_id=*"
+        ).collect()
+    }
+    assert got == want
+    # and the post-compaction fold still drops a dup of a batch-0 doc
+    _fold(spark, corpus, 3, [(40, _DOCS[0]), (41, _DOCS[6])])
+    kept = {r.doc_id for r in read_curated_corpus(spark, corpus).collect()}
+    assert 41 in kept and 40 not in kept

@@ -189,3 +189,44 @@ def test_fused_fold_matches_reference_merge(spark, tmp_path):
     assert got == want
     n_total = read_state(spark, state).select(F.max("n_total")).collect()[0][0]
     assert n_total == 65 + 65
+
+
+def test_n_total_survives_a_shrink_that_drops_every_counter(spark, tmp_path):
+    """m+1 items with tied weights make weight−decr == 0 for all — the
+    items-only state would be EMPTY and the next fold's __prior_n would
+    silently reset to 0, understating the n_total/(m+1) bound (ADVICE
+    r10). The NULL-item total carrier must keep the running n_total."""
+    state = str(tmp_path / "state")
+    m = 4
+    b0 = spark.createDataFrame(
+        [(f"t{i}",) for i in range(m + 1) for _ in range(3)], "item string"
+    )
+    fold_batch(b0, 0, state, m=m)
+    # the shrink dropped every counter… (public view: no items)
+    assert read_state(spark, state).count() == 0
+    # …but the carrier kept the total
+    carrier = read_state(spark, state, include_sentinel=True).collect()
+    assert [(r.item, r.weight, r.n_total) for r in carrier] == [(None, 0, 15)]
+
+    b1 = spark.createDataFrame([("x",)] * 2, "item string")
+    fold_batch(b1, 1, state, m=m)
+    top = top_k_from_state(spark, state, k=10).collect()
+    assert [(r.item, r.weight, r.rank, r.n_total) for r in top] == [
+        ("x", 2, 1, 17)
+    ]
+    # MG bound: every t_i's true count (3) ≤ weight (0, dropped) + n/(m+1)
+    assert 17 / (m + 1) >= 3
+
+
+def test_top_k_never_surfaces_the_total_carrier(spark, tmp_path):
+    """The NULL-item carrier row is fold-internal: top_k and the default
+    read_state must hide it even when k exceeds the item count."""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame([("x",), ("x",), ("y",)], "item string")
+    fold_batch(b0, 0, state, m=8)
+    top = top_k_from_state(spark, state, k=100).collect()
+    assert all(r.item is not None for r in top)
+    assert {r.item: r.weight for r in top} == {"x": 2, "y": 1}
+    assert all(
+        r.item is not None for r in read_state(spark, state).collect()
+    )
