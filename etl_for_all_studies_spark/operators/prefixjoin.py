@@ -192,3 +192,135 @@ def jaccard_prefix_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
     )
+
+
+def incremental_jaccard_prefix_pairs(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs ``J ≥ threshold`` touching a NEW batch only:
+    (new×seen) ∪ (new×new), seen×seen never enumerated — the exact-leg
+    counterpart of ``dedup.incremental_minhash_dedup`` for the curation
+    router's clone regime (t ≥ 0.8, VERDICT r10 #3).
+
+    The df-ordered prefixes are computed over the UNION universe: the
+    prefix filter is correct under any one global total order, so both
+    sides must rank shingles by the same dfs (a per-side order would break
+    the pigeonhole argument). That makes this leg's per-fold cost linear
+    in |seen| (one shingle pass over stored text for the df window) —
+    unlike the LSH leg, whose stored-signatures seam removes the history
+    term entirely. The router therefore only sends CLONE-threshold corpora
+    here, where the candidate join's Σ(prefix-df)² collapse is worth the
+    linear pass; high-volume streaming corpora below the clone threshold
+    stay on the LSH leg (``plans/incremental_curation.py`` routes ONCE per
+    corpus and persists the decision).
+
+    Output: ``(doc_a, doc_b, vs_seen, common, size_a, size_b, jaccard)``
+    with ``doc_a < doc_b``; ``vs_seen`` = 1 iff one side is a seen doc.
+    Doc ids must be disjoint across the two inputs (warehouse contract).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tagged = new_docs.select(
+        "doc_id", F.col(text_col).alias("__t"), F.lit(1).alias("__new")
+    ).unionByName(
+        seen_docs.select(
+            "doc_id", F.col(text_col).alias("__t"), F.lit(0).alias("__new")
+        )
+    )
+    arrays = persist(
+        compute_spread(tagged).select(
+            "doc_id", "__new", char_shingles(F.col("__t"), k).alias("__set")
+        ),
+        scope,
+    )
+    sh = arrays.select("doc_id", "__new", F.explode("__set").alias("shingle"))
+    by_shingle = Window.partitionBy("shingle")
+    by_doc = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    by_doc_all = Window.partitionBy("doc_id")
+    ranked = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(by_shingle))
+        .withColumn("__pos", F.row_number().over(by_doc))
+        .withColumn("__size", F.count(F.lit(1)).over(by_doc_all))
+    )
+    prefix = persist(
+        ranked.where(
+            F.col("__pos")
+            <= F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
+        ).select("doc_id", "__new", "shingle", "__size", "__pos"),
+        scope,
+    )
+    pn = prefix.where(F.col("__new") == 1).drop("__new")
+    ps = prefix.where(F.col("__new") == 0).drop("__new")
+
+    def _filters(a, b):
+        alpha = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col(f"{a}.__size") + F.col(f"{b}.__size"))
+        )
+        return [
+            F.col(f"{a}.shingle") == F.col(f"{b}.shingle"),
+            F.lit(threshold)
+            * F.greatest(F.col(f"{a}.__size"), F.col(f"{b}.__size"))
+            <= F.least(F.col(f"{a}.__size"), F.col(f"{b}.__size")),
+            F.lit(1)
+            + F.least(
+                F.col(f"{a}.__size") - F.col(f"{a}.__pos"),
+                F.col(f"{b}.__size") - F.col(f"{b}.__pos"),
+            )
+            >= alpha,
+        ]
+
+    ns = (
+        pn.alias("a")
+        .join(ps.alias("b"), on=_filters("a", "b"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.__size"))
+            .otherwise(F.col("b.__size"))
+            .alias("size_a"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.__size"))
+            .otherwise(F.col("a.__size"))
+            .alias("size_b"),
+            F.lit(1).cast("long").alias("vs_seen"),
+        )
+    )
+    nn = (
+        pn.alias("a")
+        .join(
+            pn.alias("b"),
+            on=_filters("a", "b")
+            + [F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.__size").alias("size_a"),
+            F.col("b.__size").alias("size_b"),
+            F.lit(0).cast("long").alias("vs_seen"),
+        )
+    )
+    cand = ns.unionByName(nn).distinct()
+    sa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("__set").alias("__sa"))
+    sb = arrays.select(F.col("doc_id").alias("doc_b"), F.col("__set").alias("__sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("__sa", "__sb")))
+        .drop("__sa", "__sb")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a", "doc_b", "vs_seen", "common", "size_a", "size_b", "jaccard"
+        )
+    )

@@ -120,6 +120,26 @@ def choose_jaccard_mode(
     return "prefix" if est_prefix_candidates <= est_lsh_hash_ops else "lsh"
 
 
+def route_similarity_mode(
+    threshold: float,
+    *,
+    prefix_threshold: float = _PREFIX_ALWAYS_THRESHOLD,
+) -> str:
+    """The CURATION plans' router: ``"prefix"`` at the clone threshold
+    (``threshold ≥ prefix_threshold``), else ``"lsh"`` — rule 1 of the
+    module routing, WITHOUT the data-dependent profile branch.
+
+    Curation pipelines route ONCE per corpus and persist the decision
+    (VERDICT r10 #3): an incremental corpus accrues leg-specific state
+    (the LSH leg's stored-signatures seam), so the route must be a pure
+    function of configuration — the same every fold — never of the
+    corpus's current df profile, which drifts as batches land. Standalone
+    similarity joins keep the full profile-routed rule via
+    :func:`route_jaccard_join`.
+    """
+    return "prefix" if threshold >= prefix_threshold else "lsh"
+
+
 def route_jaccard_join(
     docs: DataFrame,
     *,
@@ -263,4 +283,5 @@ __all__ = [
     "jaccard_pairs_auto",
     "profile_shingle_dfs",
     "route_jaccard_join",
+    "route_similarity_mode",
 ]

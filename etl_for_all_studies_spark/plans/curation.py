@@ -39,6 +39,8 @@ from ..caching import CacheScope, persist
 from ..operators.contamination import decontaminate
 from ..operators.dedup import minhash_dedup
 from ..operators.dedup_graph import dedup_clusters, select_cluster_keepers
+from ..operators.prefixjoin import jaccard_prefix_pairs
+from ..operators.simjoin import route_similarity_mode
 from ..operators.quality import QualityRules, annotate_quality
 from ..operators.sharding import write_training_shards
 from ..operators.textops import token_count
@@ -77,6 +79,7 @@ def curate_corpus(
     minhash_max_bucket: int | None = None,
     decontaminate_n: int = 3,
     trim_spans_w: int | None = None,
+    dedup_mode: str = "auto",
     scope: CacheScope | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
@@ -106,6 +109,17 @@ def curate_corpus(
     bucket emits m(m-1)/2 candidate pairs, so cap it for production runs
     (pairs survive via any under-cap band). ``None`` keeps exact banding —
     the oracle-checked default.
+
+    ``dedup_mode`` routes the near-dup stage (VERDICT r10 #3): ``"auto"``
+    applies ``operators/simjoin.py``'s threshold rule — at the clone
+    threshold (``verify_threshold ≥ 0.8``, the regime measured 2.4–10×
+    faster AND exact, SCALE.md r9) pairs come from the EXACT prefix join;
+    below it, MinHash-LSH exactly as before (bit-identical plan, so
+    existing sub-0.8 runs and their oracles are untouched). ``"prefix"`` /
+    ``"lsh"`` force a leg. The rule is threshold-only — a pure function of
+    configuration, never of the corpus (see
+    ``simjoin.route_similarity_mode`` for why curation routes must not
+    consult the df profile).
     """
     quality = annotate_quality(docs, rules=rules)
     passed = quality.where(F.col("keep") == 1).select(docs.columns)
@@ -123,16 +137,31 @@ def curate_corpus(
     # per execution at sf0.1, the dominant curation_pipeline cost)
     clean = persist(clean, scope)
 
-    pairs = minhash_dedup(
-        clean,
-        bands=minhash_bands,
-        verify_threshold=verify_threshold,
-        # the LSH hot-bucket valve (minhash_lsh_candidates): production
-        # corpora have boilerplate cohorts whose band buckets grow with the
-        # corpus and emit m(m-1)/2 candidates — cap them here; None = exact
-        max_bucket_size=minhash_max_bucket,
-        scope=scope,
-    ).select("doc_a", "doc_b")
+    mode = (
+        route_similarity_mode(verify_threshold)
+        if dedup_mode == "auto"
+        else dedup_mode
+    )
+    if mode == "prefix":
+        # clone regime: the exact prefix join dominates AND loses no pair
+        # (the LSH hot-bucket valve is moot — exactness needs no cap)
+        pairs = jaccard_prefix_pairs(
+            clean, threshold=verify_threshold, scope=scope
+        ).select("doc_a", "doc_b")
+    elif mode == "lsh":
+        pairs = minhash_dedup(
+            clean,
+            bands=minhash_bands,
+            verify_threshold=verify_threshold,
+            # the LSH hot-bucket valve (minhash_lsh_candidates): production
+            # corpora have boilerplate cohorts whose band buckets grow with
+            # the corpus and emit m(m-1)/2 candidates — cap them here;
+            # None = exact
+            max_bucket_size=minhash_max_bucket,
+            scope=scope,
+        ).select("doc_a", "doc_b")
+    else:
+        raise ValueError(f"dedup_mode must be auto|prefix|lsh, got {dedup_mode!r}")
     clusters = dedup_clusters(clean, pairs, scope=scope)
     scored = clusters.join(
         clean.select(

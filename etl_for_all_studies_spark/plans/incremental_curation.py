@@ -46,6 +46,8 @@ from ..caching import CacheScope, persist
 from ..operators.contamination import decontaminate
 from ..operators.dedup import incremental_minhash_dedup, minhash_signatures
 from ..operators.dedup_graph import connected_components
+from ..operators.prefixjoin import incremental_jaccard_prefix_pairs
+from ..operators.simjoin import route_similarity_mode
 from ..operators.quality import QualityRules, annotate_quality
 
 
@@ -90,6 +92,7 @@ def curate_batch(
     trim_spans_w: int | None = None,
     seen_window_hashes: DataFrame | None = None,
     seen_signatures: DataFrame | None = None,
+    dedup_mode: str = "auto",
     scope: CacheScope | None = None,
 ) -> IncrementalCurationResult:
     """Fold ``new_docs`` into the corpus whose kept set is ``seen_docs``.
@@ -103,6 +106,12 @@ def curate_batch(
     or within the batch — are cut from the admitted text with keep-first
     semantics. The caller appends ``new_window_hashes`` to the warehouse
     seen-hash table after a successful batch commit.
+
+    ``dedup_mode`` routes the near-dup stage (``"auto"`` = the threshold
+    rule, see ``plans/curation.py::curate_corpus`` — prefix at the clone
+    threshold ≥ 0.8, LSH below). For STREAMING corpora the caller must pin
+    the route per corpus (``streaming/curation.py::_pin_route``): the legs
+    accrue different state.
 
     ``seen_signatures`` is the stored corpus's accumulated MinHash
     signature table ((doc_id, sig), same k=5/num_hashes=16 defaults as the
@@ -123,14 +132,37 @@ def curate_batch(
         contaminated = decon.where(F.col("contaminated") == 1).select("doc_id")
         clean = passed.join(contaminated, "doc_id", "left_anti")
 
-    pairs = incremental_minhash_dedup(
-        clean,
-        seen_docs,
-        bands=minhash_bands,
-        verify_threshold=verify_threshold,
-        seen_signatures=seen_signatures,
-        scope=scope,
+    mode = (
+        route_similarity_mode(verify_threshold)
+        if dedup_mode == "auto"
+        else dedup_mode
     )
+    if mode == "prefix":
+        # clone regime (VERDICT r10 #3): exact prefix pairs, seen×seen
+        # never enumerated. The stored-signatures seam is an LSH-leg
+        # concept — this leg re-ranks dfs over the union per fold (linear
+        # in |seen|, see incremental_jaccard_prefix_pairs) and accrues no
+        # signature state, so the route must be persisted per corpus
+        # (streaming/curation.py writes the marker) and never flip.
+        pairs = incremental_jaccard_prefix_pairs(
+            clean,
+            seen_docs,
+            threshold=verify_threshold,
+            scope=scope,
+        )
+    elif mode == "lsh":
+        pairs = incremental_minhash_dedup(
+            clean,
+            seen_docs,
+            bands=minhash_bands,
+            verify_threshold=verify_threshold,
+            seen_signatures=seen_signatures,
+            scope=scope,
+        )
+    else:
+        raise ValueError(
+            f"dedup_mode must be auto|prefix|lsh, got {dedup_mode!r}"
+        )
     if scope is not None:
         pairs = scope.persist(pairs)
     else:
@@ -216,8 +248,12 @@ def curate_batch(
     # signatures of the FINAL admitted text (post-trim when trimming):
     # accruing pre-trim signatures would drift from what a recompute over
     # the STORED corpus produces, so the accrual hashes exactly what the
-    # corpus stores — per-batch cost, batch-sized
-    new_signatures = minhash_signatures(admitted, scope=scope)
+    # corpus stores — per-batch cost, batch-sized. A prefix-routed corpus
+    # accrues NO signature state (the leg never bands), so the result
+    # carries None and the streaming fold writes no signatures partition.
+    new_signatures = (
+        minhash_signatures(admitted, scope=scope) if mode == "lsh" else None
+    )
 
     return IncrementalCurationResult(
         admitted=admitted,

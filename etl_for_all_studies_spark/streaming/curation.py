@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 from ..caching import CacheScope
 from ..operators.dedup import minhash_signatures
 from ..operators.quality import QualityRules
+from ..operators.simjoin import route_similarity_mode
 from ..plans.incremental_curation import curate_batch
 from .util import await_drain
 
@@ -151,6 +152,42 @@ def _committed_paths(
     )
 
 
+def _pin_route(corpus_dir: str, mode: str) -> str:
+    """Persist the corpus's similarity-join route ONCE (VERDICT r10 #3).
+
+    The two legs accrue different state (the LSH leg stores per-batch
+    MinHash signatures; the prefix leg stores none), so a corpus whose
+    route flipped mid-stream would mix incompatible state legs. The first
+    fold writes ``simjoin_route.json`` (atomic rename); every later fold
+    must resolve to the SAME mode — a drifted config (e.g. a changed
+    ``verify_threshold`` crossing the clone boundary) fails loudly instead
+    of silently curating the tail of the corpus under different dedup
+    semantics.
+    """
+    marker = pathlib.Path(corpus_dir) / "simjoin_route.json"
+    if marker.is_file():
+        pinned = json.loads(marker.read_text())["mode"]
+        if pinned != mode:
+            raise RuntimeError(
+                f"corpus {corpus_dir} is pinned to the {pinned!r} "
+                f"similarity-join route but this fold's configuration "
+                f"resolves to {mode!r} — the route is per-corpus state "
+                "(the legs accrue different state legs); keep the "
+                "original threshold regime or start a new corpus dir"
+            )
+        return pinned
+    os.makedirs(corpus_dir, exist_ok=True)
+    tmp = marker.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps({"mode": mode}))
+    os.replace(tmp, marker)
+    return mode
+
+
+def _pinned_route(corpus_dir: str) -> str | None:
+    marker = pathlib.Path(corpus_dir) / "simjoin_route.json"
+    return json.loads(marker.read_text())["mode"] if marker.is_file() else None
+
+
 def fold_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -165,9 +202,12 @@ def fold_batch(
     """One micro-batch fold: curate ``batch_df`` against every PREVIOUS
     committed batch's admitted docs/hashes, then overwrite this batch's
     own partitions. Deterministic + self-partition-keyed = replay-
-    idempotent.
+    idempotent. The near-dup leg is routed by threshold
+    (``route_similarity_mode``) and the decision is pinned per corpus on
+    the first fold — see :func:`_pin_route`.
     """
     spark = batch_df.sparkSession
+    mode = _pin_route(corpus_dir, route_similarity_mode(verify_threshold))
 
     seen_paths = _committed_paths(corpus_dir, "admitted", batch_id)
     seen_docs = (
@@ -184,11 +224,12 @@ def fold_batch(
     # back to re-hashing — incomplete coverage would silently drop
     # vs-seen candidates for the uncovered batches)
     seen_sigs = None
-    sig_paths = _committed_paths(corpus_dir, "signatures", batch_id)
-    if seen_paths and len(sig_paths) == len(seen_paths) and {
-        pathlib.Path(p).name for p in sig_paths
-    } == {pathlib.Path(p).name for p in seen_paths}:
-        seen_sigs = spark.read.parquet(*sig_paths)
+    if mode == "lsh":
+        sig_paths = _committed_paths(corpus_dir, "signatures", batch_id)
+        if seen_paths and len(sig_paths) == len(seen_paths) and {
+            pathlib.Path(p).name for p in sig_paths
+        } == {pathlib.Path(p).name for p in seen_paths}:
+            seen_sigs = spark.read.parquet(*sig_paths)
 
     with CacheScope() as scope:
         batch_df = scope.persist(batch_df)
@@ -202,6 +243,7 @@ def fold_batch(
             trim_spans_w=trim_spans_w,
             seen_window_hashes=seen_hashes,
             seen_signatures=seen_sigs,
+            dedup_mode=mode,
             scope=scope,
         )
         # the admitted frame is written AND counted — pin it so neither
@@ -223,10 +265,12 @@ def fold_batch(
             )
         # signatures accrual: the post-trim admitted table's MinHash rows,
         # written BEFORE the audit commit marker like every other leg —
-        # the next fold dedups vs seen without re-hashing history
-        res.new_signatures.write.mode("overwrite").parquet(
-            f"{corpus_dir}/signatures/batch_id={batch_id}"
-        )
+        # the next fold dedups vs seen without re-hashing history. A
+        # prefix-routed corpus accrues none (curate_batch returns None).
+        if res.new_signatures is not None:
+            res.new_signatures.write.mode("overwrite").parquet(
+                f"{corpus_dir}/signatures/batch_id={batch_id}"
+            )
 
         # drop accounting in ONE action: a union of single-row aggregates
         # over the persisted/compact legs (five separate .count() actions
@@ -396,6 +440,10 @@ def compact_batches(
     sig_missing = [
         i for i in sources if i in admitted_dirs and i not in sig_dirs
     ]
+    if _pinned_route(corpus_dir) == "prefix":
+        # prefix-routed corpora keep no signature state: nothing to carry,
+        # nothing to backfill
+        sig_src, sig_missing = [], []
     if adm_src and (sig_src or sig_missing):
         frames = []
         if sig_src:

@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
         "pairs; boilerplate cohorts grow quadratically without a cap). "
         "Default: no cap (exact banding)",
     )
+    parser.add_argument(
+        "--verify-threshold", type=float, default=0.5, metavar="T",
+        help="Near-dup Jaccard threshold. T >= 0.8 (the clone regime) "
+        "routes the dedup stage to the EXACT prefix join; below it, "
+        "MinHash-LSH (operators/simjoin.py routing)",
+    )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
 
@@ -54,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         res = curate_corpus(
             docs, eval_docs=eval_docs, out_dir=args.out, n_shards=args.shards,
             minhash_max_bucket=args.minhash_max_bucket,
+            verify_threshold=args.verify_threshold,
             trim_spans_w=args.trim_spans_w, scope=scope,
         )
         n_in = docs.count()

@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
         "pre-trim hashes are appended after the admitted docs commit. "
         "Required with --trim-spans-w.",
     )
+    parser.add_argument(
+        "--verify-threshold", type=float, default=0.5, metavar="T",
+        help="Near-dup Jaccard threshold. T >= 0.8 (the clone regime) "
+        "routes the dedup stage to the EXACT incremental prefix join; "
+        "below it, incremental MinHash-LSH",
+    )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
     if (args.trim_spans_w is None) != (args.window_hashes is None):
@@ -54,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
             seen_hashes = spark.read.parquet(args.window_hashes)
         res = curate_batch(
             new, seen, eval_docs=eval_docs, trim_spans_w=args.trim_spans_w,
+            verify_threshold=args.verify_threshold,
             seen_window_hashes=seen_hashes, scope=scope,
         )
         admitted = scope.persist(res.admitted)

@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
         help="After the drain, compact closed batch partitions (all but "
              "the newest committed batch) into one generation partition",
     )
+    parser.add_argument(
+        "--verify-threshold", type=float, default=0.5, metavar="T",
+        help="Near-dup Jaccard threshold. T >= 0.8 routes the corpus to "
+        "the EXACT incremental prefix join (pinned per corpus on the "
+        "first fold); below it, incremental MinHash-LSH with the stored-"
+        "signatures seam. The route is corpus state: changing T across "
+        "the 0.8 boundary against an existing corpus fails loudly",
+    )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
 
@@ -77,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
         args.corpus,
         args.checkpoint,
         eval_docs=eval_docs,
+        verify_threshold=args.verify_threshold,
         trim_spans_w=args.trim_spans_w,
     )
     compacted = (

@@ -176,3 +176,65 @@ def test_curate_corpus_minhash_bucket_valve_passthrough(spark):
         .collect()
     )
     assert capped == [1, 2, 3, 4]
+
+
+def test_curation_dedup_routing(spark):
+    """VERDICT r10 #3: at the clone threshold (t ≥ 0.8) curate_corpus takes
+    the EXACT prefix leg; below it, the MinHash leg with a plan
+    bit-identical to the pre-router form (so sub-0.8 corpora and their
+    oracles are untouched). Mode equivalence: on exact clones — identical
+    signatures band together with probability 1 — both legs admit the
+    same set."""
+    from etl_for_all_studies_spark.operators.quality import QualityRules
+    from etl_for_all_studies_spark.operators.simjoin import (
+        route_similarity_mode,
+    )
+    from etl_for_all_studies_spark.plans.curation import curate_corpus
+
+    assert route_similarity_mode(0.8) == "prefix"
+    assert route_similarity_mode(0.95) == "prefix"
+    assert route_similarity_mode(0.79) == "lsh"
+    assert route_similarity_mode(0.5) == "lsh"
+
+    base = ("the quick brown fox jumps over a lazy dog near the old stone "
+            "bridge while morning light settles on the quiet river town")
+    rows = [
+        (1, base + " first edition of the text"),
+        (2, base + " first edition of the text"),        # exact clone of 1
+        (3, base + " completely reworked tail that shares the head only"),
+        (4, "independent content " + " ".join(f"tok{i} the" for i in range(15))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = QualityRules(min_words=5, max_words=100, min_mean_word_len=2.0,
+                         max_mean_word_len=8.0, min_type_token_ratio=0.3,
+                         min_stopword_ratio=0.05)
+
+    kept = {}
+    for mode in ("auto", "prefix", "lsh"):
+        res = curate_corpus(
+            docs, rules=rules, verify_threshold=0.9, dedup_mode=mode
+        )
+        kept[mode] = sorted(
+            r.doc_id for r in res.kept.select("doc_id").collect()
+        )
+    # the clone pair collapses to its keeper under every leg
+    assert kept["auto"] == kept["prefix"] == kept["lsh"]
+    assert 2 not in kept["auto"] and 1 in kept["auto"]
+
+    # below the clone threshold, auto IS the lsh plan — identical modulo
+    # the expression/cache ids Spark mints per instantiation (two separate
+    # curate_corpus calls persist their own frames, so raw strings differ
+    # by numbering even for the same plan)
+    import re
+
+    def canon(res):
+        plan = res.kept._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"\d+", "N", plan)
+
+    lo_auto = curate_corpus(docs, rules=rules, verify_threshold=0.5,
+                            dedup_mode="auto")
+    lo_lsh = curate_corpus(docs, rules=rules, verify_threshold=0.5,
+                           dedup_mode="lsh")
+    assert canon(lo_auto) == canon(lo_lsh)
+    with pytest.raises(ValueError, match="dedup_mode"):
+        curate_corpus(docs, rules=rules, dedup_mode="bogus")

@@ -197,3 +197,34 @@ def test_curate_batch_accrues_post_trim_junction_hashes(spark):
     assert "church" not in out_c[30] and "narrow" not in out_c[30]
     assert "sunrise" in out_c[30] and "noticed" in out_c[30]
     assert res_c.trimmed_spans.where(F.col("doc_id") == 30).count() == 1
+
+
+def test_curate_batch_routes_prefix_at_clone_threshold(spark):
+    """VERDICT r10 #3: at t ≥ 0.8 the incremental plan's near-dup stage is
+    the exact incremental prefix join — same admissions as the LSH leg on
+    exact clones (identical signatures band with probability 1, so neither
+    leg can miss them), and NO signature accrual (the prefix leg keeps no
+    banding state)."""
+    seen = _docs(spark, [(1, BASE + " first"), (2, ALT)])
+    new = _docs(spark, [
+        (100, BASE + " first"),   # exact clone of SEEN 1 → dropped
+        (101, NEW + " alpha"),
+        (102, NEW + " alpha"),    # in-batch clone → loses to 101
+    ])
+    admitted = {}
+    for mode in ("auto", "prefix", "lsh"):
+        res = curate_batch(
+            new, seen, rules=RULES, verify_threshold=0.9, dedup_mode=mode
+        )
+        admitted[mode] = sorted(
+            r.doc_id for r in res.admitted.select("doc_id").collect()
+        )
+        if mode == "lsh":
+            assert res.new_signatures is not None
+        else:
+            assert res.new_signatures is None
+    assert admitted["auto"] == admitted["prefix"] == admitted["lsh"] == [101]
+    # vs_seen tagging flows through the prefix leg
+    res = curate_batch(new, seen, rules=RULES, verify_threshold=0.9)
+    dropped = {r.doc_id for r in res.dropped_vs_seen.collect()}
+    assert dropped == {100}

@@ -92,3 +92,59 @@ def test_threshold_validation():
         prefix_candidates(None, threshold=0.0)
     with pytest.raises(ValueError):
         prefix_candidates(None, threshold=1.5)
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_incremental_prefix_pairs_match_full_join_filtered(spark, threshold):
+    """The incremental leg must find exactly the pairs TOUCHING the new
+    batch that the full-corpus prefix join finds over new ∪ seen, with
+    vs_seen tagging which side is stored — the exact-leg analog of
+    incremental_minhash_dedup's contract (VERDICT r10 #3)."""
+    from etl_for_all_studies_spark.operators.prefixjoin import (
+        incremental_jaccard_prefix_pairs,
+    )
+
+    docs = _docs(spark, TEXTS)
+    seen = docs.where(F.col("doc_id") < 4)
+    new = docs.where(F.col("doc_id") >= 4).unionByName(
+        spark.createDataFrame(
+            [(100, BASE), (101, BASE.replace("quick", "rapid")),
+             (102, BASE)],  # in-batch clone of 100 → a new×new pair at any t
+            "doc_id long, text string",
+        )
+    )
+    inc = {
+        (r.doc_a, r.doc_b, r.vs_seen, r.common, r.size_a, r.size_b)
+        for r in incremental_jaccard_prefix_pairs(
+            new, seen, threshold=threshold
+        ).collect()
+    }
+    seen_ids = {r.doc_id for r in seen.collect()}
+    full = {
+        (r.doc_a, r.doc_b,
+         1 if (r.doc_a in seen_ids) != (r.doc_b in seen_ids) else 0,
+         r.common, r.size_a, r.size_b)
+        for r in jaccard_prefix_pairs(
+            new.unionByName(seen), threshold=threshold
+        ).collect()
+        if not (r.doc_a in seen_ids and r.doc_b in seen_ids)
+    }
+    assert inc == full
+    assert any(v == 1 for (_, _, v, _, _, _) in inc)   # vs-seen pairs exist
+    assert any(v == 0 for (_, _, v, _, _, _) in inc)   # new×new pairs exist
+
+
+def test_incremental_prefix_never_enumerates_seen_seen(spark):
+    """Two identical SEEN docs must produce no pair — seen×seen is outside
+    the incremental contract (stability: stored keepers never churn)."""
+    from etl_for_all_studies_spark.operators.prefixjoin import (
+        incremental_jaccard_prefix_pairs,
+    )
+
+    seen = _docs(spark, [BASE, BASE])           # ids 0, 1: exact clones
+    new = spark.createDataFrame(
+        [(10, "a wholly unrelated new arrival about columnar formats")],
+        "doc_id long, text string",
+    )
+    got = incremental_jaccard_prefix_pairs(new, seen, threshold=0.8).collect()
+    assert got == []

@@ -116,18 +116,20 @@ def test_profile_counts_are_exact_and_sampling_extrapolates(spark):
         jaccard_pairs_auto(docs, mode="bogus")
 
 
-def test_registered_slice_routes_prefix_at_oracle_sf(spark):
-    """The suite's dedup_jaccard_auto entry claims the mod-4 slice routes
-    'prefix' (exact) at the correctness SF — pin it so corpus drift that
-    flips the route (making the result approximate and the oracle red)
-    fails HERE first, with the profile numbers in hand."""
+def test_registered_slices_route_as_claimed_at_oracle_sf(spark):
+    """The suite's two routed entries claim opposite routes on the SAME
+    table at the correctness SF — dedup_jaccard_auto (k=9: large vocab,
+    low dfs) routes 'prefix' so its brute-force oracle is exact, and
+    dedup_jaccard_auto_lsh (k=5: tiny vocab, huge dfs) routes 'lsh' so its
+    banding-replay oracle replays the leg actually taken. Pin both so
+    corpus drift that flips a route fails HERE first, with the profile
+    numbers in hand."""
     import os
 
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    docs = spark.read.parquet(f"{sf}/documents.parquet").where(
-        F.col("doc_id") % 4 == 0
-    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
     assert route_jaccard_join(docs, k=9, threshold=0.6) == "prefix"
+    assert route_jaccard_join(docs, k=5, threshold=0.6) == "lsh"
 
 
 def test_bands_must_divide_num_hashes_loudly():

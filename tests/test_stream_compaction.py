@@ -328,3 +328,41 @@ def test_partial_signature_coverage_backfilled_at_compaction(
     _fold(spark, corpus, 3, [(40, _DOCS[0]), (41, _DOCS[6])])
     kept = {r.doc_id for r in read_curated_corpus(spark, corpus).collect()}
     assert 41 in kept and 40 not in kept
+
+
+def test_streaming_route_is_pinned_per_corpus(spark, tmp_path):
+    """The similarity-join route is corpus state (VERDICT r10 #3): the
+    first fold persists it; a later fold whose threshold crosses the clone
+    boundary must fail loudly instead of mixing state legs; a
+    prefix-routed corpus accrues NO signatures partitions and still drops
+    vs-seen clones exactly."""
+    corpus = str(tmp_path / "corpus")
+    _fold(spark, corpus, 0, [(10, _DOCS[0]), (11, _DOCS[1])],
+          verify_threshold=0.85)
+    import json as _json
+
+    marker = _json.loads(
+        (tmp_path / "corpus" / "simjoin_route.json").read_text()
+    )
+    assert marker["mode"] == "prefix"
+    assert _partition_ids(corpus, "signatures") == set()
+
+    # vs-seen exact clone dropped through the prefix leg
+    _fold(spark, corpus, 1, [(20, _DOCS[0]), (21, _DOCS[2])],
+          verify_threshold=0.85)
+    kept = {r.doc_id for r in read_curated_corpus(spark, corpus).collect()}
+    assert kept == {10, 11, 21}
+    assert _partition_ids(corpus, "signatures") == set()
+
+    # crossing the clone boundary = incompatible state legs → loud
+    with pytest.raises(RuntimeError, match="pinned to the 'prefix'"):
+        _fold(spark, corpus, 2, [(30, _DOCS[3])], verify_threshold=0.5)
+
+    # compaction of a prefix corpus writes no signatures generation
+    _fold(spark, corpus, 2, [(30, _DOCS[3])], verify_threshold=0.85)
+    kept.add(30)
+    assert compact_batches(spark, corpus, min_batches=2)
+    assert _partition_ids(corpus, "signatures") == set()
+    assert kept == {
+        r.doc_id for r in read_curated_corpus(spark, corpus).collect()
+    }

@@ -31,6 +31,15 @@ OUT = REPO / "bench_results" / "bench_full.json"
 
 def main() -> None:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # the previously-committed artifact, read BEFORE the first run
+    # overwrites it — the baseline for the round-over-round movement flags
+    # (VERDICT r10 #5)
+    prior: dict = {}
+    if OUT.is_file():
+        try:
+            prior = json.loads(OUT.read_text())
+        except json.JSONDecodeError:
+            prior = {}
     runs: list[dict] = []
     for i in range(n_runs):
         proc = subprocess.run(
@@ -67,6 +76,39 @@ def main() -> None:
     best["replicate_totals"] = [r["value"] for r in runs]
     best["replicate_best"] = {q: round(t, 3) for q, t in per_query_min.items()}
     best["cross_replicate_flags"] = flags
+    # round-over-round movement flags (VERDICT r10 #5): entries whose
+    # steady-state min moved >1.5x either way vs the previously-committed
+    # artifact, each marked whether the measurement METHODOLOGY changed
+    # underneath it (high-variance cohort membership or bench params) —
+    # a move with methodology_changed=false on an empty plan diff is the
+    # combination that needs a re-measure before it means anything.
+    prior_best = prior.get("replicate_best") or prior.get("queries") or {}
+    prior_cohort = set(prior.get("high_variance_cohort", []))
+    cohort = set(best.get("high_variance_cohort", []))
+    # only a RECORDED prior methodology can differ — a pre-marker artifact
+    # (no bench_params/cohort keys) must not flag every move as
+    # methodology-changed on the transition round
+    params_changed = (
+        "bench_params" in prior
+        and prior["bench_params"] != best.get("bench_params")
+    )
+    moved = {}
+    for q, t in per_query_min.items():
+        p = prior_best.get(q)
+        if p and p > 0 and t > 0 and (t / p > 1.5 or p / t > 1.5):
+            moved[q] = {
+                "prior": p,
+                "now": round(t, 3),
+                "methodology_changed": bool(
+                    params_changed
+                    or (
+                        "high_variance_cohort" in prior
+                        and (q in cohort) != (q in prior_cohort)
+                    )
+                ),
+            }
+    best["moved_vs_prior"] = moved
+    best["prior_total"] = prior.get("value")
     OUT.write_text(json.dumps(best, indent=1, sort_keys=True) + "\n")
     print(
         f"installed quiet replicate: total={best['value']}s of "

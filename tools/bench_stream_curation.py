@@ -142,10 +142,20 @@ def main() -> None:
             "q4_over_q2_wall": round(
                 (sum(walls[n - q:]) / q) / (sum(walls[q: 2 * q]) / q), 2
             ),
+            # warmup-insensitive per-quartile means: the round-11 rerun's
+            # headline (VERDICT r10 #2 — is the post-signatures-leg trend
+            # flat at depth?)
+            "quartile_mean_wall_s": [
+                round(sum(walls[j * q: (j + 1) * q]) / q, 2)
+                for j in range(4)
+            ],
             "final_state_files": {
                 "admitted": _count_files(pathlib.Path(corpus) / "admitted"),
                 "window_hashes": _count_files(
                     pathlib.Path(corpus) / "window_hashes"
+                ),
+                "signatures": _count_files(
+                    pathlib.Path(corpus) / "signatures"
                 ),
                 "audit": _count_files(pathlib.Path(corpus) / "audit"),
             },
