@@ -119,6 +119,9 @@ def main() -> None:
             t0 = time.monotonic()
             fold_batch(batch, i, corpus, trim_spans_w=trim_w)
             walls.append(round(time.monotonic() - t0, 2))
+            print(
+                f"fold {i}: {walls[-1]}s", file=sys.stderr, flush=True
+            )
             if compact_every and (i + 1) % compact_every == 0:
                 t0 = time.monotonic()
                 compact_batches(spark, corpus, min_batches=2)
