@@ -205,8 +205,10 @@ def incremental_jaccard_prefix_pairs(
 ) -> DataFrame:
     """Exact Jaccard pairs ``J ≥ threshold`` touching a NEW batch only:
     (new×seen) ∪ (new×new), seen×seen never enumerated — the exact-leg
-    counterpart of ``dedup.incremental_minhash_dedup`` for the curation
-    router's clone regime (t ≥ 0.8, VERDICT r10 #3).
+    counterpart of ``dedup.incremental_minhash_dedup`` for corpora the
+    df-profile router sends to the prefix leg (VERDICT r10 #3, refined
+    r11: ``simjoin.route_jaccard_join``'s max-of-two-estimates rule, no
+    threshold short-circuit).
 
     The df-ordered prefixes are computed over the UNION universe: the
     prefix filter is correct under any one global total order, so both
@@ -214,11 +216,12 @@ def incremental_jaccard_prefix_pairs(
     the pigeonhole argument). That makes this leg's per-fold cost linear
     in |seen| (one shingle pass over stored text for the df window) —
     unlike the LSH leg, whose stored-signatures seam removes the history
-    term entirely. The router therefore only sends CLONE-threshold corpora
-    here, where the candidate join's Σ(prefix-df)² collapse is worth the
-    linear pass; high-volume streaming corpora below the clone threshold
-    stay on the LSH leg (``plans/incremental_curation.py`` routes ONCE per
-    corpus and persists the decision).
+    term entirely. The router therefore only sends corpora here whose
+    candidate-volume estimate undercuts LSH's hashing term (large-vocab /
+    low-df profiles, typically at high thresholds), where the candidate
+    join's Σ(prefix-df)² collapse is worth the linear pass; hot-vocab
+    streaming corpora stay on the LSH leg (``plans/incremental_curation.py``
+    routes ONCE per corpus and persists the decision).
 
     Output: ``(doc_a, doc_b, vs_seen, common, size_a, size_b, jaccard)``
     with ``doc_a < doc_b``; ``vs_seen`` = 1 iff one side is a seen doc.

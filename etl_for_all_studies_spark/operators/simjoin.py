@@ -16,40 +16,53 @@ the choice was manual (VERDICT r9, missing #4):
   |T|/2 and the prefix bound weakens.
 
 Routing rule (mirrors the correlation router, ``plans/correlation.py``:
-one bounded classification aggregation, then identical-semantics legs):
+one bounded classification pass, then identical-semantics legs). The
+shingle df profile is taken at EVERY threshold — round 10 short-circuited
+``t ≥ 0.8`` to prefix, and the round-11 curation measurement falsified
+that rule's corpus-independence: at k=5 shingles (vocab ~2k, hot dfs) the
+prefix leg is ~2.5× SLOWER than LSH at t=0.9, while at k=9 (vocab ~27k)
+it is 2.4–10× faster (SCALE.md r9/r11). Compare cost proxies:
 
-1. ``threshold ≥ prefix_threshold`` (default 0.8) → **prefix**, no
-   profile needed — the measured regime where the exact join dominates
-   at every corpus shape tried.
-2. below that, profile the shingle df distribution — ONE aggregation
-   over the exploded shingles yielding ``(total_occurrences, vocab,
-   sum_df2)`` — and compare cost proxies:
+* prefix cost ≲ ``max`` of two differently-loose candidate estimates:
 
-   * prefix candidate volume ≲ ``(1−t)² · Σdf²`` (uniform-placement
-     bound; the real df-ordered prefix volume is LOWER because hot
-     shingles land in suffixes — so this routes *conservatively toward
-     LSH*);
-   * LSH cost ∝ ``num_hashes · total_occurrences`` (the per-occurrence
-     hashing term that dominated the measured head-to-head; the band
-     join rides on top, in LSH's disfavor).
+  - ``(1−t)² · Σdf²`` — the uniform-placement bound: each set keeps a
+    ``(1−t)`` fraction of its shingles, placed uniformly. Loose UP at
+    large vocab (hot shingles actually land in suffixes), loose DOWN
+    at small vocab / high t (the per-doc quota forces SOME hot
+    shingles into prefixes when there is nothing rarer to take).
+  - ``Σdf²`` over the globally-RAREST shingles covering ``(1−t)`` of
+    occurrence mass — models the df-ascending prefix order exactly in
+    the global sense; loose DOWN for hot-shingle-only docs (their
+    prefixes still emit hot shingles the global cut excludes).
 
-   Route prefix iff the first ≤ the second. On the r9 crossover corpus
-   this sends (t=0.6, k=5, tiny vocab → Σdf² huge) to LSH and
-   (t=0.6, k=9, large vocab → low dfs) to the exact prefix join.
+  Taking the max is conservative toward LSH from both directions; on
+  the sf0.1 documents corpus it routes (k=5, t=0.9) → LSH and
+  (k=9, t=0.9) → prefix, matching BOTH measured head-to-heads, where
+  either estimate alone mis-routes one of them.
+* LSH cost ∝ ``num_hashes · total_occurrences`` (the per-occurrence
+  hashing term that dominated the measured head-to-head; the band
+  join rides on top, in LSH's disfavor).
 
-At 100 TB the profile aggregation shuffles once on the shingle key —
-the same exchange stage 1 of either leg needs anyway; pass
-``profile_fraction < 1`` to profile a Bernoulli doc sample instead
-(df scales ~linearly in the fraction for non-hapax shingles, so
-``sum_df2`` is extrapolated by ``1/f²`` — conservative for the hot
-shingles that actually decide the route).
+Route prefix iff the first ≤ the second. On the r9 crossover corpus
+this sends (t=0.6, k=5, tiny vocab → Σdf² huge) to LSH and
+(t=0.6, k=9, large vocab → low dfs) to the exact prefix join.
+
+At 100 TB the profile's expensive exchange — the shingle-keyed df
+aggregation — happens ONCE (the df table is persisted; the rarest-mass
+estimate reads a df-VALUE histogram whose row count is provably
+≤ √(2·total_occurrences), since k distinct df values need at least
+1+2+…+k occurrences — ~450k rows at 10¹² occurrences, one narrow
+column). Pass ``profile_fraction < 1`` to profile a Bernoulli doc
+sample instead (df scales ~linearly in the fraction for non-hapax
+shingles, so both df² estimates are extrapolated by ``1/f²`` —
+conservative for the hot shingles that actually decide the route).
 
 Reference parity: none — the reference has no set-similarity surface;
 this is beyond-reference curation capability (SURVEY §2.8 extension).
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
@@ -62,8 +75,6 @@ from .dedup import (
 )
 from .prefixjoin import jaccard_prefix_pairs
 
-_PREFIX_ALWAYS_THRESHOLD = 0.8  # measured regime boundary, SCALE.md r9
-
 
 def profile_shingle_dfs(
     docs: DataFrame,
@@ -71,29 +82,68 @@ def profile_shingle_dfs(
     text_col: str = "text",
     k: int = 5,
     profile_fraction: float = 1.0,
+    threshold: float | None = None,
 ) -> dict[str, float]:
-    """``{total_occurrences, vocab, sum_df2}`` — the router's
-    classification aggregation (bounded: a 3-number collect, ONE job)."""
+    """``{total_occurrences, vocab, sum_df2}`` — and, when ``threshold``
+    is given, ``prefix_mass_df2`` — the router's classification profile:
+    ONE job, one bounded collect row.
+
+    Everything is derived from the df-VALUE histogram ``(df, n)``: total
+    = Σ df·n, vocab = Σ n, Σdf² = Σ df²·n, and the rarest-mass estimate
+    is Σ df²·n over the histogram buckets whose PRECEDING cumulative mass
+    sits under ``(1−t)·total`` (the bucket that crosses the target is
+    included whole — conservative toward LSH). The histogram has at most
+    √(2·occurrences) rows (k distinct df values need ≥ k(k+1)/2
+    occurrences), so the ordered cumsum and full-frame total windows are
+    one-partition passes over a provably tiny frame at ANY corpus size —
+    the expensive shingle-keyed exchange below them runs exactly once."""
     if not 0.0 < profile_fraction <= 1.0:
         raise ValueError(f"profile_fraction must be in (0, 1], got {profile_fraction}")
     base = docs.select("doc_id", text_col)
     if profile_fraction < 1.0:
         base = base.sample(fraction=profile_fraction, seed=7)
-    sh = compute_spread(base).select(
-        F.explode(char_shingles(F.col(text_col), k)).alias("shingle")
-    )
-    row = (
-        sh.groupBy("shingle")
+    hist = (
+        compute_spread(base)
+        .select(F.explode(char_shingles(F.col(text_col), k)).alias("shingle"))
+        .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .agg(
-            F.coalesce(F.sum("df"), F.lit(0)).alias("total"),
-            F.count(F.lit(1)).alias("vocab"),
-            F.coalesce(F.sum(F.col("df") * F.col("df")), F.lit(0)).alias("sum_df2"),
-        )
-        .collect()[0]
+        .groupBy("df")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    aggs = [
+        F.coalesce(F.sum(F.col("df") * F.col("n")), F.lit(0)).alias("total"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("vocab"),
+        F.coalesce(
+            F.sum(F.col("df") * F.col("df") * F.col("n")), F.lit(0)
+        ).alias("sum_df2"),
+    ]
+    if threshold is not None:
+        w_cum = Window.orderBy("df").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.orderBy("df").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        bucket_mass = F.col("df") * F.col("n")
+        hist = hist.withColumn(
+            "__under_target",
+            (F.sum(bucket_mass).over(w_cum) - bucket_mass)
+            < (1.0 - threshold) * F.sum(bucket_mass).over(w_all),
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__under_target"),
+                        F.col("df") * F.col("df") * F.col("n"),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("prefix_mass_df2")
+        )
+    row = hist.agg(*aggs).collect()[0]
     f = profile_fraction
-    return {
+    out = {
         "total_occurrences": float(row["total"]) / f,
         "vocab": float(row["vocab"]),
         # df scales ~f for non-hapax shingles → Σdf² scales ~f²; the 1/f²
@@ -101,6 +151,9 @@ def profile_shingle_dfs(
         # conservative toward LSH (hapax shingles join with nothing)
         "sum_df2": float(row["sum_df2"]) / (f * f),
     }
+    if threshold is not None:
+        out["prefix_mass_df2"] = float(row["prefix_mass_df2"]) / (f * f)
+    return out
 
 
 def choose_jaccard_mode(
@@ -109,35 +162,22 @@ def choose_jaccard_mode(
     total_occurrences: float,
     sum_df2: float,
     num_hashes: int = 16,
-    prefix_threshold: float = _PREFIX_ALWAYS_THRESHOLD,
+    prefix_mass_df2: float | None = None,
 ) -> str:
-    """``"prefix"`` or ``"lsh"`` from the profile (pure; test-pinnable)."""
-    if threshold >= prefix_threshold:
-        return "prefix"
+    """``"prefix"`` or ``"lsh"`` from the profile (pure; test-pinnable).
+
+    The prefix-cost proxy is the MAX of the uniform-placement bound
+    ``(1−t)²·Σdf²`` and the rarest-mass estimate (when supplied) — each
+    is loose DOWN in the regime where the other is loose UP (module
+    docstring), so the max is conservative toward LSH from both sides.
+    There is no threshold short-circuit: the r10 ``t ≥ 0.8 → prefix``
+    rule measured ~2.5× wrong at k=5 shingles (SCALE.md r11)."""
     p = 1.0 - threshold  # prefix fraction bound (the +1 shingle is noise)
     est_prefix_candidates = p * p * sum_df2
+    if prefix_mass_df2 is not None:
+        est_prefix_candidates = max(est_prefix_candidates, prefix_mass_df2)
     est_lsh_hash_ops = float(num_hashes) * total_occurrences
     return "prefix" if est_prefix_candidates <= est_lsh_hash_ops else "lsh"
-
-
-def route_similarity_mode(
-    threshold: float,
-    *,
-    prefix_threshold: float = _PREFIX_ALWAYS_THRESHOLD,
-) -> str:
-    """The CURATION plans' router: ``"prefix"`` at the clone threshold
-    (``threshold ≥ prefix_threshold``), else ``"lsh"`` — rule 1 of the
-    module routing, WITHOUT the data-dependent profile branch.
-
-    Curation pipelines route ONCE per corpus and persist the decision
-    (VERDICT r10 #3): an incremental corpus accrues leg-specific state
-    (the LSH leg's stored-signatures seam), so the route must be a pure
-    function of configuration — the same every fold — never of the
-    corpus's current df profile, which drifts as batches land. Standalone
-    similarity joins keep the full profile-routed rule via
-    :func:`route_jaccard_join`.
-    """
-    return "prefix" if threshold >= prefix_threshold else "lsh"
 
 
 def route_jaccard_join(
@@ -147,21 +187,30 @@ def route_jaccard_join(
     k: int = 5,
     threshold: float = 0.6,
     num_hashes: int = 16,
-    prefix_threshold: float = _PREFIX_ALWAYS_THRESHOLD,
     profile_fraction: float = 1.0,
 ) -> str:
-    """Profile (when needed) and return the chosen mode."""
-    if threshold >= prefix_threshold:
-        return "prefix"
+    """Profile ``docs`` at the join's shingle width and return the mode.
+
+    This is also the CURATION plans' router (VERDICT r10 #3 refined in
+    r11): one-shot ``curate_corpus`` routes per run; incremental corpora
+    route ONCE — on the first fold — and persist the decision
+    (``streaming/curation.py::_pin_route``), because the legs accrue
+    different state (the LSH leg's stored-signatures seam; the prefix leg
+    none) and a drifting per-fold profile must not flip a corpus's leg
+    mid-stream."""
     prof = profile_shingle_dfs(
-        docs, text_col=text_col, k=k, profile_fraction=profile_fraction
+        docs,
+        text_col=text_col,
+        k=k,
+        profile_fraction=profile_fraction,
+        threshold=threshold,
     )
     return choose_jaccard_mode(
         threshold=threshold,
         total_occurrences=prof["total_occurrences"],
         sum_df2=prof["sum_df2"],
         num_hashes=num_hashes,
-        prefix_threshold=prefix_threshold,
+        prefix_mass_df2=prof["prefix_mass_df2"],
     )
 
 
@@ -226,7 +275,6 @@ def jaccard_pairs_auto(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = None,
-    prefix_threshold: float = _PREFIX_ALWAYS_THRESHOLD,
     profile_fraction: float = 1.0,
     mode: str = "auto",
     scope: CacheScope | None = None,
@@ -257,7 +305,6 @@ def jaccard_pairs_auto(
             k=k,
             threshold=threshold,
             num_hashes=num_hashes,
-            prefix_threshold=prefix_threshold,
             profile_fraction=profile_fraction,
         )
     if mode == "prefix":
@@ -283,5 +330,4 @@ __all__ = [
     "jaccard_pairs_auto",
     "profile_shingle_dfs",
     "route_jaccard_join",
-    "route_similarity_mode",
 ]

@@ -40,7 +40,7 @@ from ..operators.contamination import decontaminate
 from ..operators.dedup import minhash_dedup
 from ..operators.dedup_graph import dedup_clusters, select_cluster_keepers
 from ..operators.prefixjoin import jaccard_prefix_pairs
-from ..operators.simjoin import route_similarity_mode
+from ..operators.simjoin import route_jaccard_join
 from ..operators.quality import QualityRules, annotate_quality
 from ..operators.sharding import write_training_shards
 from ..operators.textops import token_count
@@ -110,16 +110,20 @@ def curate_corpus(
     (pairs survive via any under-cap band). ``None`` keeps exact banding —
     the oracle-checked default.
 
-    ``dedup_mode`` routes the near-dup stage (VERDICT r10 #3): ``"auto"``
-    applies ``operators/simjoin.py``'s threshold rule — at the clone
-    threshold (``verify_threshold ≥ 0.8``, the regime measured 2.4–10×
-    faster AND exact, SCALE.md r9) pairs come from the EXACT prefix join;
-    below it, MinHash-LSH exactly as before (bit-identical plan, so
-    existing sub-0.8 runs and their oracles are untouched). ``"prefix"`` /
-    ``"lsh"`` force a leg. The rule is threshold-only — a pure function of
-    configuration, never of the corpus (see
-    ``simjoin.route_similarity_mode`` for why curation routes must not
-    consult the df profile).
+    ``dedup_mode`` routes the near-dup stage (VERDICT r10 #3, refined
+    r11): ``"auto"`` profiles the quality-passed corpus at the dedup
+    stage's shingle width (``simjoin.route_jaccard_join``, the max-of-two-
+    estimates rule) and takes the cheaper leg — the r10 threshold-only
+    rule (``t ≥ 0.8 → prefix``) measured ~2.5× WRONG at the curation
+    default k=5 shingles, where the tiny hot vocabulary makes the prefix
+    join's candidate volume dwarf LSH's hashing term at every threshold
+    (SCALE.md r11). The profile costs one shingle-keyed aggregation over
+    the ALREADY-PERSISTED clean frame, amortized per run. ``"prefix"``
+    (exact — use it when completeness is worth the measured k=5 cost) /
+    ``"lsh"`` force a leg; both legs admit the same survivors on exact
+    clones (test-pinned). Incremental corpora must route ONCE and persist
+    the decision (``streaming/curation.py::_pin_route``) — the legs
+    accrue different state.
     """
     quality = annotate_quality(docs, rules=rules)
     passed = quality.where(F.col("keep") == 1).select(docs.columns)
@@ -138,13 +142,15 @@ def curate_corpus(
     clean = persist(clean, scope)
 
     mode = (
-        route_similarity_mode(verify_threshold)
+        # profile the dedup stage's actual input at its shingle width
+        # (k=5, the legs' shared default) — runs on the persisted frame
+        route_jaccard_join(clean, k=5, threshold=verify_threshold)
         if dedup_mode == "auto"
         else dedup_mode
     )
     if mode == "prefix":
-        # clone regime: the exact prefix join dominates AND loses no pair
-        # (the LSH hot-bucket valve is moot — exactness needs no cap)
+        # the regime where the exact join is ALSO the cheap one (large
+        # vocab / low dfs); exactness needs no LSH hot-bucket valve
         pairs = jaccard_prefix_pairs(
             clean, threshold=verify_threshold, scope=scope
         ).select("doc_a", "doc_b")

@@ -47,7 +47,7 @@ from ..operators.contamination import decontaminate
 from ..operators.dedup import incremental_minhash_dedup, minhash_signatures
 from ..operators.dedup_graph import connected_components
 from ..operators.prefixjoin import incremental_jaccard_prefix_pairs
-from ..operators.simjoin import route_similarity_mode
+from ..operators.simjoin import route_jaccard_join
 from ..operators.quality import QualityRules, annotate_quality
 
 
@@ -107,11 +107,13 @@ def curate_batch(
     semantics. The caller appends ``new_window_hashes`` to the warehouse
     seen-hash table after a successful batch commit.
 
-    ``dedup_mode`` routes the near-dup stage (``"auto"`` = the threshold
-    rule, see ``plans/curation.py::curate_corpus`` — prefix at the clone
-    threshold ≥ 0.8, LSH below). For STREAMING corpora the caller must pin
-    the route per corpus (``streaming/curation.py::_pin_route``): the legs
-    accrue different state.
+    ``dedup_mode`` routes the near-dup stage (``"auto"`` = the profile
+    rule over the batch∪seen join universe at the dedup k=5, see
+    ``plans/curation.py::curate_corpus``). For STREAMING corpora the
+    caller must NOT pass ``"auto"`` per fold — the profile drifts as
+    batches accrue and the legs accrue different state; route once on the
+    first fold and pin (``streaming/curation.py::_pin_route``), then pass
+    the pinned leg explicitly.
 
     ``seen_signatures`` is the stored corpus's accumulated MinHash
     signature table ((doc_id, sig), same k=5/num_hashes=16 defaults as the
@@ -133,7 +135,15 @@ def curate_batch(
         clean = passed.join(contaminated, "doc_id", "left_anti")
 
     mode = (
-        route_similarity_mode(verify_threshold)
+        # the dedup joins new×seen ∪ new×new: profile the union universe
+        # (the incremental prefix leg ranks dfs over exactly this frame)
+        route_jaccard_join(
+            clean.select("doc_id", "text").unionByName(
+                seen_docs.select("doc_id", "text")
+            ),
+            k=5,
+            threshold=verify_threshold,
+        )
         if dedup_mode == "auto"
         else dedup_mode
     )

@@ -80,7 +80,7 @@ from pyspark.sql import functions as F
 from ..caching import CacheScope
 from ..operators.dedup import minhash_signatures
 from ..operators.quality import QualityRules
-from ..operators.simjoin import route_similarity_mode
+from ..operators.simjoin import route_jaccard_join
 from ..plans.incremental_curation import curate_batch
 from .util import await_drain
 
@@ -152,33 +152,60 @@ def _committed_paths(
     )
 
 
-def _pin_route(corpus_dir: str, mode: str) -> str:
+def _pin_route(
+    corpus_dir: str,
+    compute_mode,
+    *,
+    verify_threshold: float,
+    forced_mode: str | None = None,
+) -> str:
     """Persist the corpus's similarity-join route ONCE (VERDICT r10 #3).
 
     The two legs accrue different state (the LSH leg stores per-batch
     MinHash signatures; the prefix leg stores none), so a corpus whose
     route flipped mid-stream would mix incompatible state legs. The first
-    fold writes ``simjoin_route.json`` (atomic rename); every later fold
-    must resolve to the SAME mode — a drifted config (e.g. a changed
-    ``verify_threshold`` crossing the clone boundary) fails loudly instead
+    fold calls ``compute_mode()`` — the df-profile router over the
+    bootstrap batch, the only corpus that exists yet — and writes
+    ``simjoin_route.json`` (atomic rename) with the threshold it was
+    taken at. Every LATER fold honors the pinned mode WITHOUT
+    re-profiling (the corpus profile drifts as batches land; the pin is
+    the point), but a changed ``verify_threshold`` fails loudly instead
     of silently curating the tail of the corpus under different dedup
-    semantics.
+    semantics. Markers written before round 11 carry only the mode —
+    they stay honored, unvalidated. ``forced_mode`` (an explicit
+    ``dedup_mode``) must agree with an existing pin — the caller forcing
+    the OTHER leg against accrued state is the exact mix the pin exists
+    to prevent.
     """
     marker = pathlib.Path(corpus_dir) / "simjoin_route.json"
     if marker.is_file():
-        pinned = json.loads(marker.read_text())["mode"]
-        if pinned != mode:
+        pinned = json.loads(marker.read_text())
+        if forced_mode is not None and forced_mode != pinned["mode"]:
             raise RuntimeError(
-                f"corpus {corpus_dir} is pinned to the {pinned!r} "
-                f"similarity-join route but this fold's configuration "
-                f"resolves to {mode!r} — the route is per-corpus state "
-                "(the legs accrue different state legs); keep the "
-                "original threshold regime or start a new corpus dir"
+                f"corpus {corpus_dir} is pinned to the {pinned['mode']!r} "
+                f"similarity-join route but this fold forces "
+                f"dedup_mode={forced_mode!r} — the route is per-corpus "
+                "state (the legs accrue different state legs); drop the "
+                "override or start a new corpus dir"
             )
-        return pinned
+        stored_t = pinned.get("verify_threshold")
+        if stored_t is not None and stored_t != verify_threshold:
+            raise RuntimeError(
+                f"corpus {corpus_dir} is pinned to the {pinned['mode']!r} "
+                f"similarity-join route taken at verify_threshold="
+                f"{stored_t} but this fold runs verify_threshold="
+                f"{verify_threshold} — the route is per-corpus state "
+                "(the legs accrue different state legs) and the dedup "
+                "semantics must not drift mid-corpus; keep the original "
+                "threshold or start a new corpus dir"
+            )
+        return pinned["mode"]
+    mode = compute_mode()
     os.makedirs(corpus_dir, exist_ok=True)
     tmp = marker.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps({"mode": mode}))
+    tmp.write_text(
+        json.dumps({"mode": mode, "verify_threshold": verify_threshold})
+    )
     os.replace(tmp, marker)
     return mode
 
@@ -198,16 +225,37 @@ def fold_batch(
     minhash_bands: int = 2,
     verify_threshold: float = 0.5,
     trim_spans_w: int | None = None,
+    dedup_mode: str = "auto",
 ) -> None:
     """One micro-batch fold: curate ``batch_df`` against every PREVIOUS
     committed batch's admitted docs/hashes, then overwrite this batch's
     own partitions. Deterministic + self-partition-keyed = replay-
-    idempotent. The near-dup leg is routed by threshold
-    (``route_similarity_mode``) and the decision is pinned per corpus on
-    the first fold — see :func:`_pin_route`.
+    idempotent. With ``dedup_mode="auto"`` the near-dup leg is routed by
+    the df profile of the BOOTSTRAP batch (``route_jaccard_join`` at the
+    dedup k=5) on the first fold only; ``"prefix"``/``"lsh"`` force the
+    leg at corpus creation. Either way the decision is pinned per corpus
+    — see :func:`_pin_route` — and later folds honor the pin (an explicit
+    ``dedup_mode`` disagreeing with an existing pin fails loudly).
     """
+    if dedup_mode not in ("auto", "prefix", "lsh"):
+        raise ValueError(
+            f"dedup_mode must be auto|prefix|lsh, got {dedup_mode!r}"
+        )
     spark = batch_df.sparkSession
-    mode = _pin_route(corpus_dir, route_similarity_mode(verify_threshold))
+    mode = _pin_route(
+        corpus_dir,
+        lambda: (
+            route_jaccard_join(
+                batch_df.select("doc_id", "text"),
+                k=5,
+                threshold=verify_threshold,
+            )
+            if dedup_mode == "auto"
+            else dedup_mode
+        ),
+        verify_threshold=verify_threshold,
+        forced_mode=None if dedup_mode == "auto" else dedup_mode,
+    )
 
     seen_paths = _committed_paths(corpus_dir, "admitted", batch_id)
     seen_docs = (
@@ -308,6 +356,7 @@ def stream_curate_corpus(
     verify_threshold: float = 0.5,
     trim_spans_w: int | None = None,
     await_seconds: float | None = None,
+    dedup_mode: str = "auto",
 ) -> None:
     """Drain all currently-available shards through the incremental
     curation plan, exactly once.
@@ -338,6 +387,7 @@ def stream_curate_corpus(
             minhash_bands=minhash_bands,
             verify_threshold=verify_threshold,
             trim_spans_w=trim_spans_w,
+            dedup_mode=dedup_mode,
         )
 
     q = (

@@ -37,9 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--verify-threshold", type=float, default=0.5, metavar="T",
-        help="Near-dup Jaccard threshold. T >= 0.8 (the clone regime) "
-        "routes the dedup stage to the EXACT prefix join; below it, "
-        "MinHash-LSH (operators/simjoin.py routing)",
+        help="Near-dup Jaccard threshold. The dedup stage is routed by "
+        "the corpus's shingle-df profile (operators/simjoin.py): EXACT "
+        "prefix join where its candidate volume undercuts LSH's hashing "
+        "term, MinHash-LSH otherwise",
+    )
+    parser.add_argument(
+        "--dedup-mode", choices=("auto", "prefix", "lsh"), default="auto",
+        help="Force a similarity-join leg instead of the df-profile "
+        "router (auto)",
     )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
@@ -61,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
             docs, eval_docs=eval_docs, out_dir=args.out, n_shards=args.shards,
             minhash_max_bucket=args.minhash_max_bucket,
             verify_threshold=args.verify_threshold,
-            trim_spans_w=args.trim_spans_w, scope=scope,
+            trim_spans_w=args.trim_spans_w, dedup_mode=args.dedup_mode,
+            scope=scope,
         )
         n_in = docs.count()
         n_kept = res.kept.count()

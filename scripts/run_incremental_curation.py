@@ -36,9 +36,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--verify-threshold", type=float, default=0.5, metavar="T",
-        help="Near-dup Jaccard threshold. T >= 0.8 (the clone regime) "
-        "routes the dedup stage to the EXACT incremental prefix join; "
-        "below it, incremental MinHash-LSH",
+        help="Near-dup Jaccard threshold. The dedup stage is routed by "
+        "the batch∪seen shingle-df profile (operators/simjoin.py): the "
+        "EXACT incremental prefix join where its candidate volume "
+        "undercuts LSH's hashing term, incremental MinHash-LSH otherwise",
+    )
+    parser.add_argument(
+        "--dedup-mode", choices=("auto", "prefix", "lsh"), default="auto",
+        help="Force a similarity-join leg instead of the df-profile "
+        "router (auto)",
     )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
@@ -61,7 +67,8 @@ def main(argv: list[str] | None = None) -> int:
         res = curate_batch(
             new, seen, eval_docs=eval_docs, trim_spans_w=args.trim_spans_w,
             verify_threshold=args.verify_threshold,
-            seen_window_hashes=seen_hashes, scope=scope,
+            seen_window_hashes=seen_hashes, dedup_mode=args.dedup_mode,
+            scope=scope,
         )
         admitted = scope.persist(res.admitted)
         n_new = new.count()

@@ -56,11 +56,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument(
         "--verify-threshold", type=float, default=0.5, metavar="T",
-        help="Near-dup Jaccard threshold. T >= 0.8 routes the corpus to "
-        "the EXACT incremental prefix join (pinned per corpus on the "
-        "first fold); below it, incremental MinHash-LSH with the stored-"
-        "signatures seam. The route is corpus state: changing T across "
-        "the 0.8 boundary against an existing corpus fails loudly",
+        help="Near-dup Jaccard threshold. The route — EXACT incremental "
+        "prefix join vs incremental MinHash-LSH with the stored-"
+        "signatures seam — is chosen by the BOOTSTRAP batch's shingle-df "
+        "profile on the first fold and pinned per corpus "
+        "(simjoin_route.json). The route is corpus state: changing T "
+        "against an existing corpus fails loudly",
+    )
+    parser.add_argument(
+        "--dedup-mode", choices=("auto", "prefix", "lsh"), default="auto",
+        help="Force a similarity-join leg instead of the df-profile "
+        "router (auto)",
     )
     parser.add_argument("--master", default="local[*]")
     args = parser.parse_args(argv)
@@ -87,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         eval_docs=eval_docs,
         verify_threshold=args.verify_threshold,
         trim_spans_w=args.trim_spans_w,
+        dedup_mode=args.dedup_mode,
     )
     compacted = (
         len(compact_batches(spark, args.corpus)) if args.compact else 0

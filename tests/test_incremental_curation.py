@@ -200,10 +200,11 @@ def test_curate_batch_accrues_post_trim_junction_hashes(spark):
 
 
 def test_curate_batch_routes_prefix_at_clone_threshold(spark):
-    """VERDICT r10 #3: at t ≥ 0.8 the incremental plan's near-dup stage is
-    the exact incremental prefix join — same admissions as the LSH leg on
-    exact clones (identical signatures band with probability 1, so neither
-    leg can miss them), and NO signature accrual (the prefix leg keeps no
+    """VERDICT r10 #3 (refined r11): on this low-df fixture the profile
+    router sends the incremental plan's near-dup stage to the exact
+    incremental prefix join — same admissions as the LSH leg on exact
+    clones (identical signatures band with probability 1, so neither leg
+    can miss them), and NO signature accrual (the prefix leg keeps no
     banding state)."""
     seen = _docs(spark, [(1, BASE + " first"), (2, ALT)])
     new = _docs(spark, [

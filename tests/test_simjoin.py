@@ -4,9 +4,12 @@ Load-bearing claims: (1) the prefix leg is exact — identical to the
 brute-force Jaccard pairs; (2) the LSH leg never emits a wrong pair —
 its output is a verified-≥t SUBSET of the exact answer (and equals it
 when every clone pair collides in some band); (3) the routing rule is
-pure and test-pinnable: high thresholds route prefix unconditionally,
-low thresholds route by the df profile; (4) the sampled profile stays on
-the full profile's side of the decision boundary on a corpus with margin.
+pure and test-pinnable: EVERY threshold routes by the df profile — the
+prefix-cost proxy is max(uniform-placement bound, rarest-mass estimate),
+each loose DOWN where the other is loose UP (the r10 t≥0.8 short-circuit
+measured ~2.5× wrong at k=5, SCALE.md r11); (4) the sampled profile
+stays on the full profile's side of the decision boundary on a corpus
+with margin.
 """
 import pytest
 from pyspark.sql import functions as F
@@ -77,11 +80,6 @@ def test_auto_matches_its_routed_leg(spark):
 
 
 def test_choose_mode_threshold_and_profile_rule():
-    # high threshold: prefix unconditionally, profile ignored
-    assert (
-        choose_jaccard_mode(threshold=0.9, total_occurrences=1.0, sum_df2=1e18)
-        == "prefix"
-    )
     # low threshold, tiny vocabulary (hot dfs): (1-t)²·Σdf² > hashes·occ → lsh
     assert (
         choose_jaccard_mode(
@@ -96,6 +94,56 @@ def test_choose_mode_threshold_and_profile_rule():
         )
         == "prefix"
     )
+    # NO high-threshold short-circuit: a hot enough profile routes LSH
+    # even at t=0.9 (the measured sf0.1 k=5 regime, SCALE.md r11)
+    assert (
+        choose_jaccard_mode(threshold=0.9, total_occurrences=1.0, sum_df2=1e18)
+        == "lsh"
+    )
+
+
+def test_choose_mode_max_of_two_estimates():
+    """The two prefix-cost estimates are each loose DOWN in one measured
+    regime; the max fixes both. Fixtures are the real profiles: sf0.1
+    documents at t=0.9 (where uniform alone would wrongly route prefix —
+    prefix measured ~2.5× slower) and sf0.01 at t=0.6 (where rarest-mass
+    alone would flip the pinned LSH route)."""
+    # sf0.1 k=5 t=0.9: occ=1.02e6, Σdf²=1.54e9 → uniform (1-t)²·Σdf²=1.54e7
+    # sits UNDER 16·occ=1.63e7 (wrong side, measured); rarest-mass 2.53e7
+    # corrects it through the max
+    assert (
+        choose_jaccard_mode(
+            threshold=0.9, total_occurrences=1.02e6, sum_df2=1.54e9,
+            num_hashes=16,
+        )
+        == "prefix"  # uniform alone: the measured mis-route
+    )
+    assert (
+        choose_jaccard_mode(
+            threshold=0.9, total_occurrences=1.02e6, sum_df2=1.54e9,
+            num_hashes=16, prefix_mass_df2=2.53e7,
+        )
+        == "lsh"  # max with rarest-mass: routes as measured
+    )
+    # sf0.01 k=5 t=0.6: occ=1.02e5, Σdf²=1.56e7 → rarest-mass 1.35e6 sits
+    # UNDER 16·occ=1.64e6; uniform 2.5e6 keeps the pinned LSH route
+    assert (
+        choose_jaccard_mode(
+            threshold=0.6, total_occurrences=1.02e5, sum_df2=1.56e7,
+            num_hashes=16, prefix_mass_df2=1.35e6,
+        )
+        == "lsh"
+    )
+    # and the prefix side of the crossover survives the max: sf0.1 k=9
+    # t=0.9 (occ=1.39e6, Σdf²=3.73e8, rarest-mass 1.5e6) — the regime
+    # where prefix measured 2.4–10× faster
+    assert (
+        choose_jaccard_mode(
+            threshold=0.9, total_occurrences=1.39e6, sum_df2=3.73e8,
+            num_hashes=16, prefix_mass_df2=1.5e6,
+        )
+        == "prefix"
+    )
 
 
 def test_profile_counts_are_exact_and_sampling_extrapolates(spark):
@@ -106,6 +154,14 @@ def test_profile_counts_are_exact_and_sampling_extrapolates(spark):
     assert prof["vocab"] == 8
     assert prof["total_occurrences"] == 12
     assert prof["sum_df2"] == 4 * 4 + 4 * 1
+    # rarest-mass estimate: at t=0.75 the mass target is 0.25·12 = 3 —
+    # only the df=1 bucket's preceding cum (0) is under it → Σdf² = 4·1;
+    # at t=0.5 the target is 6 — the df=2 bucket crosses it and is
+    # included WHOLE (conservative) → the full Σdf² = 20
+    assert profile_shingle_dfs(docs, k=5, threshold=0.75)["prefix_mass_df2"] == 4
+    assert profile_shingle_dfs(docs, k=5, threshold=0.5)["prefix_mass_df2"] == 20
+    # t=1.0: zero mass target → no bucket → 0 (routes prefix: exact dups)
+    assert profile_shingle_dfs(docs, k=5, threshold=1.0)["prefix_mass_df2"] == 0
     sampled = profile_shingle_dfs(docs, k=5, profile_fraction=0.5)
     # extrapolation scales by 1/f and 1/f²; exact values depend on the
     # sample draw, but the dominant-term ORDER must survive sampling

@@ -51,6 +51,11 @@ def _batch(spark, rows):
 def _fold(spark, corpus, batch_id, rows, **kw):
     kw.setdefault("rules", _relaxed_rules())
     kw.setdefault("trim_spans_w", 4)
+    # these corpora exercise the LSH state legs (signatures, backfill,
+    # compaction carry); pin the leg — the r11 profile router would send
+    # tiny low-df fixtures down the prefix leg, which accrues none.
+    # test_streaming_route_is_pinned_per_corpus overrides with "auto".
+    kw.setdefault("dedup_mode", "lsh")
     fold_batch(_batch(spark, rows), batch_id, corpus, **kw)
 
 
@@ -331,35 +336,44 @@ def test_partial_signature_coverage_backfilled_at_compaction(
 
 
 def test_streaming_route_is_pinned_per_corpus(spark, tmp_path):
-    """The similarity-join route is corpus state (VERDICT r10 #3): the
-    first fold persists it; a later fold whose threshold crosses the clone
-    boundary must fail loudly instead of mixing state legs; a
-    prefix-routed corpus accrues NO signatures partitions and still drops
-    vs-seen clones exactly."""
+    """The similarity-join route is corpus state (VERDICT r10 #3, refined
+    r11): the first fold profiles the bootstrap batch (this low-df fixture
+    routes prefix at t=0.85) and persists mode + threshold; a later fold
+    with a CHANGED threshold fails loudly instead of drifting the dedup
+    semantics mid-corpus, and so does an explicit dedup_mode forcing the
+    other leg; a prefix-routed corpus accrues NO signatures partitions and
+    still drops vs-seen clones exactly."""
     corpus = str(tmp_path / "corpus")
     _fold(spark, corpus, 0, [(10, _DOCS[0]), (11, _DOCS[1])],
-          verify_threshold=0.85)
+          verify_threshold=0.85, dedup_mode="auto")
     import json as _json
 
     marker = _json.loads(
         (tmp_path / "corpus" / "simjoin_route.json").read_text()
     )
     assert marker["mode"] == "prefix"
+    assert marker["verify_threshold"] == 0.85
     assert _partition_ids(corpus, "signatures") == set()
 
     # vs-seen exact clone dropped through the prefix leg
     _fold(spark, corpus, 1, [(20, _DOCS[0]), (21, _DOCS[2])],
-          verify_threshold=0.85)
+          verify_threshold=0.85, dedup_mode="auto")
     kept = {r.doc_id for r in read_curated_corpus(spark, corpus).collect()}
     assert kept == {10, 11, 21}
     assert _partition_ids(corpus, "signatures") == set()
 
-    # crossing the clone boundary = incompatible state legs → loud
+    # threshold drift against pinned state → loud
     with pytest.raises(RuntimeError, match="pinned to the 'prefix'"):
-        _fold(spark, corpus, 2, [(30, _DOCS[3])], verify_threshold=0.5)
+        _fold(spark, corpus, 2, [(30, _DOCS[3])], verify_threshold=0.5,
+              dedup_mode="auto")
+    # explicit override forcing the OTHER leg against accrued state → loud
+    with pytest.raises(RuntimeError, match="forces dedup_mode='lsh'"):
+        _fold(spark, corpus, 2, [(30, _DOCS[3])], verify_threshold=0.85,
+              dedup_mode="lsh")
 
     # compaction of a prefix corpus writes no signatures generation
-    _fold(spark, corpus, 2, [(30, _DOCS[3])], verify_threshold=0.85)
+    _fold(spark, corpus, 2, [(30, _DOCS[3])], verify_threshold=0.85,
+          dedup_mode="auto")
     kept.add(30)
     assert compact_batches(spark, corpus, min_batches=2)
     assert _partition_ids(corpus, "signatures") == set()

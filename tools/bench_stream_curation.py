@@ -117,7 +117,11 @@ def main() -> None:
                 cipher(F.col("text"), i).alias("text"),
             )
             t0 = time.monotonic()
-            fold_batch(batch, i, corpus, trim_spans_w=trim_w)
+            # the probe measures the LSH signatures-leg trajectory (the
+            # r10/r11 horizon tables) — pin the leg so the bootstrap
+            # batch's df profile can't silently re-route small-batch runs
+            fold_batch(batch, i, corpus, trim_spans_w=trim_w,
+                       dedup_mode="lsh")
             walls.append(round(time.monotonic() - t0, 2))
             print(
                 f"fold {i}: {walls[-1]}s", file=sys.stderr, flush=True
