@@ -570,9 +570,19 @@ def duplicated_spans_incremental(
     embedding-IVF paths. ``plans/incremental_curation.py::curate_batch``
     wires exactly that sequence.
 
-    Cost contract: one pass over the batch + a semi-join against the seen
-    table keyed by hash (at warehouse scale a hash-bucketed table, so the
-    join co-locates) — per-batch work tracks the batch, never history².
+    Cost contract: one pass over the batch + ONE STREAMING PROBE of the
+    seen table. The accrued table is restricted to the batch's own hash
+    values BEFORE anything shuffles it: the batch's distinct hashes are a
+    batch-bounded frame, so the semi-join broadcasts them and the seen
+    scan streams through the probe — history is READ once per fold but
+    never SHUFFLED (the r11 fold-attribution probe measured the previous
+    form's ``seen.distinct()`` — a full exchange + dedup of the
+    multi-million-row accrued table every fold — as the dominant
+    history-linear term, ~half the fold wall at 46k stored docs). The
+    post-restriction ``distinct`` runs over at most the batch's hash
+    count, and membership for hash values OUTSIDE the batch is irrelevant
+    to the left join below — exact semantic equivalence, test-pinned.
+    Per-batch work tracks the batch, never history².
     """
     win = windows
     if win is None:
@@ -583,7 +593,15 @@ def duplicated_spans_incremental(
             ),
             scope,
         )
-    seen = seen_hashes.select("h").distinct().withColumn("__seen", F.lit(1))
+    seen = (
+        seen_hashes.select("h")
+        # explicit hint: the probe side is batch-bounded by contract, and
+        # a stats miss that planned this as a sort-merge join would
+        # shuffle the accrued table — the exact cost this form removes
+        .join(F.broadcast(win.select("h").distinct()), "h", "left_semi")
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
     counts = win.groupBy("h").agg(
         F.count(F.lit(1)).alias("__c"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__keep"),

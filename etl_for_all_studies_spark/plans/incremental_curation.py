@@ -221,13 +221,21 @@ def curate_batch(
         seen_h = seen_window_hashes
         if seen_h is None:
             seen_h = new_docs.sparkSession.createDataFrame([], "h BIGINT")
-        trimmed_spans = duplicated_spans_incremental(
-            admitted,
-            seen_h,
-            w=trim_spans_w,
-            keep_first=True,
-            scope=scope,
-            windows=win,
+        # pin the detection result: its lineage carries the accrued-corpus
+        # hash probe, and it feeds THREE consumers (the trim rewrite, the
+        # junction-rehash id set, and the audit count) — unpersisted, the
+        # per-fold history scan ran once per consumer, the dominant
+        # history-linear term the r11 fold-attribution probe measured
+        trimmed_spans = persist(
+            duplicated_spans_incremental(
+                admitted,
+                seen_h,
+                w=trim_spans_w,
+                keep_first=True,
+                scope=scope,
+                windows=win,
+            ),
+            scope,
         )
         # keep the INPUT schema on admitted: the corpus directory is
         # appended across batches with and without the trim stage, and a

@@ -7109,16 +7109,21 @@ QUERY_REGISTRY: dict[str, QueryDef] = {
 # 33-query cohort last driver-checked in r8, then fill the window's 14
 # remaining slots with the oldest r9-checked entries. After this window
 # lands, no registry entry's latest check is older than r9.
-# ROTATION_MODIFIED holds the two entries whose round-11 diffs reach their
+# ROTATION_MODIFIED holds the four entries whose round-11 diffs reach their
 # physical plans: dedup_jaccard_auto (slice widened from mod-4 to the full
-# table so the oracle hash has surface — VERDICT r10 wrong #3) and
+# table so the oracle hash has surface — VERDICT r10 wrong #3),
 # dedup_minhash_incr (the verify stage's shingle arrays now build behind a
 # candidate-id semi-join with a lineage-truncating checkpoint — ADVICE
-# r10). Everything else is a pure reorder: nothing renamed, dropped, or
-# re-oracled.
+# r10), and dup_spans_incr / dup_spans_incr_keepfirst (the accrued-hash
+# probe is now restricted to the batch's own hash values through a
+# broadcast semi-join BEFORE the distinct, so history streams through the
+# probe instead of shuffling — identical results, new plan). Everything
+# else is a pure reorder: nothing renamed, dropped, or re-oracled.
 ROTATION_MODIFIED: list[str] = [
     "dedup_jaccard_auto",
     "dedup_minhash_incr",
+    "dup_spans_incr",
+    "dup_spans_incr_keepfirst",
 ]
 _R11_NEW: list[str] = [
     # round-11 addition — never driver-checked, head of the window
@@ -7175,10 +7180,12 @@ _R11_R9_FILL: list[str] = [
     "nations_with_orders",
     "average_rank",
     "top_parts_per_brand",
-    "dedup_exact",
-    "embedding_topk",
 ]
 _R11_R9_REST: list[str] = [
+    # displaced from the fill when ROTATION_MODIFIED grew to four (the
+    # window stays exactly 50): oldest-first continuity preserved
+    "dedup_exact",
+    "embedding_topk",
     # last checked r9, prior relative order (outside the window)
     "embedding_ivf",
     "dedup_embedding",
@@ -7200,9 +7207,7 @@ _R11_R9_REST: list[str] = [
     "events_funnel",
     "events_pivot",
     "dedup_minhash_capped",
-    "dup_spans_incr_keepfirst",
     "dup_spans",
-    "dup_spans_incr",
     "dup_spans_keepfirst",
     "span_trim",
     "curation_pipeline",
