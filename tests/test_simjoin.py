@@ -172,6 +172,38 @@ def test_profile_counts_are_exact_and_sampling_extrapolates(spark):
         jaccard_pairs_auto(docs, mode="bogus")
 
 
+def test_profile_with_rarest_mass_adds_no_jobs(spark):
+    """The fused profile derives total/vocab/Σdf² AND the rarest-mass
+    estimate from the df-value histogram in ONE action (SCALE.md r11):
+    asking for the threshold estimate must launch exactly as many Spark
+    jobs as the plain 3-number profile — an extra job would mean the
+    shingle-keyed exchange (the profile's only expensive stage) runs
+    twice per routed call. Counted via job groups so AQE's stage-split
+    job accounting cancels out."""
+    docs = _docs(spark, TEXTS)
+    sc = spark.sparkContext
+
+    def count_jobs(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+        finally:
+            sc.setJobGroup(None, None)
+
+    plain = count_jobs(
+        "profile-plain", lambda: profile_shingle_dfs(docs, k=5)
+    )
+    fused = count_jobs(
+        "profile-fused", lambda: profile_shingle_dfs(docs, k=5, threshold=0.6)
+    )
+    assert plain >= 1
+    assert fused == plain, (
+        f"threshold profile ran {fused} jobs vs {plain} for the plain "
+        "profile — the rarest-mass estimate must ride the same action"
+    )
+
+
 def test_registered_slices_route_as_claimed_at_oracle_sf(spark):
     """The suite's two routed entries claim opposite routes on the SAME
     table at the correctness SF — dedup_jaccard_auto (k=9: large vocab,
