@@ -62,6 +62,8 @@ this is beyond-reference curation capability (SURVEY §2.8 extension).
 """
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -74,6 +76,8 @@ from .dedup import (
     minhash_signatures,
 )
 from .prefixjoin import jaccard_prefix_pairs
+
+logger = logging.getLogger(__name__)
 
 
 def profile_shingle_dfs(
@@ -205,13 +209,29 @@ def route_jaccard_join(
         profile_fraction=profile_fraction,
         threshold=threshold,
     )
-    return choose_jaccard_mode(
+    mode = choose_jaccard_mode(
         threshold=threshold,
         total_occurrences=prof["total_occurrences"],
         sum_df2=prof["sum_df2"],
         num_hashes=num_hashes,
         prefix_mass_df2=prof["prefix_mass_df2"],
     )
+    # the decision and its inputs, for operations: a surprising route at
+    # scale should be explainable from the log line alone
+    logger.info(
+        "similarity route %s: t=%s k=%d occ=%.3g vocab=%.3g "
+        "est_prefix=max(uniform=%.3g, rarest=%.3g) vs lsh=%d*occ=%.3g",
+        mode,
+        threshold,
+        k,
+        prof["total_occurrences"],
+        prof["vocab"],
+        (1.0 - threshold) ** 2 * prof["sum_df2"],
+        prof["prefix_mass_df2"],
+        num_hashes,
+        num_hashes * prof["total_occurrences"],
+    )
+    return mode
 
 
 def _lsh_verified_pairs(
