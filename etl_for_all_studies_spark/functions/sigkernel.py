@@ -1,0 +1,373 @@
+"""Vectorized (numpy-over-Arrow) kernels for the shingle-hash hot paths.
+
+The MinHash signature pass was the suite's single largest per-row compute
+term: a per-position O(k) polynomial fold expressed as nested higher-order
+functions, which Spark evaluates INTERPRETED (HOF lambdas get neither
+whole-stage codegen nor common-subexpression elimination). Measured at
+sf0.1 (5k docs / 1.5M chars): ~6 s of executor time across 32 cores for
+one signature pass — against ~0.9 s for the same arithmetic done
+single-threaded in numpy (optimization guide §4.2: hand whole batches to
+vectorized native code; the JVM expression interpreter is the slow path,
+not Python).
+
+These kernels are **bit-identical** replacements, not approximations: the
+same per-shingle polynomial hash ``Σ cp·BASE^i mod MOD`` over the same
+codepoint sequence, the same ``(a·h+b) mod MOD`` universal family, the
+same ``len ≥ k`` row filter — pinned by ``tests/test_sigkernel.py``
+against the HOF forms on real corpus rows plus unicode edge cases
+(astral-plane emoji, CJK, combining marks, empty/short/NULL texts). The
+polynomial window hash is evaluated via the Rabin–Karp prefix-sum
+unrolling (the same algebra ``operators/spans.py`` uses for its
+``method="prefix"`` leg): with ``Q[j] = cp[j]·BASE^{−j} (mod M)`` and
+``S`` the running sum of ``Q``, the hash of the window ``[i, i+k−1]`` is
+``BASE^{i+k−1}·(S[i+k−1] − S[i−1]) mod M`` — O(1) per position instead of
+the fold's O(k), and exactly equal because every step is the same modular
+arithmetic.
+
+Arrow mechanics: Spark ships ``mapInArrow`` batches whose string column is
+one contiguous UTF-8 data buffer plus an offsets array. For all-ASCII
+batches (checked with ``pyarrow.compute.string_is_ascii``) the codepoint
+sequence IS the byte sequence, so the kernel reads the buffers zero-copy;
+non-ASCII batches fall back to per-row UTF-32 decode (codepoint-exact,
+matching Spark's ``split('')``/``ascii()`` semantics — verified against
+the HOF form on astral-plane inputs, where both sides consume code
+points, not UTF-16 units).
+
+Overflow bounds (all int64): codepoints < 2^21, MOD/MOD2 < 2^30, so
+``cp·BASE^{-j} mod M`` products < 2^51, prefix sums over ≤ 2^33 windows
+< 2^63, affine ``a·h`` < 2^35 — no intermediate can wrap.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+
+from .hashing import BASE, MOD
+
+__all__ = [
+    "batch_codepoints",
+    "mod_powers",
+    "window_hashes",
+    "minhash_sigs_from_windows",
+    "shingle_array_batches",
+    "distinct_shingle_hash_batches",
+]
+
+
+def mod_powers(base: int, n: int, mod: int) -> np.ndarray:
+    """``[base^0, base^1, …, base^{n-1}] mod mod`` — doubling, O(log n)
+    numpy passes instead of an O(n) Python loop."""
+    p = np.ones(max(n, 1), dtype=np.int64)
+    if n > 1:
+        p[1] = base % mod
+        i = 1
+        while 2 * i < n:
+            p[i + 1 : 2 * i + 1] = (p[1 : i + 1] * p[i]) % mod
+            i *= 2
+        if i < n - 1:
+            p[i + 1 : n] = (p[1 : n - i] * p[i]) % mod
+    return p
+
+
+def batch_codepoints(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated int64 codepoints, int64 offsets) for an Arrow string
+    array. ASCII batches are read zero-copy from the Arrow buffers; mixed
+    batches decode per row via UTF-32 (codepoint-exact for every plane).
+
+    NULL rows contribute zero codepoints (callers filter them out before
+    this — the offsets still carry one entry per row for alignment)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    if n_rows == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64)
+    all_ascii = pc.all(
+        pc.fill_null(pc.string_is_ascii(texts), True)
+    ).as_py()
+    if all_ascii and texts.null_count == 0 and isinstance(
+        texts, (pa.StringArray,)
+    ):
+        bufs = texts.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+            texts.offset : texts.offset + n_rows + 1
+        ].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        cps = data[offsets[0] : offsets[-1]].astype(np.int64)
+        return cps, offsets - offsets[0]
+    # general path: codepoint-exact per-row decode
+    parts: list[np.ndarray] = []
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    for i, t in enumerate(texts.to_pylist()):
+        if t:
+            a = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            parts.append(a)
+            offs[i + 1] = offs[i] + len(a)
+        else:
+            offs[i + 1] = offs[i]
+    cps = (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    )
+    return cps, offs
+
+
+def window_hashes(
+    cps: np.ndarray,
+    offs: np.ndarray,
+    k: int,
+    *,
+    base: int = BASE,
+    mod: int = MOD,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position k-window polynomial hashes for every row with ≥ k
+    codepoints, concatenated; plus the per-kept-row reduceat segment
+    offsets.
+
+    Returns ``(H_valid, seg_offsets)`` where ``H_valid`` holds, row by
+    row (rows with fewer than k codepoints contributing nothing), the
+    hash ``Σ_{t=0..k-1} cp[i+t]·base^{k-1-t} mod mod`` for each window
+    start ``i``, and ``seg_offsets[j]`` is the start of kept-row j's
+    windows in ``H_valid`` (length = #kept rows + 1). Callers align
+    ``seg_offsets`` with ``lens >= k`` over the input rows."""
+    n = int(cps.shape[0])
+    lens = np.diff(offs)
+    w_counts = np.maximum(lens - (k - 1), 0)
+    total_w = int(w_counts.sum())
+    kept = lens >= k
+    seg_offsets = np.zeros(int(kept.sum()) + 1, dtype=np.int64)
+    np.cumsum(w_counts[kept], out=seg_offsets[1:])
+    if total_w == 0:
+        return np.empty(0, dtype=np.int64), seg_offsets
+    binv = pow(base, mod - 2, mod)
+    pow_b = mod_powers(base, n, mod)
+    pow_binv = mod_powers(binv, n, mod)
+    q = (cps % mod) * pow_binv
+    q %= mod
+    s = np.cumsum(q)
+    s %= mod
+    # hash of window starting at global j, ending e=j+k-1:
+    #   base^e · (S[e] − S[j−1]) mod M   (S[−1] ≡ 0)
+    # valid global starts: per kept row r, [offs[r], offs[r]+w_counts[r])
+    starts = (
+        np.repeat(offs[:-1][kept], w_counts[kept])
+        + np.arange(total_w)
+        - np.repeat(seg_offsets[:-1], np.diff(seg_offsets))
+    )
+    ends = starts + (k - 1)
+    s_prev = np.where(starts > 0, s[starts - 1], 0)
+    h = (pow_b[ends] * ((s[ends] - s_prev) % mod)) % mod
+    return h, seg_offsets
+
+
+def minhash_sigs_from_windows(
+    h_valid: np.ndarray,
+    seg_offsets: np.ndarray,
+    seeds: list[tuple[int, int]],
+    *,
+    mod: int = MOD,
+) -> np.ndarray:
+    """(n_rows × len(seeds)) int64 matrix of ``min((a·h+b) mod mod)`` per
+    row segment — the MinHash signature rows."""
+    n_rows = len(seg_offsets) - 1
+    out = np.empty((n_rows, len(seeds)), dtype=np.int64)
+    if n_rows == 0:
+        return out
+    red_at = seg_offsets[:-1]
+    for i, (a, b) in enumerate(seeds):
+        v = (h_valid * a + b) % mod
+        out[:, i] = np.minimum.reduceat(v, red_at)
+    return out
+
+
+def _ascii_view(texts):
+    """(data uint8, offsets int64) for an all-ASCII no-null StringArray,
+    zero-copy; None when the fast path does not apply."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if len(texts) == 0 or texts.null_count != 0 or not isinstance(
+        texts, pa.StringArray
+    ):
+        return None
+    if not pc.all(pc.string_is_ascii(texts)).as_py():
+        return None
+    bufs = texts.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        texts.offset : texts.offset + len(texts) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[offsets[0] : offsets[-1]], offsets - offsets[0]
+
+
+def _unique_first_occurrence(values: np.ndarray) -> np.ndarray:
+    """Distinct elements in order of first occurrence (the
+    ``array_distinct`` contract)."""
+    _, idx = np.unique(values, return_index=True)
+    idx.sort()
+    return values[idx]
+
+
+def shingle_array_batches(batch_iter: Iterator, *, k: int, doc_id_field, out_col: str) -> Iterator:
+    """``mapInArrow`` body: (doc_id, text) → (doc_id, <out_col>:
+    list<string>) — the exact ``char_shingles`` arrays (distinct k-char
+    substrings, first-occurrence order; texts shorter than k, empty, or
+    NULL yield an empty array). ASCII batches slice the Arrow byte
+    buffer directly; mixed batches fall back to per-row codepoint
+    slicing (both pinned equivalent to the HOF form)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [doc_id_field, pa.field(out_col, pa.list_(pa.string()))]
+    )
+    for batch in batch_iter:
+        ids = batch.column(0)
+        texts = batch.column(1)
+        n_rows = len(texts)
+        fast = _ascii_view(texts)
+        if fast is not None:
+            data, offs = fast
+            parts: list[np.ndarray] = []
+            counts = np.zeros(n_rows, dtype=np.int64)
+            if len(data) >= k:
+                windows = np.lib.stride_tricks.sliding_window_view(data, k)
+                voids = np.ascontiguousarray(windows).view(f"V{k}").reshape(-1)
+                for d in range(n_rows):
+                    lo, hi = offs[d], offs[d + 1] - (k - 1)
+                    if hi <= lo:
+                        continue
+                    uniq = _unique_first_occurrence(voids[lo:hi])
+                    parts.append(uniq)
+                    counts[d] = len(uniq)
+            if parts:
+                flat = np.concatenate(parts).view(np.uint8)
+            else:
+                flat = np.empty(0, dtype=np.uint8)
+            total = int(counts.sum())
+            str_arr = pa.Array.from_buffers(
+                pa.utf8(),
+                total,
+                [
+                    None,
+                    pa.py_buffer(
+                        (np.arange(total + 1, dtype=np.int32) * k).tobytes()
+                    ),
+                    pa.py_buffer(flat.tobytes()),
+                ],
+            )
+            list_offsets = np.zeros(n_rows + 1, dtype=np.int32)
+            np.cumsum(counts, out=list_offsets[1:])
+        else:
+            # per-row codepoint slicing — exact for every unicode plane
+            shingles: list[list[str]] = []
+            for t in texts.to_pylist():
+                if not t or len(t) < k:
+                    shingles.append([])
+                    continue
+                seen: set[str] = set()
+                row: list[str] = []
+                for i in range(len(t) - k + 1):
+                    s = t[i : i + k]
+                    if s not in seen:
+                        seen.add(s)
+                        row.append(s)
+                shingles.append(row)
+            counts = np.array([len(r) for r in shingles], dtype=np.int64)
+            str_arr = pa.array(
+                [s for row in shingles for s in row], type=pa.utf8()
+            )
+            list_offsets = np.zeros(n_rows + 1, dtype=np.int32)
+            np.cumsum(counts, out=list_offsets[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(list_offsets, type=pa.int32()), str_arr
+        )
+        yield pa.RecordBatch.from_arrays([ids, lists], schema=out_schema)
+
+
+def distinct_shingle_hash_batches(
+    batch_iter: Iterator,
+    *,
+    k: int,
+    doc_id_field,
+    base2: int,
+    mod2: int,
+) -> Iterator:
+    """``mapInArrow`` body: (doc_id, text) → exploded (doc_id, sh) rows,
+    one per DISTINCT k-shingle per doc, ``sh`` the injective-in-(h1,h2)
+    packed key ``h1·mod2 + h2`` of the two independent polynomial hashes
+    (the ~2^60 keyspace ``operators/spans.py`` documents — cross-shingle
+    collision odds ~n²/2^61). Used where only shingle IDENTITY matters
+    (df profiles, candidate grouping), never where the final answer
+    consumes shingle text."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([doc_id_field, pa.field("sh", pa.int64())])
+    for batch in batch_iter:
+        ids_np = batch.column(0).to_numpy(zero_copy_only=False)
+        texts = batch.column(1)
+        cps, offs = batch_codepoints(texts)
+        h1, seg = window_hashes(cps, offs, k)
+        h2, _ = window_hashes(cps, offs, k, base=base2, mod=mod2)
+        packed = h1 * mod2 + h2
+        lens = np.diff(offs)
+        kept_ids = ids_np[lens >= k]
+        id_parts: list[np.ndarray] = []
+        sh_parts: list[np.ndarray] = []
+        for d in range(len(kept_ids)):
+            uniq = np.unique(packed[seg[d] : seg[d + 1]])
+            sh_parts.append(uniq)
+            id_parts.append(np.full(len(uniq), kept_ids[d], dtype=np.int64))
+        out_ids = (
+            np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+        )
+        out_sh = (
+            np.concatenate(sh_parts) if sh_parts else np.empty(0, np.int64)
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_ids, type=pa.int64()), pa.array(out_sh, type=pa.int64())],
+            schema=out_schema,
+        )
+
+
+def minhash_signature_batches(
+    batch_iter: Iterator,
+    *,
+    k: int,
+    seeds: list[tuple[int, int]],
+    doc_id_field,
+) -> Iterator:
+    """``mapInArrow`` body: (doc_id, text) record batches → (doc_id, sig)
+    record batches, sig = the ``num_hashes`` MinHash mins. Rows with
+    fewer than ``k`` codepoints (and NULL texts) are dropped, matching
+    the HOF form's ``length ≥ k`` filter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [doc_id_field, pa.field("sig", pa.list_(pa.int64()))]
+    )
+    num = len(seeds)
+    for batch in batch_iter:
+        texts = batch.column(1)
+        keep = pc.fill_null(pc.greater_equal(pc.utf8_length(texts), k), False)
+        kept_ids = pc.filter(batch.column(0), keep)
+        kept_texts = pc.filter(texts, keep)
+        cps, offs = batch_codepoints(kept_texts)
+        h_valid, seg = window_hashes(cps, offs, k)
+        sig_mat = minhash_sigs_from_windows(h_valid, seg, seeds)
+        n = sig_mat.shape[0]
+        sig_arr = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(n + 1, dtype=np.int32) * num, type=pa.int32()
+            ),
+            pa.array(sig_mat.reshape(-1), type=pa.int64()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [kept_ids, sig_arr], schema=out_schema
+        )
