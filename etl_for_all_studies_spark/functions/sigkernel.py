@@ -51,7 +51,9 @@ __all__ = [
     "window_hashes",
     "minhash_sigs_from_windows",
     "shingle_array_batches",
+    "shingle_array_df",
     "distinct_shingle_hash_batches",
+    "distinct_shingle_hash_df",
 ]
 
 
@@ -214,21 +216,31 @@ def _unique_first_occurrence(values: np.ndarray) -> np.ndarray:
     return values[idx]
 
 
-def shingle_array_batches(batch_iter: Iterator, *, k: int, doc_id_field, out_col: str) -> Iterator:
-    """``mapInArrow`` body: (doc_id, text) → (doc_id, <out_col>:
-    list<string>) — the exact ``char_shingles`` arrays (distinct k-char
-    substrings, first-occurrence order; texts shorter than k, empty, or
-    NULL yield an empty array). ASCII batches slice the Arrow byte
-    buffer directly; mixed batches fall back to per-row codepoint
-    slicing (both pinned equivalent to the HOF form)."""
+def shingle_array_batches(
+    batch_iter: Iterator,
+    *,
+    k: int,
+    doc_id_field,
+    out_col: str,
+    extra_fields: tuple = (),
+) -> Iterator:
+    """``mapInArrow`` body: (doc_id, text, *extras) → (doc_id, *extras,
+    <out_col>: list<string>) — the exact ``char_shingles`` arrays
+    (distinct k-char substrings, first-occurrence order; texts shorter
+    than k, empty, or NULL yield an empty array). Rows survive 1:1, so
+    any ``extra_fields`` columns (batch columns 2+) pass through
+    untouched. ASCII batches slice the Arrow byte buffer directly; mixed
+    batches fall back to per-row codepoint slicing (both pinned
+    equivalent to the HOF form)."""
     import pyarrow as pa
 
     out_schema = pa.schema(
-        [doc_id_field, pa.field(out_col, pa.list_(pa.string()))]
+        [doc_id_field, *extra_fields, pa.field(out_col, pa.list_(pa.string()))]
     )
     for batch in batch_iter:
         ids = batch.column(0)
         texts = batch.column(1)
+        extras = [batch.column(2 + i) for i in range(len(extra_fields))]
         n_rows = len(texts)
         fast = _ascii_view(texts)
         if fast is not None:
@@ -287,7 +299,9 @@ def shingle_array_batches(batch_iter: Iterator, *, k: int, doc_id_field, out_col
         lists = pa.ListArray.from_arrays(
             pa.array(list_offsets, type=pa.int32()), str_arr
         )
-        yield pa.RecordBatch.from_arrays([ids, lists], schema=out_schema)
+        yield pa.RecordBatch.from_arrays(
+            [ids, *extras, lists], schema=out_schema
+        )
 
 
 def distinct_shingle_hash_batches(
@@ -333,6 +347,94 @@ def distinct_shingle_hash_batches(
             [pa.array(out_ids, type=pa.int64()), pa.array(out_sh, type=pa.int64())],
             schema=out_schema,
         )
+
+
+def _require_long_doc_id(df) -> None:
+    id_type = df.schema["doc_id"].dataType.simpleString()
+    if id_type != "bigint":  # pragma: no cover - non-long ids unused
+        raise TypeError(f"doc_id must be bigint, got {id_type}")
+
+
+def shingle_array_df(
+    docs,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    out_col: str = "__set",
+    extra_cols: tuple = (),
+):
+    """DataFrame form of :func:`shingle_array_batches`: ``(doc_id,
+    *extra_cols, out_col: array<string>)`` — the exact ``char_shingles``
+    arrays, one vectorized Arrow pass instead of the interpreted
+    per-position substring HOF (equivalence-pinned in
+    ``tests/test_sigkernel.py``). Row set and order semantics match
+    ``docs.select("doc_id", char_shingles(...))`` exactly: every row
+    survives, short/NULL texts get an empty array; ``extra_cols`` name
+    columns of ``docs`` carried through unchanged."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from ..partitioning import compute_spread
+
+    base = compute_spread(
+        docs.select(
+            "doc_id", F.col(text_col).alias("__txt"), *extra_cols
+        )
+    )
+    _require_long_doc_id(base)
+    doc_id_field = pa.field("doc_id", pa.int64())
+    extra_fields = tuple(
+        pa.field(c, to_arrow_type(base.schema[c].dataType))
+        for c in extra_cols
+    )
+    extra_ddl = "".join(
+        f", {c} {base.schema[c].dataType.simpleString()}" for c in extra_cols
+    )
+
+    def _batches(batches):
+        yield from shingle_array_batches(
+            batches,
+            k=k,
+            doc_id_field=doc_id_field,
+            out_col=out_col,
+            extra_fields=extra_fields,
+        )
+
+    return base.mapInArrow(
+        _batches,
+        schema=f"doc_id long{extra_ddl}, {out_col} array<string>",
+    )
+
+
+def distinct_shingle_hash_df(
+    docs,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+):
+    """DataFrame form of :func:`distinct_shingle_hash_batches`:
+    exploded ``(doc_id, sh)`` rows, one per distinct k-shingle per doc
+    (texts shorter than k contribute nothing), ``sh`` the packed ~2^60
+    double-hash key."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from ..partitioning import compute_spread
+    from .hashing import BASE2, MOD2
+
+    base = compute_spread(docs.select("doc_id", F.col(text_col).alias("__txt")))
+    _require_long_doc_id(base)
+    doc_id_field = pa.field("doc_id", pa.int64())
+
+    def _batches(batches):
+        yield from distinct_shingle_hash_batches(
+            batches, k=k, doc_id_field=doc_id_field, base2=BASE2, mod2=MOD2
+        )
+
+    return base.mapInArrow(_batches, schema="doc_id long, sh long")
 
 
 def minhash_signature_batches(

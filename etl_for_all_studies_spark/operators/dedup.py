@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
-from ..functions.hashing import BASE, MOD, char_shingles, poly_hash, word_tokens
+from ..functions.hashing import BASE, MOD, poly_hash, word_tokens
+from ..functions.sigkernel import shingle_array_df
 from ..partitioning import compute_spread
 
 # fixed universal-hash family for MinHash (a, b pairs; deterministic)
@@ -85,9 +86,9 @@ def incremental_new_documents(
 
 def shingle_sets(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """(doc_id, shingle) exploded distinct k-char shingles + per-doc set size."""
-    with_sh = compute_spread(docs.select("doc_id", text_col)).select(
-        "doc_id", F.explode(char_shingles(F.col(text_col), k)).alias("shingle")
-    )
+    with_sh = shingle_array_df(
+        docs, text_col=text_col, k=k, out_col="__set"
+    ).select("doc_id", F.explode("__set").alias("shingle"))
     return with_sh
 
 
@@ -484,9 +485,7 @@ def minhash_dedup(
         max_bucket_size=max_bucket_size,
     )
     sets = persist(
-        compute_spread(docs.select("doc_id", text_col)).select(
-            "doc_id", char_shingles(F.col(text_col), k).alias("shingles")
-        ),
+        shingle_array_df(docs, text_col=text_col, k=k, out_col="shingles"),
         scope,
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
@@ -614,13 +613,16 @@ def incremental_minhash_dedup(
         cands.select(F.col("doc_b").alias("doc_id"))
     )
     sets = persist(
-        compute_spread(
+        shingle_array_df(
             new_docs.select("doc_id", F.col(text_col).alias("__t"))
             .unionByName(
                 seen_docs.select("doc_id", F.col(text_col).alias("__t"))
             )
-            .join(cand_ids, on="doc_id", how="left_semi")
-        ).select("doc_id", char_shingles(F.col("__t"), k).alias("shingles")),
+            .join(cand_ids, on="doc_id", how="left_semi"),
+            text_col="__t",
+            k=k,
+            out_col="shingles",
+        ),
         scope,
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

@@ -61,8 +61,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
-from ..functions.hashing import char_shingles
-from ..partitioning import compute_spread
+from ..functions.sigkernel import shingle_array_df
 
 
 def prefix_candidates(
@@ -72,6 +71,7 @@ def prefix_candidates(
     k: int = 5,
     threshold: float = 0.6,
     scope: CacheScope | None = None,
+    arrays: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidate pairs, per-doc shingle arrays) under all three filters.
 
@@ -79,19 +79,20 @@ def prefix_candidates(
     df-ordered prefixes share ≥1 shingle, surviving the length and
     positional filters. The returned array frame is the persisted
     ``(doc_id, __set)`` table the caller's verification join reuses.
+    ``arrays`` accepts a PRECOMPUTED (and persisted) such table — the
+    router shares one shingle pass between its profile and this leg.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    # barrier: the shingle arrays (one HOF evaluation per doc) feed the df
-    # window/prefix branch (via explode) AND both sides of the verification
-    # join — persist once (HOF construction gets no CSE; same rationale as
-    # _shingle_pair_stats)
-    arrays = persist(
-        compute_spread(docs.select("doc_id", text_col)).select(
-            "doc_id", char_shingles(F.col(text_col), k).alias("__set")
-        ),
-        scope,
-    )
+    # barrier: the shingle arrays (one Arrow-kernel pass per doc, r11 —
+    # the interpreted char_shingles HOF was the family's largest per-row
+    # compute term) feed the df window/prefix branch (via explode) AND
+    # both sides of the verification join — persist once
+    if arrays is None:
+        arrays = persist(
+            shingle_array_df(docs, text_col=text_col, k=k, out_col="__set"),
+            scope,
+        )
     sh = arrays.select("doc_id", F.explode("__set").alias("shingle"))
 
     by_shingle = Window.partitionBy("shingle")
@@ -161,6 +162,7 @@ def jaccard_prefix_pairs(
     k: int = 5,
     threshold: float = 0.6,
     scope: CacheScope | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ``J ≥ threshold`` via prefix filtering.
 
@@ -168,9 +170,15 @@ def jaccard_prefix_pairs(
     at the same threshold — ``(doc_a, doc_b, common, size_a, size_b,
     jaccard)`` with ``doc_a < doc_b`` — but the candidate join is bounded by
     prefix document frequency instead of full Σdf² (module docstring).
+    ``arrays``: optional precomputed persisted ``(doc_id, __set)`` table.
     """
     cand, arrays = prefix_candidates(
-        docs, text_col=text_col, k=k, threshold=threshold, scope=scope
+        docs,
+        text_col=text_col,
+        k=k,
+        threshold=threshold,
+        scope=scope,
+        arrays=arrays,
     )
     # verification: two equi-joins on doc keys tag each candidate pair with
     # both full shingle arrays; the exact intersection is a codegen'd map
@@ -237,8 +245,12 @@ def incremental_jaccard_prefix_pairs(
         )
     )
     arrays = persist(
-        compute_spread(tagged).select(
-            "doc_id", "__new", char_shingles(F.col("__t"), k).alias("__set")
+        shingle_array_df(
+            tagged,
+            text_col="__t",
+            k=k,
+            out_col="__set",
+            extra_cols=("__new",),
         ),
         scope,
     )

@@ -68,8 +68,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
-from ..functions.hashing import char_shingles
-from ..partitioning import compute_spread
+from ..functions.sigkernel import distinct_shingle_hash_df, shingle_array_df
 from .dedup import (
     exact_rows_per_band,
     minhash_lsh_candidates,
@@ -87,6 +86,7 @@ def profile_shingle_dfs(
     k: int = 5,
     profile_fraction: float = 1.0,
     threshold: float | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> dict[str, float]:
     """``{total_occurrences, vocab, sum_df2}`` — and, when ``threshold``
     is given, ``prefix_mass_df2`` — the router's classification profile:
@@ -100,16 +100,36 @@ def profile_shingle_dfs(
     √(2·occurrences) rows (k distinct df values need ≥ k(k+1)/2
     occurrences), so the ordered cumsum and full-frame total windows are
     one-partition passes over a provably tiny frame at ANY corpus size —
-    the expensive shingle-keyed exchange below them runs exactly once."""
+    the expensive shingle-keyed exchange below them runs exactly once.
+
+    The per-doc distinct-shingle rows come from the vectorized Arrow
+    kernel (r11): standalone calls hash shingles to the packed ~2^60
+    double-hash keyspace (``distinct_shingle_hash_df`` — identity-only
+    use, the same keyspace ``operators/spans.py`` documents; cross-
+    shingle collision odds ~n²/2^61 leave every df in the histogram
+    exact in practice). ``shingle_arrays`` accepts the caller's already-
+    persisted ``(doc_id, __set)`` table instead — the router shares ONE
+    shingle pass between this profile and the routed leg's verify join;
+    the exchange then carries the 64-bit ``xxhash64`` of each shingle,
+    never the strings (narrower aggregation key, same df histogram)."""
     if not 0.0 < profile_fraction <= 1.0:
         raise ValueError(f"profile_fraction must be in (0, 1], got {profile_fraction}")
-    base = docs.select("doc_id", text_col)
-    if profile_fraction < 1.0:
-        base = base.sample(fraction=profile_fraction, seed=7)
+    if shingle_arrays is not None:
+        base = shingle_arrays
+        if profile_fraction < 1.0:
+            base = base.sample(fraction=profile_fraction, seed=7)
+        sh = base.select(F.explode("__set").alias("__sh_s")).select(
+            F.xxhash64("__sh_s").alias("sh")
+        )
+    else:
+        base = docs.select("doc_id", text_col)
+        if profile_fraction < 1.0:
+            base = base.sample(fraction=profile_fraction, seed=7)
+        sh = distinct_shingle_hash_df(base, text_col=text_col, k=k).select(
+            "sh"
+        )
     hist = (
-        compute_spread(base)
-        .select(F.explode(char_shingles(F.col(text_col), k)).alias("shingle"))
-        .groupBy("shingle")
+        sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .groupBy("df")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -192,6 +212,7 @@ def route_jaccard_join(
     threshold: float = 0.6,
     num_hashes: int = 16,
     profile_fraction: float = 1.0,
+    shingle_arrays: DataFrame | None = None,
 ) -> str:
     """Profile ``docs`` at the join's shingle width and return the mode.
 
@@ -208,6 +229,7 @@ def route_jaccard_join(
         k=k,
         profile_fraction=profile_fraction,
         threshold=threshold,
+        shingle_arrays=shingle_arrays,
     )
     mode = choose_jaccard_mode(
         threshold=threshold,
@@ -244,12 +266,14 @@ def _lsh_verified_pairs(
     bands: int,
     max_bucket_size: int | None,
     scope: CacheScope | None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified to the ROUTER's output contract —
     same columns as ``jaccard_prefix_pairs`` (sizes included) so the two
     legs are drop-in interchangeable. Approximate recall: a true pair is
     missed only when every band disagrees (same contract as
-    ``minhash_dedup``, whose verify this mirrors with size columns)."""
+    ``minhash_dedup``, whose verify this mirrors with size columns).
+    ``sets``: optional precomputed persisted ``(doc_id, __set)`` table."""
     sigs = persist(
         minhash_signatures(
             docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope
@@ -262,12 +286,11 @@ def _lsh_verified_pairs(
         rows_per_band=exact_rows_per_band(num_hashes, bands),
         max_bucket_size=max_bucket_size,
     )
-    sets = persist(
-        compute_spread(docs.select("doc_id", text_col)).select(
-            "doc_id", char_shingles(F.col(text_col), k).alias("__set")
-        ),
-        scope,
-    )
+    if sets is None:
+        sets = persist(
+            shingle_array_df(docs, text_col=text_col, k=k, out_col="__set"),
+            scope,
+        )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("__set").alias("__sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("__set").alias("__sb"))
     return (
@@ -318,7 +341,21 @@ def jaccard_pairs_auto(
             "exactly — a truncated rows_per_band would silently ignore "
             f"{num_hashes % bands} of the hash functions"
         )
+    arrays: DataFrame | None = None
     if mode == "auto":
+        # ONE shingle pass for the whole routed call (r11): the profile
+        # and EITHER leg's verify join read the same persisted arrays
+        # table — previously the profile's explode and the leg's verify
+        # each ran their own (interpreted-HOF) shingle pass over the
+        # corpus. With a sampled profile the arrays cover only the
+        # sample, so the legs rebuild their own full-corpus table.
+        if profile_fraction >= 1.0:
+            arrays = persist(
+                shingle_array_df(
+                    docs, text_col=text_col, k=k, out_col="__set"
+                ),
+                scope,
+            )
         mode = route_jaccard_join(
             docs,
             text_col=text_col,
@@ -326,10 +363,16 @@ def jaccard_pairs_auto(
             threshold=threshold,
             num_hashes=num_hashes,
             profile_fraction=profile_fraction,
+            shingle_arrays=arrays,
         )
     if mode == "prefix":
         return jaccard_prefix_pairs(
-            docs, text_col=text_col, k=k, threshold=threshold, scope=scope
+            docs,
+            text_col=text_col,
+            k=k,
+            threshold=threshold,
+            scope=scope,
+            arrays=arrays,
         )
     if mode == "lsh":
         return _lsh_verified_pairs(
@@ -341,6 +384,7 @@ def jaccard_pairs_auto(
             bands=bands,
             max_bucket_size=max_bucket_size,
             scope=scope,
+            sets=arrays,
         )
     raise ValueError(f"mode must be auto|prefix|lsh, got {mode!r}")
 

@@ -96,3 +96,105 @@ def test_arrow_kernel_matches_hof_on_corpus_sample(spark):
     got = _collect_sigs(minhash_signatures(docs))
     want = _collect_sigs(minhash_signatures_hof(docs))
     assert got == want
+
+
+@pytest.mark.parametrize("k", [5, 9])
+def test_shingle_array_df_matches_char_shingles(spark, k):
+    from etl_for_all_studies_spark.functions.hashing import char_shingles
+    from etl_for_all_studies_spark.functions.sigkernel import shingle_array_df
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+    )
+    docs = corpus.unionByName(
+        spark.createDataFrame(
+            [(100000 + i, t) for i, t in NASTY], "doc_id BIGINT, text STRING"
+        )
+    )
+    want = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", char_shingles(F.col("text"), k).alias("s")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["s"]
+        for r in shingle_array_df(
+            docs, text_col="text", k=k, out_col="s"
+        ).collect()
+    }
+    # full-row equality: same doc set, same arrays, same ELEMENT ORDER
+    # (first-occurrence — array_intersect/array semantics downstream)
+    assert got == want
+
+
+def test_shingle_array_df_extra_cols_pass_through(spark):
+    from etl_for_all_studies_spark.functions.sigkernel import shingle_array_df
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh", 1), (2, None, 0), (3, "ab", 1)],
+        "doc_id BIGINT, text STRING, __new INT",
+    )
+    rows = shingle_array_df(
+        docs, text_col="text", k=5, out_col="s", extra_cols=("__new",)
+    ).collect()
+    assert {r["doc_id"]: r["__new"] for r in rows} == {1: 1, 2: 0, 3: 1}
+    assert list(rows[0].asDict()) == ["doc_id", "__new", "s"]
+
+
+def test_profile_hashed_histogram_matches_string_histogram(spark):
+    """The router profile's distinct-shingle-hash rows must yield the SAME
+    df-value histogram as exploding the string shingles (identity-only
+    use; a cross-shingle collision would merge two histogram rows)."""
+    from etl_for_all_studies_spark.functions.hashing import char_shingles
+    from etl_for_all_studies_spark.functions.sigkernel import (
+        distinct_shingle_hash_df,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    want = [
+        (r["df"], r["n"])
+        for r in docs.select(
+            F.explode(char_shingles(F.col("text"), 5)).alias("sh")
+        )
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("df")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("df")
+        .collect()
+    ]
+    got = [
+        (r["df"], r["n"])
+        for r in distinct_shingle_hash_df(docs, text_col="text", k=5)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("df")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("df")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_profile_from_arrays_matches_standalone(spark):
+    from etl_for_all_studies_spark.functions.sigkernel import shingle_array_df
+    from etl_for_all_studies_spark.operators.simjoin import profile_shingle_dfs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    standalone = profile_shingle_dfs(docs, k=9, threshold=0.6)
+    arrays = shingle_array_df(docs, text_col="text", k=9, out_col="__set")
+    shared = profile_shingle_dfs(
+        docs, k=9, threshold=0.6, shingle_arrays=arrays
+    )
+    assert shared == standalone
