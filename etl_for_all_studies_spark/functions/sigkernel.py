@@ -54,6 +54,8 @@ __all__ = [
     "shingle_array_df",
     "distinct_shingle_hash_batches",
     "distinct_shingle_hash_df",
+    "token_hash_array_batches",
+    "token_hash_array_df",
 ]
 
 
@@ -435,6 +437,172 @@ def distinct_shingle_hash_df(
         )
 
     return base.mapInArrow(_batches, schema="doc_id long, sh long")
+
+
+def _segment_poly_hashes(
+    cps: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    *,
+    base: int,
+    mod: int,
+) -> np.ndarray:
+    """Polynomial hash ``Σ cp·base^(len−1−j) mod mod`` of each half-open
+    codepoint segment ``[starts[i], ends[i])`` — the Rabin–Karp prefix-sum
+    algebra of :func:`window_hashes` generalized to variable-length
+    segments. Empty segments hash to 0 (the JVM fold over an empty array)."""
+    n = int(cps.shape[0])
+    out = np.zeros(len(starts), dtype=np.int64)
+    if n == 0 or len(starts) == 0:
+        return out
+    binv = pow(base, mod - 2, mod)
+    pow_b = mod_powers(base, n, mod)
+    pow_binv = mod_powers(binv, n, mod)
+    q = (cps % mod) * pow_binv
+    q %= mod
+    s = np.cumsum(q)
+    s %= mod
+    nonempty = ends > starts
+    st = starts[nonempty]
+    en = ends[nonempty] - 1
+    s_prev = np.where(st > 0, s[st - 1], 0)
+    out[nonempty] = (pow_b[en] * ((s[en] - s_prev) % mod)) % mod
+    return out
+
+
+def token_hash_array_batches(batch_iter: Iterator, *, doc_id_field) -> Iterator:
+    """``mapInArrow`` body: (doc_id, text) → (doc_id, __th: list<long>) —
+    the exact ``transform(word_tokens(text), poly_hash_packed)`` arrays
+    (``operators/spans.py`` / ``dedup.simhash`` token hashing), one
+    vectorized pass. The caller passes text ALREADY lower-cased and
+    trimmed by the JVM (``F.trim(F.lower(col))``) so the case-mapping
+    stays Spark's own; the kernel replays the Java-regex ``\\s+`` split
+    exactly: separators are maximal ASCII-whitespace runs, a leading
+    separator emits a leading "" token and a trailing one a trailing ""
+    token (Spark's ``split`` keeps trailing empties at ``limit=-1``),
+    empty tokens hash to 0, the empty string tokenizes to NO tokens
+    (the ``word_tokens`` guard), and a NULL text yields a NULL array."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [doc_id_field, pa.field("__th", pa.list_(pa.int64()))]
+    )
+    for batch in batch_iter:
+        ids = batch.column(0)
+        texts = batch.column(1)
+        n_rows = len(texts)
+        null_mask = np.zeros(n_rows, dtype=bool)
+        if texts.null_count:
+            null_mask = np.asarray(texts.is_null())
+        cps, offs = batch_codepoints(texts)
+        # Java-regex \s = ASCII {TAB..CR, SPACE} only — unicode spaces
+        # (NBSP, thin space, …) are token CHARACTERS, JVM-probed in tests
+        ws = ((cps >= 9) & (cps <= 13)) | (cps == 32)
+        nonws = ~ws
+        # maximal non-ws runs (the tokens); runs never span row boundaries,
+        # so force a break at every row start/end before the edge detection
+        if len(nonws):
+            prev_nonws = np.empty_like(nonws)
+            prev_nonws[0] = False
+            prev_nonws[1:] = nonws[:-1]
+            row_starts = offs[:-1][offs[:-1] < len(nonws)]
+            prev_nonws[row_starts] = False
+            next_nonws = np.empty_like(nonws)
+            next_nonws[-1] = False
+            next_nonws[:-1] = nonws[1:]
+            row_ends = offs[1:] - 1
+            next_nonws[row_ends[row_ends >= 0]] = False
+            starts = np.flatnonzero(nonws & ~prev_nonws)
+            ends = np.flatnonzero(nonws & ~next_nonws) + 1
+        else:
+            starts = np.empty(0, dtype=np.int64)
+            ends = np.empty(0, dtype=np.int64)
+        row_of_run = np.searchsorted(offs, starts, side="right") - 1
+        runs_per_row = np.bincount(row_of_run, minlength=n_rows).astype(
+            np.int64
+        )
+        lens = np.diff(offs)
+        nonempty_row = lens > 0
+        lead = np.zeros(n_rows, dtype=np.int64)
+        trail = np.zeros(n_rows, dtype=np.int64)
+        if len(cps):
+            lead[nonempty_row] = ws[offs[:-1][nonempty_row]]
+            trail[nonempty_row] = ws[offs[1:][nonempty_row] - 1]
+        counts = runs_per_row + lead + trail
+        counts[null_mask] = 0
+        total = int(counts.sum())
+        values = np.zeros(total, dtype=np.int64)
+        out_offs = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=out_offs[1:])
+        if len(starts):
+            h1 = _segment_poly_hashes(cps, starts, ends, base=BASE, mod=MOD)
+            from .hashing import BASE2, MOD2, PACK_SHIFT
+
+            h2 = _segment_poly_hashes(
+                cps, starts, ends, base=BASE2, mod=MOD2
+            )
+            packed = h1 * np.int64(1 << PACK_SHIFT) + h2
+            first_run_of_row = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(runs_per_row[:-1], out=first_run_of_row[1:])
+            rank = np.arange(len(starts), dtype=np.int64) - first_run_of_row[
+                row_of_run
+            ]
+            dest = out_offs[row_of_run] + lead[row_of_run] + rank
+            values[dest] = packed
+        list_arr = pa.ListArray.from_arrays(
+            pa.array(out_offs, type=pa.int32()),
+            pa.array(values, type=pa.int64()),
+        )
+        if null_mask.any():
+            keep = pa.array(~null_mask)
+            import pyarrow.compute as pc
+
+            list_arr = pc.if_else(keep, list_arr, pa.nulls(
+                n_rows, type=pa.list_(pa.int64())
+            ))
+        yield pa.RecordBatch.from_arrays([ids, list_arr], schema=out_schema)
+
+
+def token_hash_array_df(
+    docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "__th",
+):
+    """DataFrame form of :func:`token_hash_array_batches`: ``(id_col,
+    out_col: array<long>)`` — per-token packed ``h1·2^30+h2`` polynomial
+    hashes of the lowercase whitespace tokens, bit-identical to
+    ``F.transform(word_tokens(F.lower(col)), poly_hash_packed)``
+    (equivalence-pinned in ``tests/test_sigkernel.py``). Lower/trim run
+    in the JVM so Spark's own case mapping applies; only the split and
+    the per-char modular folds move to the vectorized kernel."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from ..partitioning import compute_spread
+
+    base = compute_spread(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.trim(F.lower(F.col(text_col))).alias("__txt"),
+        )
+    )
+    _require_long_doc_id(base)
+    doc_id_field = pa.field("doc_id", pa.int64())
+
+    def _batches(batches):
+        yield from token_hash_array_batches(
+            batches, doc_id_field=doc_id_field
+        )
+
+    out = base.mapInArrow(_batches, schema="doc_id long, __th array<bigint>")
+    if id_col != "doc_id" or out_col != "__th":
+        out = out.select(
+            F.col("doc_id").alias(id_col), F.col("__th").alias(out_col)
+        )
+    return out
 
 
 def minhash_signature_batches(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
-from ..functions.hashing import BASE, MOD, poly_hash, word_tokens
+from ..functions.hashing import BASE, MOD
 from ..functions.sigkernel import shingle_array_df
 from ..partitioning import compute_spread
 
@@ -653,12 +653,25 @@ def simhash(
     is 1 iff the summed vote is positive. Pure array arithmetic
     (transform/aggregate) — per-document, no shuffle.
     """
-    tokens = word_tokens(F.lower(F.col(text_col)))
-    # barrier before the vote aggregation — see minhash_signatures: HOFs get
-    # no CSE, so the token hash is materialized once per token
+    from ..functions.hashing import PACK_SHIFT
+    from ..functions.sigkernel import token_hash_array_df
+
+    # barrier before the vote aggregation — see minhash_signatures. r11:
+    # the per-token hashes come from the vectorized Arrow token-hash
+    # kernel (the interpreted per-char HOF fold was 15 s of this query's
+    # 26.7 s executor time at sf0.1); the kernel packs BOTH component
+    # hashes per token, and SimHash's vote hash is the first component —
+    # unpacked with one shiftright per token (a trivially cheap per-element
+    # transform, not a per-char fold). Bit-identical to
+    # ``transform(word_tokens(lower(text)), poly_hash)`` (test-pinned).
     hashed = persist(
-        compute_spread(docs.select("doc_id", text_col)).select(
-            "doc_id", F.transform(tokens, lambda t: poly_hash(t)).alias("th")
+        token_hash_array_df(
+            docs, text_col=text_col, id_col="doc_id", out_col="__pk"
+        ).select(
+            "doc_id",
+            F.transform(
+                F.col("__pk"), lambda t: F.shiftright(t, PACK_SHIFT)
+            ).alias("th"),
         ),
         scope,
     )

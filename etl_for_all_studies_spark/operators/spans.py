@@ -133,12 +133,29 @@ def _token_hash_arrays(
     docs: DataFrame, *, w: int, text_col: str, id_col: str
 ) -> DataFrame:
     """(id, __th: array<long>) for docs with ≥ w tokens — both polynomial
-    token hashes per (base, mod) pair in ONE char pass per token, bit-
-    packed ``h1·2^30 + h2`` (:func:`..functions.hashing.poly_hash_packed`;
-    two separate transform columns would re-split and re-walk every token
-    — no CSE inside HOF lambdas — and a struct element is both slower to
-    build and 2× the persisted footprint), lowercase whitespace
-    tokenization."""
+    token hashes per (base, mod) pair, bit-packed ``h1·2^30 + h2``,
+    lowercase whitespace tokenization. r11: the interpreted per-char HOF
+    fold (``transform(word_tokens(...), poly_hash_packed)``) was the span
+    family's dominant executor stage (19.7 s of 32.2 s on ``dup_spans`` at
+    sf0.1 — tools/profile_query.py); the vectorized Arrow kernel computes
+    the identical arrays (equivalence-pinned with the retained HOF form,
+    ``_token_hash_arrays_hof``/``tests/test_sigkernel.py``)."""
+    from ..functions.sigkernel import token_hash_array_df
+
+    return token_hash_array_df(
+        docs, text_col=text_col, id_col=id_col, out_col="__th"
+    ).where(F.size(F.col("__th")) >= F.lit(w))
+
+
+def _token_hash_arrays_hof(
+    docs: DataFrame, *, w: int, text_col: str, id_col: str
+) -> DataFrame:
+    """The pre-r11 interpreted-HOF token-hash pass — retained as the spec
+    the Arrow kernel is equivalence-tested against; no query path calls
+    this form. (One char pass per token via ``poly_hash_packed``: two
+    separate transform columns would re-split and re-walk every token — no
+    CSE inside HOF lambdas — and a struct element is both slower to build
+    and 2× the persisted footprint.)"""
     toks = word_tokens(F.lower(F.col(text_col)))
     # spread the raw (id, text) rows BEFORE the per-char hash pass: a small
     # single-split scan would otherwise run the whole O(chars) fold on one

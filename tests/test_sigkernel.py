@@ -183,6 +183,102 @@ def test_profile_hashed_histogram_matches_string_histogram(spark):
     assert got == want
 
 
+TOKEN_NASTY = [
+    (21, ""),
+    (22, None),
+    (23, "\tleading tab"),
+    (24, "trailing tab\t"),
+    (25, "  spaces  around  "),
+    (26, "MiXeD CaSe ß İ"),
+    (27, "a\x0bb\x0cc\rd\ne"),
+    (28, "nb space und thin"),  # unicode spaces are NOT separators
+    (29, "\t\t"),
+    (30, "emoji \U0001f600 tok \U0001f600x"),
+    (31, "日本語 テキスト 短い"),
+]
+
+
+@pytest.mark.parametrize("w", [1, 8])
+def test_token_hash_kernel_matches_hof(spark, w):
+    """The span family's token-hash pass: the Arrow kernel must replay the
+    interpreted ``transform(word_tokens(lower(text)), poly_hash_packed)``
+    fold exactly — including Java-regex \\s semantics (leading/trailing
+    empty tokens hash to 0; unicode spaces are token characters), the
+    empty-string guard, and the ≥w row filter."""
+    from etl_for_all_studies_spark.operators.spans import (
+        _token_hash_arrays,
+        _token_hash_arrays_hof,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+        .unionByName(
+            spark.createDataFrame(TOKEN_NASTY, "doc_id BIGINT, text STRING")
+        )
+    )
+    got = {
+        r["doc_id"]: r["__th"]
+        for r in _token_hash_arrays(
+            docs, w=w, text_col="text", id_col="doc_id"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["__th"]
+        for r in _token_hash_arrays_hof(
+            docs, w=w, text_col="text", id_col="doc_id"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_simhash_token_hashes_match_hof(spark):
+    """SimHash's vote hashes (the packed kernel's first component) must
+    equal the old ``transform(word_tokens(lower(text)), poly_hash)`` —
+    NULL texts keeping their NULL array (explode_outer contract)."""
+    from etl_for_all_studies_spark.functions.hashing import (
+        PACK_SHIFT,
+        poly_hash,
+        word_tokens,
+    )
+    from etl_for_all_studies_spark.functions.sigkernel import (
+        token_hash_array_df,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+        .unionByName(
+            spark.createDataFrame(TOKEN_NASTY, "doc_id BIGINT, text STRING")
+        )
+    )
+    want = {
+        r["doc_id"]: r["th"]
+        for r in docs.select(
+            "doc_id",
+            F.transform(
+                word_tokens(F.lower(F.col("text"))), lambda t: poly_hash(t)
+            ).alias("th"),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["th"]
+        for r in token_hash_array_df(
+            docs, text_col="text", id_col="doc_id", out_col="__pk"
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("__pk"), lambda t: F.shiftright(t, PACK_SHIFT)
+            ).alias("th"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_profile_from_arrays_matches_standalone(spark):
     from etl_for_all_studies_spark.functions.sigkernel import shingle_array_df
     from etl_for_all_studies_spark.operators.simjoin import profile_shingle_dfs
