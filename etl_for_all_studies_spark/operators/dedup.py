@@ -468,26 +468,33 @@ def minhash_dedup(
     ``max_bucket_size`` bounds the banding itself against hot buckets — see
     ``minhash_lsh_candidates`` for the valve's recall contract.
     """
+    from ..functions.sigkernel import minhash_and_shingles_df
+
     rows_per_band = exact_rows_per_band(num_hashes, bands)
-    # persist the sketch tables: they are tiny relative to the corpus, and
-    # without a materialization barrier Catalyst inlines the (interpreted,
-    # higher-order-function) signature expression into every downstream
-    # reference — explode fields, join keys, filters — re-evaluating it tens
-    # of times per row (measured 80s vs 1.3s at sf0.1 for the candidate join)
-    sigs = persist(
-        minhash_signatures(docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope),
+    # ONE text scan feeds both sketch tables (r11, guide §1.2): the banding
+    # needs signatures, the verify join needs the exact shingle arrays, and
+    # they used to be two independent passes over the corpus. The combined
+    # frame is the materialization barrier both halves read (persisted: the
+    # mapInArrow output is opaque to Catalyst — without the barrier each
+    # reference would re-run the kernel scan).
+    both = persist(
+        minhash_and_shingles_df(
+            docs,
+            text_col=text_col,
+            k=k,
+            seeds=MINHASH_SEEDS[:num_hashes],
+            set_col="shingles",
+        ),
         scope,
     )
+    sigs = both.where(F.col("sig").isNotNull()).select("doc_id", "sig")
     candidates = minhash_lsh_candidates(
         sigs,
         bands=bands,
         rows_per_band=rows_per_band,
         max_bucket_size=max_bucket_size,
     )
-    sets = persist(
-        shingle_array_df(docs, text_col=text_col, k=k, out_col="shingles"),
-        scope,
-    )
+    sets = both.select("doc_id", "shingles")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (

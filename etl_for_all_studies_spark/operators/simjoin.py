@@ -273,24 +273,41 @@ def _lsh_verified_pairs(
     legs are drop-in interchangeable. Approximate recall: a true pair is
     missed only when every band disagrees (same contract as
     ``minhash_dedup``, whose verify this mirrors with size columns).
-    ``sets``: optional precomputed persisted ``(doc_id, __set)`` table."""
-    sigs = persist(
-        minhash_signatures(
-            docs, text_col=text_col, k=k, num_hashes=num_hashes, scope=scope
-        ),
-        scope,
-    )
+    ``sets``: optional precomputed persisted ``(doc_id, __set)`` table —
+    the router's shared shingle pass. Without one (explicit
+    ``mode="lsh"``), ONE combined kernel scan produces both the
+    signatures and the verify arrays (guide §1.2: one text pass, not
+    two); with one, only the signature pass reads the text again."""
+    if sets is None:
+        from ..functions.sigkernel import minhash_and_shingles_df
+        from .dedup import MINHASH_SEEDS
+
+        both = persist(
+            minhash_and_shingles_df(
+                docs,
+                text_col=text_col,
+                k=k,
+                seeds=MINHASH_SEEDS[:num_hashes],
+                set_col="__set",
+            ),
+            scope,
+        )
+        sigs = both.where(F.col("sig").isNotNull()).select("doc_id", "sig")
+        sets = both.select("doc_id", "__set")
+    else:
+        sigs = persist(
+            minhash_signatures(
+                docs, text_col=text_col, k=k, num_hashes=num_hashes,
+                scope=scope,
+            ),
+            scope,
+        )
     candidates = minhash_lsh_candidates(
         sigs,
         bands=bands,
         rows_per_band=exact_rows_per_band(num_hashes, bands),
         max_bucket_size=max_bucket_size,
     )
-    if sets is None:
-        sets = persist(
-            shingle_array_df(docs, text_col=text_col, k=k, out_col="__set"),
-            scope,
-        )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("__set").alias("__sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("__set").alias("__sb"))
     return (

@@ -279,6 +279,49 @@ def test_simhash_token_hashes_match_hof(spark):
     assert got == want
 
 
+def test_combined_kernel_matches_separate_passes(spark):
+    """The one-scan (sig, shingles) kernel must reproduce BOTH single-pass
+    kernels exactly: ``sig IS NOT NULL`` recovers minhash_signatures' row
+    set and values; the array column matches shingle_array_df on every
+    row (NULL/short texts included)."""
+    from etl_for_all_studies_spark.functions.sigkernel import (
+        minhash_and_shingles_df,
+        shingle_array_df,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .limit(150)
+        .unionByName(
+            spark.createDataFrame(NASTY, "doc_id BIGINT, text STRING")
+        )
+    )
+    both = minhash_and_shingles_df(
+        docs, text_col="text", k=5, seeds=MINHASH_SEEDS[:16],
+        set_col="shingles",
+    )
+    got_sig = {
+        r["doc_id"]: list(r["sig"])
+        for r in both.where(F.col("sig").isNotNull())
+        .select("doc_id", "sig")
+        .collect()
+    }
+    want_sig = _collect_sigs(minhash_signatures(docs, k=5, num_hashes=16))
+    assert got_sig == want_sig
+    got_set = {
+        r["doc_id"]: r["shingles"]
+        for r in both.select("doc_id", "shingles").collect()
+    }
+    want_set = {
+        r["doc_id"]: r["s"]
+        for r in shingle_array_df(
+            docs, text_col="text", k=5, out_col="s"
+        ).collect()
+    }
+    assert got_set == want_set
+
+
 def test_profile_from_arrays_matches_standalone(spark):
     from etl_for_all_studies_spark.functions.sigkernel import shingle_array_df
     from etl_for_all_studies_spark.operators.simjoin import profile_shingle_dfs
