@@ -56,6 +56,8 @@ __all__ = [
     "distinct_shingle_hash_df",
     "token_hash_array_batches",
     "token_hash_array_df",
+    "token_window_hash_batches",
+    "token_window_hash_df",
     "minhash_and_shingle_batches",
     "minhash_and_shingles_df",
 ]
@@ -480,18 +482,86 @@ def _segment_poly_hashes(
     return out
 
 
+def _token_packed_hashes(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat packed per-token polynomial hashes of an Arrow string column:
+    ``(values int64, out_offs int64 [n_rows+1], null_mask bool)`` — the
+    shared core of the token-hash kernels, one vectorized pass. The caller
+    passes text ALREADY lower-cased and trimmed by the JVM
+    (``F.trim(F.lower(col))``) so the case-mapping stays Spark's own; this
+    replays the Java-regex ``\\s+`` split exactly: separators are maximal
+    ASCII-whitespace runs, a leading separator emits a leading "" token
+    and a trailing one a trailing "" token (Spark's ``split`` keeps
+    trailing empties at ``limit=-1``), empty tokens hash to 0, the empty
+    string tokenizes to NO tokens (the ``word_tokens`` guard), and a NULL
+    text contributes zero values (flagged in ``null_mask``)."""
+    n_rows = len(texts)
+    null_mask = np.zeros(n_rows, dtype=bool)
+    if texts.null_count:
+        null_mask = np.asarray(texts.is_null())
+    cps, offs = batch_codepoints(texts)
+    # Java-regex \s = ASCII {TAB..CR, SPACE} only — unicode spaces
+    # (NBSP, thin space, …) are token CHARACTERS, JVM-probed in tests
+    ws = ((cps >= 9) & (cps <= 13)) | (cps == 32)
+    nonws = ~ws
+    # maximal non-ws runs (the tokens); runs never span row boundaries,
+    # so force a break at every row start/end before the edge detection
+    if len(nonws):
+        prev_nonws = np.empty_like(nonws)
+        prev_nonws[0] = False
+        prev_nonws[1:] = nonws[:-1]
+        row_starts = offs[:-1][offs[:-1] < len(nonws)]
+        prev_nonws[row_starts] = False
+        next_nonws = np.empty_like(nonws)
+        next_nonws[-1] = False
+        next_nonws[:-1] = nonws[1:]
+        row_ends = offs[1:] - 1
+        next_nonws[row_ends[row_ends >= 0]] = False
+        starts = np.flatnonzero(nonws & ~prev_nonws)
+        ends = np.flatnonzero(nonws & ~next_nonws) + 1
+    else:
+        starts = np.empty(0, dtype=np.int64)
+        ends = np.empty(0, dtype=np.int64)
+    row_of_run = np.searchsorted(offs, starts, side="right") - 1
+    runs_per_row = np.bincount(row_of_run, minlength=n_rows).astype(
+        np.int64
+    )
+    lens = np.diff(offs)
+    nonempty_row = lens > 0
+    lead = np.zeros(n_rows, dtype=np.int64)
+    trail = np.zeros(n_rows, dtype=np.int64)
+    if len(cps):
+        lead[nonempty_row] = ws[offs[:-1][nonempty_row]]
+        trail[nonempty_row] = ws[offs[1:][nonempty_row] - 1]
+    counts = runs_per_row + lead + trail
+    counts[null_mask] = 0
+    total = int(counts.sum())
+    values = np.zeros(total, dtype=np.int64)
+    out_offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    if len(starts):
+        h1 = _segment_poly_hashes(cps, starts, ends, base=BASE, mod=MOD)
+        from .hashing import BASE2, MOD2, PACK_SHIFT
+
+        h2 = _segment_poly_hashes(
+            cps, starts, ends, base=BASE2, mod=MOD2
+        )
+        packed = h1 * np.int64(1 << PACK_SHIFT) + h2
+        first_run_of_row = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(runs_per_row[:-1], out=first_run_of_row[1:])
+        rank = np.arange(len(starts), dtype=np.int64) - first_run_of_row[
+            row_of_run
+        ]
+        dest = out_offs[row_of_run] + lead[row_of_run] + rank
+        values[dest] = packed
+    return values, out_offs, null_mask
+
+
 def token_hash_array_batches(batch_iter: Iterator, *, doc_id_field) -> Iterator:
     """``mapInArrow`` body: (doc_id, text) → (doc_id, __th: list<long>) —
     the exact ``transform(word_tokens(text), poly_hash_packed)`` arrays
     (``operators/spans.py`` / ``dedup.simhash`` token hashing), one
-    vectorized pass. The caller passes text ALREADY lower-cased and
-    trimmed by the JVM (``F.trim(F.lower(col))``) so the case-mapping
-    stays Spark's own; the kernel replays the Java-regex ``\\s+`` split
-    exactly: separators are maximal ASCII-whitespace runs, a leading
-    separator emits a leading "" token and a trailing one a trailing ""
-    token (Spark's ``split`` keeps trailing empties at ``limit=-1``),
-    empty tokens hash to 0, the empty string tokenizes to NO tokens
-    (the ``word_tokens`` guard), and a NULL text yields a NULL array."""
+    vectorized pass over :func:`_token_packed_hashes` (tokenization and
+    hashing contract documented there); a NULL text yields a NULL array."""
     import pyarrow as pa
 
     out_schema = pa.schema(
@@ -501,64 +571,7 @@ def token_hash_array_batches(batch_iter: Iterator, *, doc_id_field) -> Iterator:
         ids = batch.column(0)
         texts = batch.column(1)
         n_rows = len(texts)
-        null_mask = np.zeros(n_rows, dtype=bool)
-        if texts.null_count:
-            null_mask = np.asarray(texts.is_null())
-        cps, offs = batch_codepoints(texts)
-        # Java-regex \s = ASCII {TAB..CR, SPACE} only — unicode spaces
-        # (NBSP, thin space, …) are token CHARACTERS, JVM-probed in tests
-        ws = ((cps >= 9) & (cps <= 13)) | (cps == 32)
-        nonws = ~ws
-        # maximal non-ws runs (the tokens); runs never span row boundaries,
-        # so force a break at every row start/end before the edge detection
-        if len(nonws):
-            prev_nonws = np.empty_like(nonws)
-            prev_nonws[0] = False
-            prev_nonws[1:] = nonws[:-1]
-            row_starts = offs[:-1][offs[:-1] < len(nonws)]
-            prev_nonws[row_starts] = False
-            next_nonws = np.empty_like(nonws)
-            next_nonws[-1] = False
-            next_nonws[:-1] = nonws[1:]
-            row_ends = offs[1:] - 1
-            next_nonws[row_ends[row_ends >= 0]] = False
-            starts = np.flatnonzero(nonws & ~prev_nonws)
-            ends = np.flatnonzero(nonws & ~next_nonws) + 1
-        else:
-            starts = np.empty(0, dtype=np.int64)
-            ends = np.empty(0, dtype=np.int64)
-        row_of_run = np.searchsorted(offs, starts, side="right") - 1
-        runs_per_row = np.bincount(row_of_run, minlength=n_rows).astype(
-            np.int64
-        )
-        lens = np.diff(offs)
-        nonempty_row = lens > 0
-        lead = np.zeros(n_rows, dtype=np.int64)
-        trail = np.zeros(n_rows, dtype=np.int64)
-        if len(cps):
-            lead[nonempty_row] = ws[offs[:-1][nonempty_row]]
-            trail[nonempty_row] = ws[offs[1:][nonempty_row] - 1]
-        counts = runs_per_row + lead + trail
-        counts[null_mask] = 0
-        total = int(counts.sum())
-        values = np.zeros(total, dtype=np.int64)
-        out_offs = np.zeros(n_rows + 1, dtype=np.int64)
-        np.cumsum(counts, out=out_offs[1:])
-        if len(starts):
-            h1 = _segment_poly_hashes(cps, starts, ends, base=BASE, mod=MOD)
-            from .hashing import BASE2, MOD2, PACK_SHIFT
-
-            h2 = _segment_poly_hashes(
-                cps, starts, ends, base=BASE2, mod=MOD2
-            )
-            packed = h1 * np.int64(1 << PACK_SHIFT) + h2
-            first_run_of_row = np.zeros(n_rows, dtype=np.int64)
-            np.cumsum(runs_per_row[:-1], out=first_run_of_row[1:])
-            rank = np.arange(len(starts), dtype=np.int64) - first_run_of_row[
-                row_of_run
-            ]
-            dest = out_offs[row_of_run] + lead[row_of_run] + rank
-            values[dest] = packed
+        values, out_offs, null_mask = _token_packed_hashes(texts)
         list_arr = pa.ListArray.from_arrays(
             pa.array(out_offs, type=pa.int32()),
             pa.array(values, type=pa.int64()),
@@ -611,6 +624,105 @@ def token_hash_array_df(
     if id_col != "doc_id" or out_col != "__th":
         out = out.select(
             F.col("doc_id").alias(id_col), F.col("__th").alias(out_col)
+        )
+    return out
+
+
+def token_window_hash_batches(
+    batch_iter: Iterator, *, w: int, doc_id_field
+) -> Iterator:
+    """``mapInArrow`` body: (doc_id, text) → exploded (doc_id, pos, h) —
+    the combined two-pair polynomial hash of every ``w``-token window
+    (1-based start positions), one output row per window of every doc
+    with ≥ w tokens. Bit-identical to the JVM fold/prefix strategies of
+    ``operators/spans.py::window_hashes`` (equivalence-pinned):
+    ``h = H1·MOD2 + H2`` with ``H_p = Σ t_j·B_p^(e−j) mod M_p`` over the
+    per-token component hashes, evaluated via the same Rabin–Karp
+    prefix-sum algebra as the shingle kernels — O(1) per window at any
+    ``w``. Docs with < w tokens (and NULL texts) contribute no rows —
+    exactly the ``size(__th) ≥ w`` row filter of the array form.
+
+    This collapses the whole JVM window-hash front end: no per-position
+    interpreted fold (O(w)/window), and none of the rolling strategy's
+    fixed machinery (doc-keyed exchange, per-token posexplode, powers
+    broadcast, two WindowExec layers) — the windows never exist as JVM
+    rows at all, only (id, pos, h) triples leave the kernel."""
+    import pyarrow as pa
+
+    from .hashing import BASE2, MOD2, PACK_MASK, PACK_SHIFT
+
+    out_schema = pa.schema(
+        [
+            doc_id_field,
+            pa.field("pos", pa.int32()),
+            pa.field("h", pa.int64()),
+        ]
+    )
+    for batch in batch_iter:
+        ids_np = batch.column(0).to_numpy(zero_copy_only=False)
+        texts = batch.column(1)
+        values, out_offs, _null = _token_packed_hashes(texts)
+        t1 = values >> PACK_SHIFT
+        t2 = values & np.int64(PACK_MASK)
+        h1, seg = window_hashes(t1, out_offs, w, base=BASE, mod=MOD)
+        h2, _ = window_hashes(t2, out_offs, w, base=BASE2, mod=MOD2)
+        h = h1 * np.int64(MOD2) + h2
+        n_wins = np.diff(seg)
+        kept = np.diff(out_offs) >= w
+        out_ids = np.repeat(ids_np[kept], n_wins)
+        pos = (
+            np.arange(len(h), dtype=np.int64)
+            - np.repeat(seg[:-1], n_wins)
+            + 1
+        ).astype(np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_ids, type=pa.int64()),
+                pa.array(pos, type=pa.int32()),
+                pa.array(h, type=pa.int64()),
+            ],
+            schema=out_schema,
+        )
+
+
+def token_window_hash_df(
+    docs,
+    *,
+    w: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """DataFrame form of :func:`token_window_hash_batches`: the full
+    ``operators/spans.py::window_hashes`` frame ``(id_col, pos, h)`` from
+    ONE vectorized Arrow pass — no doc-keyed exchange, no per-token
+    explode, no powers broadcast, no window machinery. Lower/trim stay in
+    the JVM (Spark's own case mapping); ``pos`` is int (matching the JVM
+    strategies' sequence/posexplode type) and ``h`` the injective ~2^60
+    combined key."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from ..partitioning import compute_spread
+
+    base = compute_spread(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.trim(F.lower(F.col(text_col))).alias("__txt"),
+        )
+    )
+    _require_long_doc_id(base)
+    doc_id_field = pa.field("doc_id", pa.int64())
+
+    def _batches(batches):
+        yield from token_window_hash_batches(
+            batches, w=w, doc_id_field=doc_id_field
+        )
+
+    out = base.mapInArrow(_batches, schema="doc_id long, pos int, h long")
+    if id_col != "doc_id":
+        out = out.select(
+            F.col("doc_id").alias(id_col), "pos", "h"
         )
     return out
 

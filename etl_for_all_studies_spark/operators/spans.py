@@ -34,17 +34,20 @@ shape — every stage linear and keyed:
      posexplode → per-doc sort → sliding sum — the window's required
      hash distribution is satisfied by the pre-explode repartition, so
      no token-level shuffle is added.
-   - ``"auto"`` (default) routes STATICALLY on window width: fold below
-     ``_AUTO_PREFIX_MIN_W`` (= 25), the rolling form at or above. Round 6
-     routed per-document on length from probe tables that compared a
-     single-split fold against a 32-task prefix — parallelism, not
-     algorithm. Fairly measured (13.5M windows, 32 tasks), and with the
-     roll's two real constants fixed (per-row ``pow_mod`` on WindowExec's
-     interpreted projection path → a position-keyed broadcast powers
-     table; O(w) sliding frames → lag-of-running-sums), fold costs
-     2.3→17.7 s across w = 8→100 while the roll holds ~3 s flat — the
-     crossover is genuinely in ``w``, near 16 (SCALE.md round 7). Static
-     choice = lazy plan, no call-time Spark jobs.
+   - ``"auto"`` (default) — the vectorized Arrow kernel
+     (:func:`..functions.sigkernel.token_window_hash_df`, r11): ONE
+     ``mapInArrow`` pass tokenizes, hashes, and emits the (id, pos, h)
+     window rows directly via the same prefix-sum algebra as the
+     ``"prefix"`` strategy, O(1)/window at any ``w`` — none of either JVM
+     strategy's machinery (no per-position interpreted fold, no doc-keyed
+     exchange/posexplode/powers-broadcast/WindowExec) survives in the
+     plan. Bit-identical to both JVM forms (test-pinned), lazy plan, no
+     call-time Spark jobs. Historical routing note: before the kernel,
+     ``auto`` routed statically on width between the JVM strategies —
+     fold below ``_AUTO_PREFIX_MIN_W`` (= 25), rolling at or above, the
+     measured JVM crossover (fold 2.3→17.7 s across w = 8→100 vs roll
+     ~3 s flat; SCALE.md round 7). That crossover still governs anyone
+     choosing between the explicit JVM strategies.
 
 3. ONE corpus-wide groupBy on the combined window hash → occurrence
    counts; windows with count > 1 are duplicated (within-doc repeats
@@ -372,46 +375,52 @@ def window_hashes(
     detectors share; its distinct ``h`` column is also the warehouse state
     the incremental form accrues.
 
-    ``method``: ``"fold"`` (O(w)/position, in-row, no shuffle),
-    ``"prefix"`` (Rabin–Karp rolling sliding-sum, O(1)/position, one
-    doc-keyed exchange), or ``"auto"`` (static routing on ``w``: fold
-    below ``_AUTO_PREFIX_MIN_W``, rolling at or above). All strategies
-    produce BIT-IDENTICAL hashes — the canonical ``Σ t_j·B^(e−j) mod M``
-    polynomial per pair — so the choice is purely physical and the DuckDB
-    oracle replays any of them.
+    ``method``: ``"auto"`` (default — the vectorized Arrow kernel, ONE
+    ``mapInArrow`` pass emitting the window rows directly, O(1)/window at
+    any ``w``; see the module docstring), ``"fold"`` (JVM: O(w)/position,
+    in-row, no shuffle), or ``"prefix"`` (JVM: Rabin–Karp rolling
+    sliding-sum, O(1)/position, one doc-keyed exchange). All strategies
+    produce BIT-IDENTICAL (id, pos, h) frames — the canonical
+    ``Σ t_j·B^(e−j) mod M`` polynomial per pair — so the choice is purely
+    physical and the DuckDB oracle replays any of them; the JVM
+    strategies remain the executable spec the kernel is equivalence-
+    pinned against (``tests/test_llm_ops.py``/``test_sigkernel.py``).
 
-    Round-7 routing history, in full (SCALE.md): round 6 routed per-doc on
-    LENGTH from probe tables that were a parallelism artifact (single-split
-    fold vs 32-task prefix) and ran two eager Spark jobs at plan time to do
-    it. Fair re-measurement first flipped the answer to fold-everywhere —
-    and then profiling the rolling form found its real constant: per-row
-    ``pow_mod`` chains evaluated on WindowExec's interpreted projection
-    path (~18× their codegen cost). Moving the modular powers into a
-    position-keyed broadcast table and the sliding frame to
-    lag-of-running-sums made the rolling form O(1)/window in practice
-    (~3 s flat at 13.5M windows for w ∈ {8..100}, vs fold's linear-in-w
-    2.3→17.7 s), so the crossover is genuinely in ``w`` after all —
-    near 16 at equal parallelism. ``auto`` routes statically on ``w``
-    (NO eager jobs; the lazy-plan contract from ``caching.py`` holds for
-    every method): small-w fixture/bench calls keep the shuffle-free fold,
-    the production w=50 Lee-et-al. setting gets the rolling plan.
+    Routing history (SCALE.md rounds 6/7/11): round 6 routed per-doc on
+    LENGTH from probe tables that were a parallelism artifact and ran
+    eager jobs at plan time; round 7 made auto a static width route
+    between the JVM strategies after fixing the roll's two real constants
+    (per-row ``pow_mod`` on WindowExec's interpreted projection path →
+    position-keyed broadcast powers table; O(w) sliding frames →
+    lag-of-running-sums; crossover near w=16). Round 11 moved ``auto`` to
+    the Arrow kernel: the whole front end (tokenize → hash → window) runs
+    vectorized in one pass, so there is nothing left to route — every
+    width gets the O(1)/window algebra with none of the rolling form's
+    ~2.5 s fixed JVM machinery, and the lazy-plan contract from
+    ``caching.py`` holds (no call-time jobs).
     """
     if method not in ("auto", "fold", "prefix"):
         raise ValueError(f"unknown window_hashes method: {method!r}")
-    # barrier: every method references the token-hash arrays many times
+    if method == "auto":
+        from ..functions.sigkernel import token_window_hash_df
+
+        # one pass, no internal reuse — nothing to persist here (callers
+        # persist the returned frame when they fan it out, as
+        # duplicated_spans does); `scope` only governs the JVM strategies'
+        # internal token-array barrier below
+        return token_window_hash_df(
+            docs, w=w, text_col=text_col, id_col=id_col
+        )
+    # barrier: both JVM methods reference the token-hash arrays many times
     # downstream (fold: once per window step — no CSE inside HOF lambdas;
     # prefix: the repartition exchange would otherwise recompute the whole
-    # O(chars) hashing pass per consumer; auto: both branches share it)
+    # O(chars) hashing pass per consumer)
     hashed = persist(
         _token_hash_arrays(docs, w=w, text_col=text_col, id_col=id_col),
         scope,
     )
-    if method == "prefix":
-        return _window_hashes_prefix(hashed, w=w, id_col=id_col)
-    if method == "fold" or w < _AUTO_PREFIX_MIN_W:
+    if method == "fold":
         return _window_hashes_fold(hashed, w=w, id_col=id_col)
-    # "auto" at w >= threshold: the rolling form — see the docstring; the
-    # routing is a STATIC plan choice on w alone (lazy, no call-time jobs)
     return _window_hashes_prefix(hashed, w=w, id_col=id_col)
 
 

@@ -6377,29 +6377,24 @@ FROM grp GROUP BY doc_id, g
 # --------------------------------------------------------------------------
 
 def q_dup_spans_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span dedup at a production-wide window (w=20) through the
-    ``method="prefix"`` physical strategy: the Rabin–Karp rolling hash as a
-    distributed sliding sum over per-doc positions plus one unrolled
-    modular power (``operators/spans.py::_window_hashes_prefix``) —
-    O(1)/position vs the in-row fold's O(w). The hashes are bit-identical
-    to the fold's, so the same SQL island-merge oracle pins the spans;
-    this is the strategy the auto router picks for long documents (the
-    regime where interpreted-HOF folding degrades), and this entry keeps
-    that path under the driver's correctness gate.
-
-    BENCH READING (don't re-investigate): this entry carries ~2.5 s of
-    FIXED local machinery — the doc-keyed exchange + per-doc sort, the
-    distinct-positions pass, and the powers-table broadcast build — that
-    the fold form doesn't pay, so at sf0.1 it benches ~3.3 s where fold
-    reads ~1.2 s on the same data. That is the deliberate trade: the
-    marginal cost is O(1)/window and FLAT in w (2.9 s at w=100 vs fold's
-    17.7 s, SCALE.md round 7 'fixed-vs-marginal split'), so the rolling
-    form wins everywhere the router actually picks it (w ≥ 25, cluster
-    scale); the local bench number is fixed overhead, not a regression."""
+    """Span dedup at a production-wide window (w=20) through the rolling
+    (Rabin–Karp prefix-sum) hash algebra — O(1)/position vs the in-row
+    fold's O(w). Since r11 the default ``method="auto"`` evaluates that
+    algebra inside the vectorized Arrow window-hash kernel
+    (``functions/sigkernel.py::token_window_hash_df``): one ``mapInArrow``
+    pass tokenizes, hashes, and emits the (id, pos, h) window rows
+    directly, replacing the JVM rolling strategy's ~2.5 s of fixed local
+    machinery (doc-keyed exchange + per-doc sort, distinct-positions
+    pass, powers-table broadcast, two WindowExec layers) that this entry
+    used to carry via ``method="prefix"``. The hashes are BIT-IDENTICAL
+    to both JVM strategies (equivalence-pinned in tests), so the same SQL
+    island-merge oracle pins the spans unchanged; at w=20 this entry
+    keeps the production-wide-window regime — where O(w) folding degrades
+    — under the driver's correctness gate."""
     from .operators.spans import duplicated_spans
 
     docs = _t(spark, sf_dir, "documents")
-    return duplicated_spans(docs, w=20, method="prefix").select(
+    return duplicated_spans(docs, w=20).select(
         "doc_id", "span_start", "span_end", "n_windows"
     )
 

@@ -1387,11 +1387,12 @@ def test_window_hashes_methods_bit_identical_and_auto_lazy(spark):
     assert {d for d, *_ in out["auto"]} == {1, 2, 3, 4}
 
 
-def test_window_hashes_auto_routes_on_window_width(spark):
-    """auto routes statically on w: the shuffle-free fold below the
-    threshold (no Window operator in the plan), the rolling form at or
-    above it (Window + the doc-keyed exchange) — and both sides of the
-    threshold produce hashes bit-identical to the explicit strategies."""
+def test_window_hashes_auto_is_kernel_at_every_width(spark):
+    """auto is the vectorized Arrow kernel at EVERY width (r11): one
+    MapInArrow node, none of the JVM strategies' machinery — no Window
+    operator, no exchange — on both sides of the old JVM fold/roll
+    crossover; and the values stay bit-identical to both explicit JVM
+    strategies at each width."""
     from etl_for_all_studies_spark.operators.spans import (
         _AUTO_PREFIX_MIN_W,
         window_hashes,
@@ -1403,10 +1404,14 @@ def test_window_hashes_auto_routes_on_window_width(spark):
     )
     below = window_hashes(docs, w=_AUTO_PREFIX_MIN_W - 1, method="auto")
     above = window_hashes(docs, w=_AUTO_PREFIX_MIN_W, method="auto")
-    assert "Window" not in below._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in above._jdf.queryExecution().executedPlan().toString()
+    for df in (below, above):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in plan
+        assert "Window" not in plan
+        assert "Exchange" not in plan
     for w, df in ((_AUTO_PREFIX_MIN_W - 1, below), (_AUTO_PREFIX_MIN_W, above)):
         got = sorted((r["pos"], r["h"]) for r in df.collect())
+        assert got
         for method in ("fold", "prefix"):
             ref = sorted(
                 (r["pos"], r["h"])

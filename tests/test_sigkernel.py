@@ -279,6 +279,51 @@ def test_simhash_token_hashes_match_hof(spark):
     assert got == want
 
 
+@pytest.mark.parametrize("w", [2, 8, 20, 50])
+def test_window_hash_kernel_matches_jvm_strategies(spark, w):
+    """The r11 window-hash kernel (``token_window_hash_df`` — one
+    mapInArrow pass emitting the exploded (id, pos, h) window rows) must
+    replay BOTH JVM strategies bit-for-bit at every width: same row set
+    (docs with ≥ w tokens only; NULL/empty/short texts dropped), same
+    1-based positions with the same int type, same combined ~2^60 keys —
+    across real corpus rows plus the whitespace/unicode edge docs."""
+    from etl_for_all_studies_spark.functions.sigkernel import (
+        token_window_hash_df,
+    )
+    from etl_for_all_studies_spark.operators.spans import window_hashes
+
+    # nasty ids offset past the corpus range: doc_id is the PER-DOC key of
+    # the JVM prefix strategy's window partitioning, so a duplicated id
+    # would merge two texts into one logical doc there (row-wise forms
+    # don't care) — the comparison needs globally unique ids
+    nasty = [(i + 1_000_000, t) for i, t in TOKEN_NASTY]
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+        .unionByName(
+            spark.createDataFrame(nasty, "doc_id BIGINT, text STRING")
+        )
+    )
+    kern = token_window_hash_df(docs, w=w, text_col="text", id_col="doc_id")
+    assert [f.dataType.simpleString() for f in kern.schema.fields] == [
+        "bigint",
+        "int",
+        "bigint",
+    ]
+    got = {(r["doc_id"], r["pos"]): r["h"] for r in kern.collect()}
+    for method in ("fold", "prefix"):
+        want = {
+            (r["doc_id"], r["pos"]): r["h"]
+            for r in window_hashes(
+                docs, w=w, text_col="text", id_col="doc_id", method=method
+            ).collect()
+        }
+        assert got == want, f"w={w} method={method}"
+    if w <= 20:
+        assert got  # non-degenerate at widths the corpus actually has
+
+
 def test_combined_kernel_matches_separate_passes(spark):
     """The one-scan (sig, shingles) kernel must reproduce BOTH single-pass
     kernels exactly: ``sig IS NOT NULL`` recovers minhash_signatures' row
