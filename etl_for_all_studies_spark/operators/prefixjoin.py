@@ -24,14 +24,18 @@ prefixes concentrate on each document's RAREST shingles — the join cost is
 in suffixes). The length filter (``t·|B| ≤ |A|`` for ``|A| ≤ |B|``) prunes
 candidates whose sizes alone forbid ``J ≥ t``.
 
-Spark-first shape (all declarative; no Python in the row path):
+Spark-first shape (all declarative; no Python in the row path; since
+round 12 the candidate machinery runs entirely on ``xxhash64(shingle)``
+identity keys — shingle STRINGS never cross an exchange, guide §2.3):
 
-1. one shuffle keyed by shingle: df via a count window (the same
-   ride-the-join-exchange trick as ``minhash_lsh_candidates``'s bucket cap);
-2. one shuffle keyed by doc: per-doc ``row_number`` over ``(df, shingle)``
-   + set size from the same window partition — one exchange, one sort;
-3. candidate generation: prefix ⋈ prefix equi-join on shingle (keyed by
-   shingle, volume Σ(prefix-df)²) with the length filter AND the PPJoin
+1. df via a map-side-combined aggregation over the hashed shingle rows
+   plus an equi-join back (hot shingles collapse in the partial agg and
+   the join is AQE-skew-splittable — unlike the previous count window
+   partitioned by the shingle string, an unsplittable skewed exchange);
+2. one shuffle keyed by doc: per-doc ``row_number`` over ``(df, hash)``;
+   set sizes come straight from the shingle arrays (``size(__set)``);
+3. candidate generation: prefix ⋈ prefix equi-join on the hash (volume
+   Σ(prefix-df)²) with the length filter AND the PPJoin
    positional filter inline — at the first shared prefix token of any true
    pair, ``1 + min(|A|−pos_A, |B|−pos_B)`` upper-bounds the achievable
    overlap and must reach ``⌈t/(1+t)·(|A|+|B|)⌉`` (the J≥t overlap
@@ -86,34 +90,47 @@ def prefix_candidates(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     # barrier: the shingle arrays (one Arrow-kernel pass per doc, r11 —
     # the interpreted char_shingles HOF was the family's largest per-row
-    # compute term) feed the df window/prefix branch (via explode) AND
-    # both sides of the verification join — persist once
+    # compute term) feed the df/prefix branch (via explode) AND both
+    # sides of the verification join — persist once
     if arrays is None:
         arrays = persist(
             shingle_array_df(docs, text_col=text_col, k=k, out_col="__set"),
             scope,
         )
-    sh = arrays.select("doc_id", F.explode("__set").alias("shingle"))
+    # IDENTITY-ONLY shingle rows (r12, guide §2.3 "shuffle keys and
+    # metadata instead of payloads" + VERDICT r11 #3): the whole candidate
+    # machinery — df counts, the per-doc rank, the prefix self-join — only
+    # ever compares shingles for EQUALITY and orders them, so the string
+    # never needs to cross an exchange. ``xxhash64(shingle)`` is the same
+    # identity trick the router profile uses; a 64-bit collision can only
+    # ADD a candidate pair (equality on the hash is a superset of string
+    # equality) or perturb the df-ascending order — and the prefix filter
+    # is correct under ANY one global total order, while every candidate
+    # is verified against the full string arrays below, so the emitted
+    # pairs are unchanged. ``__size`` comes straight from the array
+    # (``size(__set)``), deleting the per-doc count window outright.
+    sh = arrays.select(
+        "doc_id", F.size("__set").alias("__size"), F.explode("__set").alias("shingle")
+    ).select("doc_id", "__size", F.xxhash64("shingle").alias("__h"))
 
-    by_shingle = Window.partitionBy("shingle")
-    by_doc = Window.partitionBy("doc_id").orderBy("__df", "shingle")
-    by_doc_all = Window.partitionBy("doc_id")
-    ranked = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(by_shingle))
-        # __pos and __size share the doc-keyed exchange + sort: one shuffle
-        .withColumn("__pos", F.row_number().over(by_doc))
-        .withColumn("__size", F.count(F.lit(1)).over(by_doc_all))
-    )
+    # df via aggregate + join, NOT a count window partitioned by the
+    # shingle (guide §2.3/§2.5): the window shipped every (doc, shingle)
+    # row of a hot shingle to one reducer — an unsplittable skewed string
+    # exchange. The aggregation partially combines map-side (hot keys
+    # collapse to one row per map partition), and the join back is a
+    # plain equi-join on the 8-byte hash that AQE can skew-split.
+    dfs = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    by_doc = Window.partitionBy("doc_id").orderBy("__df", "__h")
+    ranked = sh.join(dfs, "__h").withColumn("__pos", F.row_number().over(by_doc))
     # prefix length |T| − ⌈t·|T|⌉ + 1 — the globally-smallest common element
     # of any J≥t pair is pigeonholed into both prefixes (module docstring).
     # Barrier: the prefix frame feeds BOTH sides of the candidate self-join;
-    # unbarriered, the df + row_number + size window chain (two exchanges)
-    # re-executes per side (6 Window nodes in the plan instead of 3)
+    # unbarriered, the df agg + join + rank chain re-executes per side
     prefix = persist(
         ranked.where(
             F.col("__pos")
             <= F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
-        ).select("doc_id", "shingle", "__size", "__pos"),
+        ).select("doc_id", "__h", "__size", "__pos"),
         scope,
     )
 
@@ -128,7 +145,7 @@ def prefix_candidates(
         a.join(
             b,
             on=[
-                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.__h") == F.col("b.__h"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
                 # length filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|)
                 F.lit(threshold)
@@ -254,20 +271,26 @@ def incremental_jaccard_prefix_pairs(
         ),
         scope,
     )
-    sh = arrays.select("doc_id", "__new", F.explode("__set").alias("shingle"))
-    by_shingle = Window.partitionBy("shingle")
-    by_doc = Window.partitionBy("doc_id").orderBy("__df", "shingle")
-    by_doc_all = Window.partitionBy("doc_id")
-    ranked = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(by_shingle))
-        .withColumn("__pos", F.row_number().over(by_doc))
-        .withColumn("__size", F.count(F.lit(1)).over(by_doc_all))
+    # hashed identity rows + agg/join df + array-derived sizes — the same
+    # r12 narrow-exchange shape as ``prefix_candidates`` (see the comments
+    # there); the union universe still ranks both sides under ONE global
+    # (df, hash) order, which is all the pigeonhole argument needs
+    sh = arrays.select(
+        "doc_id",
+        "__new",
+        F.size("__set").alias("__size"),
+        F.explode("__set").alias("shingle"),
+    ).select("doc_id", "__new", "__size", F.xxhash64("shingle").alias("__h"))
+    dfs = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    by_doc = Window.partitionBy("doc_id").orderBy("__df", "__h")
+    ranked = sh.join(dfs, "__h").withColumn(
+        "__pos", F.row_number().over(by_doc)
     )
     prefix = persist(
         ranked.where(
             F.col("__pos")
             <= F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
-        ).select("doc_id", "__new", "shingle", "__size", "__pos"),
+        ).select("doc_id", "__new", "__h", "__size", "__pos"),
         scope,
     )
     pn = prefix.where(F.col("__new") == 1).drop("__new")
@@ -279,7 +302,7 @@ def incremental_jaccard_prefix_pairs(
             * (F.col(f"{a}.__size") + F.col(f"{b}.__size"))
         )
         return [
-            F.col(f"{a}.shingle") == F.col(f"{b}.shingle"),
+            F.col(f"{a}.__h") == F.col(f"{b}.__h"),
             F.lit(threshold)
             * F.greatest(F.col(f"{a}.__size"), F.col(f"{b}.__size"))
             <= F.least(F.col(f"{a}.__size"), F.col(f"{b}.__size")),

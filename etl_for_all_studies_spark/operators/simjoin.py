@@ -68,7 +68,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import CacheScope, persist
-from ..functions.sigkernel import distinct_shingle_hash_df, shingle_array_df
+from ..functions.sigkernel import distinct_shingle_hash_df
 from .dedup import (
     exact_rows_per_band,
     minhash_lsh_candidates,
@@ -267,17 +267,19 @@ def _lsh_verified_pairs(
     max_bucket_size: int | None,
     scope: CacheScope | None,
     sets: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified to the ROUTER's output contract —
     same columns as ``jaccard_prefix_pairs`` (sizes included) so the two
     legs are drop-in interchangeable. Approximate recall: a true pair is
     missed only when every band disagrees (same contract as
     ``minhash_dedup``, whose verify this mirrors with size columns).
-    ``sets``: optional precomputed persisted ``(doc_id, __set)`` table —
-    the router's shared shingle pass. Without one (explicit
-    ``mode="lsh"``), ONE combined kernel scan produces both the
-    signatures and the verify arrays (guide §1.2: one text pass, not
-    two); with one, only the signature pass reads the text again."""
+    ``sets`` / ``sigs``: optional precomputed persisted ``(doc_id,
+    __set)`` / ``(doc_id, sig)`` tables — the router's shared combined
+    kernel pass (r12) hands BOTH in, so the routed leg reads the text
+    zero more times. Without either (explicit ``mode="lsh"``), ONE
+    combined kernel scan produces both (guide §1.2: one text pass, not
+    two); with only ``sets``, the signature pass reads the text again."""
     if sets is None:
         from ..functions.sigkernel import minhash_and_shingles_df
         from .dedup import MINHASH_SEEDS
@@ -294,7 +296,7 @@ def _lsh_verified_pairs(
         )
         sigs = both.where(F.col("sig").isNotNull()).select("doc_id", "sig")
         sets = both.select("doc_id", "__set")
-    else:
+    elif sigs is None:
         sigs = persist(
             minhash_signatures(
                 docs, text_col=text_col, k=k, num_hashes=num_hashes,
@@ -359,20 +361,35 @@ def jaccard_pairs_auto(
             f"{num_hashes % bands} of the hash functions"
         )
     arrays: DataFrame | None = None
+    sigs: DataFrame | None = None
     if mode == "auto":
-        # ONE shingle pass for the whole routed call (r11): the profile
-        # and EITHER leg's verify join read the same persisted arrays
-        # table — previously the profile's explode and the leg's verify
-        # each ran their own (interpreted-HOF) shingle pass over the
-        # corpus. With a sampled profile the arrays cover only the
-        # sample, so the legs rebuild their own full-corpus table.
+        # ONE text pass for the whole routed call (r11 shared the shingle
+        # arrays between the profile and either leg's verify join; r12
+        # upgrades the shared pass to the COMBINED signatures+shingles
+        # kernel, guide §1.2): the profile reads the arrays, the prefix
+        # leg verifies on them, and the LSH leg now also gets its MinHash
+        # signatures from the same scan — previously a routed-LSH call
+        # paid a second full text scan for ``minhash_signatures``. The
+        # signature columns cost one vectorized numpy pass over windows
+        # the kernel hashes anyway; a prefix-routed call simply ignores
+        # them. With a sampled profile the arrays cover only the sample,
+        # so the legs rebuild their own full-corpus tables.
         if profile_fraction >= 1.0:
-            arrays = persist(
-                shingle_array_df(
-                    docs, text_col=text_col, k=k, out_col="__set"
+            from ..functions.sigkernel import minhash_and_shingles_df
+            from .dedup import MINHASH_SEEDS
+
+            both = persist(
+                minhash_and_shingles_df(
+                    docs,
+                    text_col=text_col,
+                    k=k,
+                    seeds=MINHASH_SEEDS[:num_hashes],
+                    set_col="__set",
                 ),
                 scope,
             )
+            arrays = both.select("doc_id", "__set")
+            sigs = both.where(F.col("sig").isNotNull()).select("doc_id", "sig")
         mode = route_jaccard_join(
             docs,
             text_col=text_col,
@@ -402,6 +419,7 @@ def jaccard_pairs_auto(
             max_bucket_size=max_bucket_size,
             scope=scope,
             sets=arrays,
+            sigs=sigs,
         )
     raise ValueError(f"mode must be auto|prefix|lsh, got {mode!r}")
 

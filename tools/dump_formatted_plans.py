@@ -2,7 +2,8 @@
 """Dump ``explain("formatted")`` for named registry queries to files.
 
 Optimization-round utility: captures the judge-checkable before/after plan
-artifacts under plans/r11/ (``<query>_<tag>.txt``).
+artifacts under plans/<round>/ (``<query>_<tag>.txt``; round dir from
+``$SPARK_GRAFT_PLANS_DIR``, default r12).
 
 Usage: python tools/dump_formatted_plans.py TAG QUERY [QUERY ...]
        python tools/dump_formatted_plans.py TAG --top N   # N most expensive per bench_full.json
@@ -10,13 +11,14 @@ Usage: python tools/dump_formatted_plans.py TAG QUERY [QUERY ...]
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-OUT = REPO / "plans" / "r11"
+OUT = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12")
 SF_DIR = "/root/testdata/sf0.1"
 
 
